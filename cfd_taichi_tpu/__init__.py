@@ -1,0 +1,29 @@
+"""cfd_taichi_tpu — a TPU-native SPH fluid simulation framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the Taichi
+reference simulator Jukgei/CFD_Taichi (five pressure solvers — WCSPH, PBF,
+PCISPH, IISPH, DFSPH — Akinci-2012 boundary handling, two-way rigid-fluid
+coupling with an impulse-based rigid body solver, uniform-grid neighbor
+search, JSON scene configs and PLY/OBJ export).
+
+Architecture (TPU-first, not a port):
+  * particle state = pytrees of flat fixed-shape arrays
+  * neighbor search = counting-sort cell list + fixed-K compact neighbor
+    lists (replaces Taichi dynamic SNode per-cell lists, reference
+    ParticleSystem.py:99-110)
+  * per-particle accumulation = vectorized masked gathers fused by XLA
+    (replaces Taichi `for_all_neighbor` + atomics,
+    reference ParticleSystem.py:447-469)
+  * pressure-solver iteration = `lax.while_loop` with on-device residuals
+    (replaces host loops, e.g. reference dfsph_solver.py:221-233)
+  * rigid coupling scatter = deterministic `segment-sum`/`.at[].add`
+    (replaces atomic `+=`, e.g. reference wcsph_solver.py:126)
+  * multi-chip = spatial domain decomposition via `shard_map` over a
+    device mesh with halo exchange (new capability; reference is
+    single-GPU only)
+"""
+
+__version__ = "0.1.0"
+
+from cfd_taichi_tpu.config import SimConfig, read_config  # noqa: F401
+from cfd_taichi_tpu.scene import Scene, build_scene  # noqa: F401

@@ -1,0 +1,95 @@
+"""Geometry tests: seeding counts/layout, boundary shell structure, mesh
+loading and voxelization (replacing trimesh, reference ParticleSystem.py:42-59)."""
+
+import numpy as np
+import pytest
+
+from cfd_taichi_tpu import geometry as geo
+
+R = 0.025
+D = 2 * R
+
+
+def test_fluid_count_formulas():
+    # breaking_dam_30k: water 1.0 x 2.8 x 1.3 at r=0.025 -> 20*56*26 = 29120
+    assert geo.fluid_particle_count((1.0, 2.8, 1.3), R) == 29120
+    # wcsph backup: 0.7 x 1.5 x 0.7 -> 14*30*14 = 5880
+    assert geo.fluid_particle_count((0.7, 1.5, 0.7), R) == 5880
+
+
+def test_fluid_lattice_layout():
+    pos = geo.seed_fluid_block((0.2, 0.3, 0.2), (1.0, 2.0, 3.0), R)
+    assert pos.shape == (4 * 6 * 4, 3)
+    # All points inside the block bounds.
+    assert np.all(pos >= np.array([1.0, 2.0, 3.0]) - 1e-5)
+    assert np.all(pos <= np.array([1.0 + 0.2, 2.0 + 0.3, 3.0 + 0.2]) + 1e-5)
+    # Diameter spacing along x for the first row.
+    np.testing.assert_allclose(np.diff(pos[:4, 0]), D, atol=1e-5)
+    # No duplicate positions.
+    assert len(np.unique(np.round(pos / R).astype(int), axis=0)) == pos.shape[0]
+
+
+def test_boundary_shell_counts_and_structure():
+    box_min, box_max = (0.0, 0.0, 0.0), (1.5, 3.0, 1.5)
+    n = geo.boundary_particle_count(box_min, box_max, R)
+    pos = geo.seed_boundary_shell(box_min, box_max, R)
+    assert pos.shape == (n, 3)
+    x_cnt = int(1.5 / D + 1)
+    z_cnt = int(1.5 / D + 1)
+    bottom = x_cnt * z_cnt
+    # Bottom plate at y=0, top plate at y=box_max.y.
+    assert np.all(pos[:bottom, 1] == 0.0)
+    assert np.all(pos[-bottom:, 1] == np.float32(3.0))
+    # Rings: every ring particle lies on the box perimeter in xz.
+    ring = pos[bottom:-bottom]
+    on_edge = (
+        np.isclose(ring[:, 0], 0.0) | np.isclose(ring[:, 0], (x_cnt - 1) * D)
+        | np.isclose(ring[:, 2], 0.0) | np.isclose(ring[:, 2], (z_cnt - 1) * D)
+    )
+    assert on_edge.all()
+    # No duplicated boundary particles.
+    key = np.round(pos / R).astype(np.int64)
+    assert len(np.unique(key, axis=0)) == pos.shape[0]
+
+
+def test_load_stl_cube():
+    verts, faces = geo.load_mesh("/root/reference/obj/cube1.STL")
+    assert faces.shape[0] == 12  # cube = 12 triangles
+    assert verts.shape[0] == 8
+    ext = verts.max(0) - verts.min(0)
+    assert np.all(ext > 0)
+
+
+def test_load_obj():
+    verts, faces = geo.load_mesh("/root/reference/obj/spot.obj")
+    assert verts.shape[0] > 100 and faces.shape[0] > 100
+    assert faces.max() < verts.shape[0]
+
+
+def test_voxelize_cube_fill():
+    verts, faces = geo.load_mesh("/root/reference/obj/cube1.STL")
+    ext = verts.max(0) - verts.min(0)
+    pitch = float(ext.min()) / 8.0
+    pts_fill = geo.voxelize_mesh(verts, faces, pitch, fill=True)
+    pts_shell = geo.voxelize_mesh(verts, faces, pitch, fill=False)
+    # Roughly the full 8x8x8 block of voxels when filled; shell is smaller.
+    expected = np.prod(np.maximum(np.ceil(ext / pitch), 1))
+    assert pts_fill.shape[0] == pytest.approx(expected, rel=0.35)
+    assert 0 < pts_shell.shape[0] < pts_fill.shape[0]
+    # All voxel centers inside the (slightly padded) AABB.
+    assert np.all(pts_fill >= verts.min(0) - pitch)
+    assert np.all(pts_fill <= verts.max(0) + pitch)
+
+
+def test_voxelize_ball_volume():
+    verts, faces = geo.load_mesh("/root/reference/obj/ball.STL")
+    ext = verts.max(0) - verts.min(0)
+    radius = float(ext[0]) / 2
+    pitch = radius / 6
+    pts = geo.voxelize_mesh(verts, faces, pitch, fill=True)
+    vol = pts.shape[0] * pitch**3
+    sphere_vol = 4 / 3 * np.pi * radius**3
+    # Voxelization includes the surface shell, so the volume lands between the
+    # exact sphere and a sphere dilated by one pitch.
+    dilated_vol = 4 / 3 * np.pi * (radius + pitch) ** 3
+    assert 0.9 * sphere_vol < vol < 1.1 * dilated_vol

@@ -1,0 +1,100 @@
+"""Neighbor-engine tests: cell-list vs O(N^2) brute force equivalence
+(SURVEY.md §4 prescription; the reference's own fallback idea was the
+O(N^2) gradient at wcsph_solver.py:131-144)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cfd_taichi_tpu.ops import neighbors as nb
+
+
+def _random_cloud(n, box, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32) * np.asarray(box, np.float32)
+
+
+def _sets(nlist):
+    idx = np.asarray(nlist.idx)
+    mask = np.asarray(nlist.mask)
+    return [set(idx[i][mask[i]].tolist()) for i in range(idx.shape[0])]
+
+
+def test_grid_for_box_matches_reference_formula():
+    g = nb.grid_for_box((0, 0, 0), (1.5, 3.0, 1.5), 0.1)
+    assert g.dims == (16, 31, 16)  # ceil(ext/h)+1 per axis (ParticleSystem.py:100-101)
+
+
+def test_self_query_matches_brute_force():
+    h = 0.1
+    box = (1.0, 1.0, 1.0)
+    pos = jnp.asarray(_random_cloud(500, box))
+    grid = nb.grid_for_box((0, 0, 0), box, h)
+    table = nb.build_cell_table(pos, grid)
+    qid = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    fast = nb.find_neighbors(pos, qid, pos, table, grid, K=64, cell_cap=32,
+                             exclude_self=True)
+    slow = nb.brute_force_neighbors(pos, qid, pos, h, K=64, exclude_self=True)
+    np.testing.assert_array_equal(np.asarray(fast.count), np.asarray(slow.count))
+    assert _sets(fast) == _sets(slow)
+
+
+def test_cross_query_matches_brute_force():
+    h = 0.1
+    box = (1.0, 0.5, 1.0)
+    src = jnp.asarray(_random_cloud(400, box, seed=1))
+    q = jnp.asarray(_random_cloud(120, box, seed=2))
+    grid = nb.grid_for_box((0, 0, 0), box, h)
+    table = nb.build_cell_table(src, grid)
+    fast = nb.find_neighbors(q, None, src, table, grid, K=64, cell_cap=32)
+    slow = nb.brute_force_neighbors(q, None, src, h, K=64)
+    np.testing.assert_array_equal(np.asarray(fast.count), np.asarray(slow.count))
+    assert _sets(fast) == _sets(slow)
+
+
+def test_blockwise_query_equals_single_shot():
+    h = 0.1
+    box = (1.0, 1.0, 1.0)
+    pos = jnp.asarray(_random_cloud(700, box, seed=3))
+    grid = nb.grid_for_box((0, 0, 0), box, h)
+    table = nb.build_cell_table(pos, grid)
+    qid = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    one = nb.find_neighbors(pos, qid, pos, table, grid, K=48, cell_cap=32,
+                            exclude_self=True, block=10**9)
+    blk = nb.find_neighbors(pos, qid, pos, table, grid, K=48, cell_cap=32,
+                            exclude_self=True, block=128)
+    np.testing.assert_array_equal(np.asarray(one.count), np.asarray(blk.count))
+    np.testing.assert_array_equal(np.asarray(one.mask), np.asarray(blk.mask))
+    assert _sets(one) == _sets(blk)
+
+
+def test_lattice_neighbor_count():
+    # Rest lattice at diameter spacing: interior particle has the 32 lattice
+    # points within 2 spacings (radius h = 4r), excluding itself.
+    r = 0.025
+    h = 4 * r
+    d = 2 * r
+    n = 9
+    ax = np.arange(n) * d + 3 * d
+    pos = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1).reshape(-1, 3)
+    pos = jnp.asarray(pos.astype(np.float32))
+    box = (float(pos[:, 0].max() + 3 * d),) * 3
+    grid = nb.grid_for_box((0, 0, 0), box, h)
+    table = nb.build_cell_table(pos, grid)
+    qid = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    res = nb.find_neighbors(pos, qid, pos, table, grid, K=64, cell_cap=32,
+                            exclude_self=True)
+    counts = np.asarray(res.count).reshape(n, n, n)
+    assert counts[4, 4, 4] == 32  # |v| <= 2 lattice ball minus self
+    assert counts[0, 0, 0] < 32   # corner has fewer
+
+
+def test_cell_table_is_permutation():
+    h = 0.1
+    pos = jnp.asarray(_random_cloud(300, (1, 1, 1), seed=4))
+    grid = nb.grid_for_box((0, 0, 0), (1, 1, 1), h)
+    table = nb.build_cell_table(pos, grid)
+    # Grid sanity: sorted order is a permutation of all particles and the CSR
+    # cell sizes sum to N (reference check_all_grid, ParticleSystem.py:471-484).
+    assert sorted(np.asarray(table.order).tolist()) == list(range(300))
+    sizes = np.diff(np.asarray(table.starts))
+    assert sizes.sum() == 300
