@@ -1,0 +1,299 @@
+"""Shared solver infrastructure: state pytrees, per-step neighborhoods, and
+the common SPH operators (density, artificial viscosity, cohesion tension,
+Akinci boundary terms, rigid-coupling scatter).
+
+Functional counterpart of the reference's `solver_base` class
+(solver_base.py:7-245). Where the reference accumulates through Taichi's
+`for_all_neighbor(task)` higher-order iterator with atomics, every operator
+here is a masked gather over the fixed-K neighbor list followed by a sum over
+the K axis — race-free and fully fusable by XLA. Scatters into rigid bodies
+use deterministic `.at[].add` (segment-sum) instead of atomic `+=`
+(cf. wcsph_solver.py:126).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cfd_taichi_tpu.ops import neighbors as nb
+from cfd_taichi_tpu.ops import smoothing as sm
+from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
+
+# Global velocity damping applied each integration (reference
+# solver_base.py:37; WCSPH uses its own 0.9998, wcsph_solver.py:51).
+ARTIFICIAL_FRICTION = 0.9999
+# Clamp-boundary velocity decay factor (reference solver_base.py:18).
+V_DECAY = 0.5
+DENSITY_EPS = 0.001  # density seed (reference solver_base.py:44)
+
+
+class FluidState(NamedTuple):
+    pos: jnp.ndarray  # (Nf, 3)
+    vel: jnp.ndarray  # (Nf, 3)
+    acc: jnp.ndarray  # (Nf, 3)
+
+
+class RigidBodyState(NamedTuple):
+    """One rigid body; per-particle positions + body-level dynamics.
+
+    The reference stores body quantities replicated per particle
+    (rigid_particles.vel/omega/alpha/acc filled in rigid_solver.py:96-97,128);
+    here they live once at body level.
+    """
+    pos: jnp.ndarray          # (Nr, 3) particle positions (world)
+    vertices: jnp.ndarray     # (V, 3) mesh vertices (world)
+    vel: jnp.ndarray          # (3,) body linear velocity
+    omega: jnp.ndarray        # (3,) body angular velocity
+    alpha: jnp.ndarray        # (3,) body angular acceleration
+    acc: jnp.ndarray          # (3,) body linear acceleration
+    force: jnp.ndarray        # (Nr, 3) accumulated fluid forces
+    centroid: jnp.ndarray     # (3,)
+    inertia_inv: jnp.ndarray  # (3, 3)
+
+
+class SimState(NamedTuple):
+    fluid: FluidState
+    rigid: RigidBodyState        # zero-sized arrays when no rigid body
+    dt: jnp.ndarray              # () f32 — adaptive-capable (dfsph)
+    t: jnp.ndarray               # () f32 simulated time
+    step_count: jnp.ndarray      # () int32
+    extra: tuple                 # per-solver scratch/warm-start state
+
+
+def empty_rigid() -> RigidBodyState:
+    z3 = jnp.zeros((3,), jnp.float32)
+    return RigidBodyState(
+        pos=jnp.zeros((0, 3), jnp.float32), vertices=jnp.zeros((0, 3), jnp.float32),
+        vel=z3, omega=z3, alpha=z3, acc=z3,
+        force=jnp.zeros((0, 3), jnp.float32), centroid=z3,
+        inertia_inv=jnp.zeros((3, 3), jnp.float32),
+    )
+
+
+def init_rigid_state(scene: Scene) -> RigidBodyState:
+    if scene.rigid is None:
+        return empty_rigid()
+    r = scene.rigid
+    z3 = jnp.zeros((3,), jnp.float32)
+    return RigidBodyState(
+        pos=r.pos, vertices=r.vertices, vel=z3, omega=z3, alpha=z3, acc=z3,
+        force=jnp.zeros_like(r.pos), centroid=r.centroid,
+        inertia_inv=r.inertia_inv,
+    )
+
+
+def init_sim_state(scene: Scene, extra: tuple = ()) -> SimState:
+    n = scene.static.n_fluid
+    return SimState(
+        fluid=FluidState(
+            pos=scene.fluid_pos0,
+            vel=jnp.zeros((n, 3), jnp.float32),
+            acc=jnp.zeros((n, 3), jnp.float32),
+        ),
+        rigid=init_rigid_state(scene),
+        dt=jnp.asarray(scene.static.dt0, jnp.float32),
+        t=jnp.zeros((), jnp.float32),
+        step_count=jnp.zeros((), jnp.int32),
+        extra=extra,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-step neighborhood
+# ---------------------------------------------------------------------------
+
+class Neighborhood(NamedTuple):
+    nbr: nb.NeighborList              # fluid -> dynamic (fluid [+ rigid])
+    bnbr: Optional[nb.NeighborList]   # fluid -> boundary (Akinci mode only)
+    pos_all: jnp.ndarray              # (Nd, 3) dynamic positions
+
+
+def build_neighborhood(st: SceneStatic, arrays: SceneArrays,
+                       fluid_pos: jnp.ndarray,
+                       rigid_pos: Optional[jnp.ndarray]) -> Neighborhood:
+    """Rebuild the dynamic cell list and compact neighbor lists (the
+    per-step reset_grid/update_grid of the reference, solver_base.py:139-141).
+
+    Rigid particles join the same table at global ids [Nf, Nf+Nr) only when
+    the body is active (reference ParticleSystem.py:399-407)."""
+    if st.rigid_active and rigid_pos is not None and st.n_rigid > 0:
+        pos_all = jnp.concatenate([fluid_pos, rigid_pos], axis=0)
+    else:
+        pos_all = fluid_pos
+    table = nb.build_cell_table(pos_all, st.grid)
+    qid = jnp.arange(st.n_fluid, dtype=jnp.int32)
+    nbrs = nb.find_neighbors(fluid_pos, qid, pos_all, table, st.grid,
+                             K=st.K, cell_cap=st.cell_cap, exclude_self=True)
+    bnbr = None
+    if st.akinci:
+        bnbr = nb.find_neighbors(fluid_pos, None, arrays.boundary_pos,
+                                 arrays.boundary_table, st.grid,
+                                 K=st.bK, cell_cap=st.cell_cap)
+    return Neighborhood(nbr=nbrs, bnbr=bnbr, pos_all=pos_all)
+
+
+def msum(term: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked sum over the neighbor axis (axis=1)."""
+    if term.ndim == mask.ndim + 1:
+        mask = mask[..., None]
+    return jnp.sum(jnp.where(mask, term, 0.0), axis=1)
+
+
+def fluid_solid_masks(st: SceneStatic, nh: Neighborhood):
+    """Split the dynamic neighbor list into fluid / coupled-solid partitions
+    (the material branches of every reference pairwise callback,
+    e.g. solver_base.py:59-66)."""
+    j = nh.nbr.idx
+    m = nh.nbr.mask
+    mask_f = m & (j < st.n_fluid)
+    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
+        mask_s = m & (j >= st.n_fluid)
+    else:
+        mask_s = jnp.zeros_like(m)
+    return mask_f, mask_s
+
+
+def rigid_local(st: SceneStatic, j: jnp.ndarray) -> jnp.ndarray:
+    """Map dynamic-space ids to rigid-local ids (clipped safe)."""
+    hi = max(st.n_rigid - 1, 0)
+    return jnp.clip(j - st.n_fluid, 0, hi)
+
+
+def gather_rigid_volume(st: SceneStatic, arrays: SceneArrays, j):
+    if st.n_rigid == 0:
+        return jnp.zeros(j.shape, jnp.float32)
+    return arrays.rigid_volume[rigid_local(st, j)]
+
+
+def rho_of_neighbor(st: SceneStatic, rho: jnp.ndarray, j: jnp.ndarray):
+    """rho indexed by neighbor id — replicating a reference quirk: for solid
+    neighbors the reference indexes the *fluid-sized* rho field with the
+    rigid-local index (solver_base.py:187,199 use
+    `self.rho[particle_j.index]` where `.index` is rigid-local). We preserve
+    that behavior exactly rather than rationalize it."""
+    jj = jnp.where(j < st.n_fluid, j, rigid_local(st, j))
+    return rho[jnp.clip(jj, 0, st.n_fluid - 1)]
+
+
+# ---------------------------------------------------------------------------
+# Shared SPH operators
+# ---------------------------------------------------------------------------
+
+def compute_rho(st: SceneStatic, arrays: SceneArrays, nh: Neighborhood,
+                pos_f: jnp.ndarray) -> jnp.ndarray:
+    """Density: rho_i = 0.001 + sum_f m W + [solid] sum_s V_j rho0 W
+    + [Akinci] rho0 * sum_b V_b W  (reference solver_base.py:41-72)."""
+    j = nh.nbr.idx
+    rvec = pos_f[:, None, :] - nh.pos_all[j]
+    w = sm.cubic_w(jnp.linalg.norm(rvec, axis=-1), st.h)
+    mask_f, mask_s = fluid_solid_masks(st, nh)
+    rho = DENSITY_EPS + st.particle_m * msum(w, mask_f)
+    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
+        vol_j = gather_rigid_volume(st, arrays, j)
+        rho = rho + RHO_0 * msum(vol_j * w, mask_s)
+    if st.akinci:
+        bj, bm = nh.bnbr.idx, nh.bnbr.mask
+        rb = pos_f[:, None, :] - arrays.boundary_pos[bj]
+        wb = sm.cubic_w(jnp.linalg.norm(rb, axis=-1), st.h)
+        rho = rho + RHO_0 * msum(arrays.boundary_volume[bj] * wb, bm)
+    return rho
+
+
+def dynamic_velocities(st: SceneStatic, vel_f: jnp.ndarray,
+                       rigid: RigidBodyState) -> jnp.ndarray:
+    """Velocities of the dynamic set; rigid particles carry the body linear
+    velocity (the reference fills rigid_particles.vel with it,
+    rigid_solver.py:97)."""
+    if st.rigid_active and st.n_rigid > 0:
+        rv = jnp.broadcast_to(rigid.vel, (st.n_rigid, 3))
+        return jnp.concatenate([vel_f, rv], axis=0)
+    return vel_f
+
+
+def compute_viscosity(st: SceneStatic, arrays: SceneArrays, nh: Neighborhood,
+                      pos_f, vel_f, rho, rigid: RigidBodyState,
+                      c_s: float, alpha: float, eps: float = 0.01):
+    """Monaghan artificial viscosity, applied only under compression
+    (shear < 0), solid neighbors use V_j rho0 in place of m
+    (reference solver_base.py:170-202). Returns the per-particle term
+    already scaled by particle_m (solve_all_viscosity's trailing multiply,
+    solver_base.py:175)."""
+    j = nh.nbr.idx
+    x_ij = pos_f[:, None, :] - nh.pos_all[j]
+    vel_all = dynamic_velocities(st, vel_f, rigid)
+    v_ij = vel_f[:, None, :] - vel_all[j]
+    shear = jnp.sum(v_ij * x_ij, axis=-1)
+    q2 = jnp.sum(x_ij * x_ij, axis=-1)
+    rho_j = rho_of_neighbor(st, rho, j)
+    nu = (2.0 * alpha * st.h * c_s) / (rho[:, None] + rho_j)
+    pi = -nu * shear / (q2 + eps * st.h * st.h)
+    gradw = sm.cubic_grad(x_ij, st.h)
+    mask_f, mask_s = fluid_solid_masks(st, nh)
+    compressing = shear < 0.0
+    term_f = (-st.particle_m * pi)[..., None] * gradw
+    out = msum(term_f, mask_f & compressing)
+    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
+        vol_j = gather_rigid_volume(st, arrays, j)
+        term_s = (-RHO_0 * vol_j * pi)[..., None] * gradw
+        out = out + msum(term_s, mask_s & compressing)
+    return st.particle_m * out
+
+
+def compute_tension(st: SceneStatic, nh: Neighborhood, pos_f,
+                    tension_k: float):
+    """Simple cohesion: -k * m * W * x_ij, fluid-fluid only
+    (reference solver_base.py:204-217)."""
+    j = nh.nbr.idx
+    x_ij = pos_f[:, None, :] - nh.pos_all[j]
+    w = sm.cubic_w(jnp.linalg.norm(x_ij, axis=-1), st.h)
+    mask_f = nh.nbr.mask & (j < st.n_fluid)
+    term = (-tension_k * w)[..., None] * x_ij
+    return st.particle_m * msum(term, mask_f)
+
+
+def boundary_pressure_acc(st: SceneStatic, arrays: SceneArrays,
+                          nh: Neighborhood, pos_f, p_i, rho_i):
+    """Akinci boundary pressure acceleration: -sum_b V_b p_i/rho_i^2 gradW
+    (reference wcsph_solver.py:92-100, pcisph_solver.py:190-198). The caller
+    scales by rho0 (and particle_m where the reference does)."""
+    bj, bm = nh.bnbr.idx, nh.bnbr.mask
+    q = pos_f[:, None, :] - arrays.boundary_pos[bj]
+    gradw = sm.cubic_grad(q, st.h)
+    coeff = -arrays.boundary_volume[bj] * (p_i / (rho_i * rho_i))[:, None]
+    return msum(coeff[..., None] * gradw, bm)
+
+
+def scatter_rigid_force(st: SceneStatic, nh: Neighborhood,
+                        contrib: jnp.ndarray, mask_s: jnp.ndarray,
+                        force: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate per-pair force contributions onto rigid particles.
+
+    Deterministic segment-sum replacement for the reference's atomic
+    `rigid_particles[j].force += ...` (wcsph_solver.py:126,
+    pcisph_solver.py:186, iisph_solver.py:159, dfsph_solver.py:212)."""
+    if not (st.rigid_active and st.fs_couple and st.n_rigid > 0):
+        return force
+    j_local = rigid_local(st, nh.nbr.idx)
+    c = jnp.where(mask_s[..., None], contrib, 0.0)
+    return force.at[j_local.reshape(-1)].add(c.reshape(-1, 3))
+
+
+def clamp_to_box(st: SceneStatic, pos, vel, margin: float, decay_mul: float):
+    """Clamp-mode boundary handling: project positions to the padded box and
+    scale the offending velocity component (reference wcsph_solver.py:54-63
+    with margin=diameter, decay -0.5; other solvers use margin=radius)."""
+    lo = jnp.asarray(st.box_min, jnp.float32) + margin
+    hi = jnp.asarray(st.box_max, jnp.float32) - margin
+    hit_lo = pos <= lo
+    hit_hi = pos >= hi
+    new_pos = jnp.clip(pos, lo, hi)
+    new_vel = jnp.where(hit_lo | hit_hi, vel * decay_mul, vel)
+    return new_pos, new_vel
+
+
+def gravity_acc(st: SceneStatic) -> jnp.ndarray:
+    """a = g * (0, -1, 0) (reference solver_base.py:131-134)."""
+    return jnp.asarray([0.0, -st.gravity, 0.0], jnp.float32)

@@ -1,0 +1,196 @@
+"""Simulation driver: config -> scene -> jitted solver loop -> export.
+
+Headless counterpart of the reference's `main.py` (main.py:47-211): same
+JSON configs, same frame structure (iter_cnt fluid steps then iter_cnt rigid
+steps per frame, main.py:165-173), same stopping rules (sim time > 4 s,
+frame cap, main.py:98,205), same export cadence for PLY/OBJ/GIF frames
+(main.py:184-201) — minus the interactive GGUI window, replaced by headless
+rendering (utils/render.py) and rich telemetry (utils/telemetry.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from cfd_taichi_tpu import models
+from cfd_taichi_tpu.config import SimConfig, read_config
+from cfd_taichi_tpu.models import base as mbase
+from cfd_taichi_tpu.models import rigid as rigid_mod
+from cfd_taichi_tpu.scene import RHO_0, build_scene
+from cfd_taichi_tpu.utils import io as io_utils
+from cfd_taichi_tpu.utils import telemetry
+
+MAX_FRAMES = 100_000     # reference main.py:98
+MAX_SIM_TIME = 4.0       # reference main.py:205
+
+
+class Simulation:
+    """Owns scene, solver state, and the jitted step functions."""
+
+    def __init__(self, cfg: SimConfig, check_nan: bool = False):
+        self.cfg = cfg
+        self.scene = build_scene(cfg)
+        self.solver = models.get_solver(cfg.solver.name)
+        print(f"\033[32m[Solver]: {cfg.solver.name}\033[0m")  # solver_base.py:39
+        self.state = self.solver.init_state(self.scene)
+        self._step = jax.jit(self.solver.step, static_argnums=0)
+        self._rigid_step = jax.jit(rigid_mod.step, static_argnums=0)
+        self.iter_cnt = cfg.solver.iter_cnt
+        self.timer = telemetry.StepTimer()
+        self.check_nan = check_nan
+        self.rigid_enabled = (self.scene.static.has_rigid
+                              and self.scene.static.rigid_active)
+
+    def step(self):
+        """One fluid solver step."""
+        dt_before = float(self.state.dt)
+        self.state = self._step(self.scene.static, self.scene.arrays, self.state)
+        self.timer.tick(1, dt_before)
+
+    def rigid_step(self):
+        if self.rigid_enabled:
+            new_rigid = self._rigid_step(self.scene.static, self.scene.arrays,
+                                         self.state.rigid, self.state.dt)
+            self.state = self.state._replace(rigid=new_rigid)
+
+    def frame(self):
+        """One rendered frame: iter_cnt fluid steps, then iter_cnt rigid steps
+        (reference main.py:165-173)."""
+        for _ in range(self.iter_cnt):
+            self.step()
+        for _ in range(self.iter_cnt):
+            self.rigid_step()
+        if self.check_nan:
+            bad = int(telemetry.check_valid(self.state.fluid.pos,
+                                            self.state.fluid.vel,
+                                            self.state.fluid.acc))
+            if bad:
+                raise FloatingPointError(f"{bad} particles went NaN/Inf")
+
+    @property
+    def t(self) -> float:
+        return float(self.state.t)
+
+    def density(self):
+        st, arrays = self.scene.static, self.scene.arrays
+        nh = mbase.build_neighborhood(st, arrays, self.state.fluid.pos,
+                                      self.state.rigid.pos)
+        return mbase.compute_rho(st, arrays, nh, self.state.fluid.pos)
+
+    def telemetry(self) -> dict:
+        out = dict(self.timer.summary())
+        out.update(telemetry.density_stats(self.density(), RHO_0))
+        out["dt"] = float(self.state.dt)
+        out["t"] = self.t
+        out["nan_particles"] = int(telemetry.check_valid(
+            self.state.fluid.pos, self.state.fluid.vel, self.state.fluid.acc))
+        return out
+
+
+def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
+        profile_dir: str | None = None, checkpoint_every: int = 0,
+        resume: str | None = None, quiet: bool = False,
+        max_sim_time: float = MAX_SIM_TIME) -> Simulation:
+    sim = Simulation(cfg)
+    if resume:
+        sim.state = io_utils.load_checkpoint(resume, sim.state)
+        print(f"Resumed from {resume} at t={sim.t:.4f}")
+
+    sc = cfg.scene
+    os.makedirs(output_dir, exist_ok=True)
+    frame_time = 1.0 / sc.output_fps           # main.py:81
+    ply_cnt = 0
+    gif_frames: list[str] = []
+    output_frame_cnt = 0
+    frame_limit = frames if frames is not None else MAX_FRAMES
+
+    rgba = np.tile(np.array([[0.0, 0.26, 0.68, 1.0]], np.float32),
+                   (sim.scene.static.n_fluid, 1))  # main.py:76, init color
+
+    with telemetry.profile_trace(profile_dir):
+        frame_cnt = 0
+        while frame_cnt < frame_limit:
+            sim.frame()
+            frame_cnt += 1
+
+            if not quiet and frame_cnt % 20 == 0:
+                stats = sim.telemetry()
+                print(f"frame {frame_cnt}  t={stats['t']:.4f}  dt={stats['dt']:.2e}  "
+                      f"steps/s={stats['steps_per_sec']:.2f}  "
+                      f"rho_avg={stats['rho_avg']:.1f}")
+
+            t = sim.t
+            if sc.is_output_ply and (t / frame_time) > ply_cnt:
+                pos = np.asarray(sim.state.fluid.pos)
+                io_utils.write_ply_ascii(
+                    os.path.join(output_dir, f"output_{ply_cnt:06d}.ply"),
+                    pos, rgba)
+                if sim.scene.rigid is not None:
+                    io_utils.write_obj(
+                        os.path.join(output_dir, f"obj_{ply_cnt:06d}.obj"),
+                        np.asarray(sim.state.rigid.vertices),
+                        sim.scene.rigid.faces)
+                ply_cnt += 1
+
+            if sc.is_output_gif and (t / frame_time) > output_frame_cnt:
+                from cfd_taichi_tpu.utils import render
+
+                clouds = [(np.asarray(sim.state.fluid.pos), (0.0, 0.28, 1.0),
+                           sim.scene.static.particle_radius)]
+                if sim.rigid_enabled:
+                    clouds.append((np.asarray(sim.state.rigid.pos),
+                                   (1.0, 0.0, 0.0),
+                                   sim.scene.static.particle_radius))
+                fp = os.path.join(output_dir, f"frame_{output_frame_cnt:06d}.png")
+                render.render_frame(fp, clouds, sc.cam_pos, sc.cam_look_at,
+                                    sc.cam_up, sc.box_min, sc.box_max)
+                gif_frames.append(fp)
+                output_frame_cnt += 1
+
+            if checkpoint_every and frame_cnt % checkpoint_every == 0:
+                io_utils.save_checkpoint(
+                    os.path.join(output_dir, f"ckpt_{frame_cnt:06d}.npz"),
+                    sim.state, meta={"frame": frame_cnt, "t": t})
+
+            if t > max_sim_time:  # main.py:205-206
+                break
+
+    if sc.is_output_gif and gif_frames:
+        from cfd_taichi_tpu.utils import render
+
+        render.assemble_gif(gif_frames, os.path.join(output_dir, "video.gif"),
+                            fps=sc.output_fps)
+
+    if not quiet:
+        print("Final telemetry:", json.dumps(sim.telemetry()))
+    return sim
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="SPH on TPU (JAX)")
+    parser.add_argument("--config", type=str, default="default.json",
+                        help="scene config json file")  # main.py:13-15 parity
+    parser.add_argument("--frames", type=int, default=None)
+    parser.add_argument("--output-dir", type=str, default="./output")
+    parser.add_argument("--profile-dir", type=str, default=None)
+    parser.add_argument("--checkpoint-every", type=int, default=0)
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    cfg = read_config(args.config)
+    t0 = time.time()
+    run(cfg, frames=args.frames, output_dir=args.output_dir,
+        profile_dir=args.profile_dir, checkpoint_every=args.checkpoint_every,
+        resume=args.resume, quiet=args.quiet)
+    print(f"Simulation time: {time.time() - t0}")  # main.py:211 parity
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Frame export (ascii PLY point clouds, OBJ meshes) and checkpoint/resume.
+
+Replaces the reference's output path (main.py:184-201: taichi PLYWriter ascii
+frames + trimesh OBJ export) with dependency-free writers, and adds proper
+state checkpointing — a capability the reference lacks entirely
+(SURVEY.md §5: "Checkpoint / resume: None").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def write_ply_ascii(path: str, pos: np.ndarray, rgba: np.ndarray | None = None):
+    """Ascii PLY with vertex positions and optional uchar RGBA, matching the
+    layout the reference emits via ti.tools.PLYWriter (main.py:189-195)."""
+    pos = np.asarray(pos, np.float32)
+    n = pos.shape[0]
+    lines = [
+        "ply",
+        "format ascii 1.0",
+        f"element vertex {n}",
+        "property float x",
+        "property float y",
+        "property float z",
+    ]
+    if rgba is not None:
+        rgba_u8 = (np.clip(np.asarray(rgba), 0.0, 1.0) * 255).astype(np.uint8)
+        lines += [
+            "property uchar red",
+            "property uchar green",
+            "property uchar blue",
+            "property uchar alpha",
+        ]
+    lines.append("end_header")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        if rgba is not None:
+            for p, c in zip(pos, rgba_u8):
+                f.write(f"{p[0]} {p[1]} {p[2]} {c[0]} {c[1]} {c[2]} {c[3]}\n")
+        else:
+            for p in pos:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
+    """Minimal OBJ export of the rigid mesh (reference main.py:196-200)."""
+    with open(path, "w") as f:
+        for v in np.asarray(vertices, np.float32):
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for face in np.asarray(faces, np.int64) + 1:
+            f.write(f"f {face[0]} {face[1]} {face[2]}\n")
+
+
+def save_checkpoint(path: str, state, meta: dict | None = None):
+    """Dump the full solver state pytree to an .npz (all particle arrays,
+    rigid state, dt, counters) — new capability over the reference."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **arrays)
+    side = {"num_leaves": len(leaves), "meta": meta or {}}
+    with open(path + ".json", "w") as f:
+        json.dump(side, f)
+
+
+def load_checkpoint(path: str, state_like):
+    """Restore a state pytree saved by `save_checkpoint`; `state_like`
+    provides the pytree structure (e.g. a freshly initialized state)."""
+    data = np.load(path)
+    leaves_like, treedef = jax.tree_util.tree_flatten(state_like)
+    leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
+    import jax.numpy as jnp
+
+    leaves = [jnp.asarray(a) for a in leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
