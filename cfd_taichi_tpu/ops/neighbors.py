@@ -74,10 +74,17 @@ def cell_coords(pos: jnp.ndarray, grid: GridSpec) -> jnp.ndarray:
     return jnp.floor(pos / grid.cell).astype(jnp.int32)
 
 
-def build_cell_table(pos: jnp.ndarray, grid: GridSpec) -> CellTable:
+def build_cell_table(pos: jnp.ndarray, grid: GridSpec,
+                     valid: jnp.ndarray | None = None) -> CellTable:
     """Counting sort of source particles by cell id; rebuilt every step like
-    the reference's reset_grid/update_grid (ParticleSystem.py:369-407)."""
+    the reference's reset_grid/update_grid (ParticleSystem.py:369-407).
+
+    Rows where `valid` is False are assigned a virtual cell one past the last
+    real cell, so they sort to the tail of `order` and are never visited by
+    any stencil query (used for capacity-padded sharded states)."""
     cid = cell_id(pos, grid)
+    if valid is not None:
+        cid = jnp.where(valid, cid, grid.num_cells)
     order = jnp.argsort(cid, stable=True).astype(jnp.int32)
     sorted_cid = cid[order]
     starts = jnp.searchsorted(
