@@ -1,0 +1,111 @@
+"""Rigid-body solver + two-way fluid-solid coupling integration tests
+(reference rigid_solver.py + the coupling paths of the fluid solvers)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from cfd_taichi_tpu.config import parse_config
+from cfd_taichi_tpu.runner import Simulation
+
+RIGID_CFG = {
+    "scene": {"box_min": [0, 0, 0], "box_max": [0.8, 1.0, 0.8],
+              "particle_radius": 0.025, "gravity": 9.8},
+    "solver": {"name": "wcsph", "delta_time": 4e-4, "iter_cnt": 1,
+               "boundary_handle": True, "fs_couple": True},
+    "fluid": {"start_pos": [0.1, 0.05, 0.1], "water_size": [0.6, 0.25, 0.6]},
+    "solid": {"mesh": "/root/reference/obj/cube1.STL", "voxel_radius": 0.025,
+              "rho_0": 500, "scale": 0.18, "pos_offset": [0.4, 0.65, 0.4],
+              "attitude_offset": [0.0, 0.0, 0.0], "fill": True, "active": True},
+}
+
+
+def make_rigid_sim(**overrides):
+    raw = copy.deepcopy(RIGID_CFG)
+    for path, value in overrides.items():
+        section, key = path.split(".")
+        raw.setdefault(section, {})[key] = value
+    return Simulation(parse_config(raw))
+
+
+def test_scene_builds_with_rigid():
+    sim = make_rigid_sim()
+    st = sim.scene.static
+    assert st.has_rigid and st.rigid_active
+    assert st.n_rigid > 10
+    assert float(sim.scene.arrays.rigid_mass_total) > 0
+    # Inertia tensor is symmetric positive-definite.
+    inertia = np.asarray(sim.scene.rigid.inertia)
+    np.testing.assert_allclose(inertia, inertia.T, rtol=1e-5)
+    assert np.all(np.linalg.eigvalsh(inertia) > 0)
+
+
+def test_rigid_falls_and_couples():
+    sim = make_rigid_sim()
+    c0 = np.asarray(sim.state.rigid.centroid).copy()
+    forces = []
+    for _ in range(40):
+        sim.frame()
+        forces.append(float(np.abs(np.asarray(sim.state.rigid.force)).max()))
+    c1 = np.asarray(sim.state.rigid.centroid)
+    # The cube starts above the water and falls.
+    assert c1[1] < c0[1]
+    stats = sim.telemetry()
+    assert stats["nan_particles"] == 0
+    # Rigid state stays finite.
+    assert np.isfinite(np.asarray(sim.state.rigid.pos)).all()
+    assert np.isfinite(np.asarray(sim.state.rigid.vel)).all()
+
+
+@pytest.mark.parametrize("solver", ["pcisph", "dfsph", "iisph"])
+def test_coupling_force_transfer(solver):
+    """Drop the cube straight into shallow water: the fluid must exert an
+    upward force on it (coupling paths: pcisph_solver.py:178-188,
+    dfsph_solver.py:204-212, iisph_solver.py:150-160)."""
+    sim = make_rigid_sim(**{"solver.name": solver,
+                            "solid.pos_offset": [0.4, 0.28, 0.4]})
+    # Pre-compress the fluid so pressure (and thus coupling force) is active
+    # immediately instead of waiting for the column to settle.
+    f = sim.state.fluid
+    center = f.pos.mean(axis=0)
+    sim.state = sim.state._replace(
+        fluid=f._replace(pos=center + (f.pos - center) * 0.85))
+    saw_force = False
+    for _ in range(25):
+        for _ in range(sim.iter_cnt):
+            sim.step()
+        f = np.asarray(sim.state.rigid.force)
+        if np.abs(f).max() > 0:
+            saw_force = True
+        for _ in range(sim.iter_cnt):
+            sim.rigid_step()
+    assert saw_force, f"{solver}: no coupling force reached the rigid body"
+    assert np.isfinite(np.asarray(sim.state.rigid.pos)).all()
+    assert sim.telemetry()["nan_particles"] == 0
+
+
+def test_rigid_box_collision_stops_fall():
+    """Without fluid below it, the cube must fall to the floor and be held
+    by the impulse response (rigid_solver.py:53-104) instead of escaping."""
+    sim = make_rigid_sim(**{"fluid.start_pos": [0.05, 0.7, 0.05],
+                            "fluid.water_size": [0.15, 0.15, 0.15],
+                            "solid.pos_offset": [0.4, 0.12, 0.4],
+                            "solver.delta_time": 1e-3})
+    for _ in range(400):
+        sim.frame()
+    pos = np.asarray(sim.state.rigid.pos)
+    # Never below the floor margin (one diameter, rigid_solver.py:56).
+    assert pos[:, 1].min() >= 0.05 - 5e-3
+    # And it has essentially stopped moving vertically.
+    assert abs(float(sim.state.rigid.vel[1])) < 0.5
+
+
+def test_inactive_rigid_is_ignored():
+    sim = make_rigid_sim(**{"solid.active": False})
+    assert not sim.scene.static.rigid_active
+    for _ in range(5):
+        sim.frame()
+    # Rigid body untouched; fluid unaffected by it.
+    np.testing.assert_array_equal(np.asarray(sim.state.rigid.vel), 0.0)
+    assert sim.telemetry()["nan_particles"] == 0
