@@ -9,6 +9,10 @@ here is a masked gather over the fixed-K neighbor list followed by a sum over
 the K axis — race-free and fully fusable by XLA. Scatters into rigid bodies
 use deterministic `.at[].add` (segment-sum) instead of atomic `+=`
 (cf. wcsph_solver.py:126).
+
+All vectors are component-separated `V3`s (ops/vec.py): every pairwise
+intermediate is a 2-D (N, K) buffer that tiles cleanly on TPU. A trailing-3
+layout would be lane-padded 3 -> 128 on materialization (measured 42x).
 """
 
 from __future__ import annotations
@@ -16,10 +20,10 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from cfd_taichi_tpu.ops import neighbors as nb
 from cfd_taichi_tpu.ops import smoothing as sm
+from cfd_taichi_tpu.ops.vec import V3
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
 
 # Global velocity damping applied each integration (reference
@@ -31,9 +35,9 @@ DENSITY_EPS = 0.001  # density seed (reference solver_base.py:44)
 
 
 class FluidState(NamedTuple):
-    pos: jnp.ndarray  # (Nf, 3)
-    vel: jnp.ndarray  # (Nf, 3)
-    acc: jnp.ndarray  # (Nf, 3)
+    pos: V3   # components (Nf,)
+    vel: V3
+    acc: V3
 
 
 class RigidBodyState(NamedTuple):
@@ -43,13 +47,13 @@ class RigidBodyState(NamedTuple):
     (rigid_particles.vel/omega/alpha/acc filled in rigid_solver.py:96-97,128);
     here they live once at body level.
     """
-    pos: jnp.ndarray          # (Nr, 3) particle positions (world)
-    vertices: jnp.ndarray     # (V, 3) mesh vertices (world)
+    pos: V3                   # particle positions (world), components (Nr,)
+    vertices: V3              # mesh vertices (world)
     vel: jnp.ndarray          # (3,) body linear velocity
     omega: jnp.ndarray        # (3,) body angular velocity
     alpha: jnp.ndarray        # (3,) body angular acceleration
     acc: jnp.ndarray          # (3,) body linear acceleration
-    force: jnp.ndarray        # (Nr, 3) accumulated fluid forces
+    force: V3                 # accumulated fluid forces, components (Nr,)
     centroid: jnp.ndarray     # (3,)
     inertia_inv: jnp.ndarray  # (3, 3)
 
@@ -66,9 +70,9 @@ class SimState(NamedTuple):
 def empty_rigid() -> RigidBodyState:
     z3 = jnp.zeros((3,), jnp.float32)
     return RigidBodyState(
-        pos=jnp.zeros((0, 3), jnp.float32), vertices=jnp.zeros((0, 3), jnp.float32),
+        pos=V3.zeros((0,)), vertices=V3.zeros((0,)),
         vel=z3, omega=z3, alpha=z3, acc=z3,
-        force=jnp.zeros((0, 3), jnp.float32), centroid=z3,
+        force=V3.zeros((0,)), centroid=z3,
         inertia_inv=jnp.zeros((3, 3), jnp.float32),
     )
 
@@ -80,7 +84,7 @@ def init_rigid_state(scene: Scene) -> RigidBodyState:
     z3 = jnp.zeros((3,), jnp.float32)
     return RigidBodyState(
         pos=r.pos, vertices=r.vertices, vel=z3, omega=z3, alpha=z3, acc=z3,
-        force=jnp.zeros_like(r.pos), centroid=r.centroid,
+        force=V3.zeros(r.pos.x.shape), centroid=r.centroid,
         inertia_inv=r.inertia_inv,
     )
 
@@ -90,8 +94,8 @@ def init_sim_state(scene: Scene, extra: tuple = ()) -> SimState:
     return SimState(
         fluid=FluidState(
             pos=scene.fluid_pos0,
-            vel=jnp.zeros((n, 3), jnp.float32),
-            acc=jnp.zeros((n, 3), jnp.float32),
+            vel=V3.zeros((n,)),
+            acc=V3.zeros((n,)),
         ),
         rigid=init_rigid_state(scene),
         dt=jnp.asarray(scene.static.dt0, jnp.float32),
@@ -108,19 +112,24 @@ def init_sim_state(scene: Scene, extra: tuple = ()) -> SimState:
 class Neighborhood(NamedTuple):
     nbr: nb.NeighborList              # fluid -> dynamic (fluid [+ rigid])
     bnbr: Optional[nb.NeighborList]   # fluid -> boundary (Akinci mode only)
-    pos_all: jnp.ndarray              # (Nd, 3) dynamic positions
+    pos_all: V3                       # dynamic positions, components (Nd,)
+
+
+def concat_v3(a: V3, b: V3) -> V3:
+    return V3(jnp.concatenate([a.x, b.x]), jnp.concatenate([a.y, b.y]),
+              jnp.concatenate([a.z, b.z]))
 
 
 def build_neighborhood(st: SceneStatic, arrays: SceneArrays,
-                       fluid_pos: jnp.ndarray,
-                       rigid_pos: Optional[jnp.ndarray]) -> Neighborhood:
+                       fluid_pos: V3,
+                       rigid_pos: Optional[V3]) -> Neighborhood:
     """Rebuild the dynamic cell list and compact neighbor lists (the
     per-step reset_grid/update_grid of the reference, solver_base.py:139-141).
 
     Rigid particles join the same table at global ids [Nf, Nf+Nr) only when
     the body is active (reference ParticleSystem.py:399-407)."""
     if st.rigid_active and rigid_pos is not None and st.n_rigid > 0:
-        pos_all = jnp.concatenate([fluid_pos, rigid_pos], axis=0)
+        pos_all = concat_v3(fluid_pos, rigid_pos)
     else:
         pos_all = fluid_pos
     table = nb.build_cell_table(pos_all, st.grid)
@@ -136,9 +145,7 @@ def build_neighborhood(st: SceneStatic, arrays: SceneArrays,
 
 
 def msum(term: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked sum over the neighbor axis (axis=1)."""
-    if term.ndim == mask.ndim + 1:
-        mask = mask[..., None]
+    """Masked sum over the neighbor axis (axis=1) for scalar pair terms."""
     return jnp.sum(jnp.where(mask, term, 0.0), axis=1)
 
 
@@ -182,13 +189,17 @@ def rho_of_neighbor(st: SceneStatic, rho: jnp.ndarray, j: jnp.ndarray):
 # Shared SPH operators
 # ---------------------------------------------------------------------------
 
+def pair_disp(pos_f: V3, pos_src: V3, j) -> V3:
+    """x_ij = x_i - x_j as (N, K) component tensors."""
+    return pos_f.expand(1) - pos_src.take(j)
+
+
 def compute_rho(st: SceneStatic, arrays: SceneArrays, nh: Neighborhood,
-                pos_f: jnp.ndarray) -> jnp.ndarray:
+                pos_f: V3) -> jnp.ndarray:
     """Density: rho_i = 0.001 + sum_f m W + [solid] sum_s V_j rho0 W
     + [Akinci] rho0 * sum_b V_b W  (reference solver_base.py:41-72)."""
     j = nh.nbr.idx
-    rvec = pos_f[:, None, :] - nh.pos_all[j]
-    w = sm.cubic_w(jnp.linalg.norm(rvec, axis=-1), st.h)
+    w = sm.cubic_w(pair_disp(pos_f, nh.pos_all, j).norm(), st.h)
     mask_f, mask_s = fluid_solid_masks(st, nh)
     rho = DENSITY_EPS + st.particle_m * msum(w, mask_f)
     if st.rigid_active and st.fs_couple and st.n_rigid > 0:
@@ -196,79 +207,82 @@ def compute_rho(st: SceneStatic, arrays: SceneArrays, nh: Neighborhood,
         rho = rho + RHO_0 * msum(vol_j * w, mask_s)
     if st.akinci:
         bj, bm = nh.bnbr.idx, nh.bnbr.mask
-        rb = pos_f[:, None, :] - arrays.boundary_pos[bj]
-        wb = sm.cubic_w(jnp.linalg.norm(rb, axis=-1), st.h)
+        wb = sm.cubic_w(pair_disp(pos_f, arrays.boundary_pos, bj).norm(), st.h)
         rho = rho + RHO_0 * msum(arrays.boundary_volume[bj] * wb, bm)
     return rho
 
 
-def dynamic_velocities(st: SceneStatic, vel_f: jnp.ndarray,
-                       rigid: RigidBodyState) -> jnp.ndarray:
+def dynamic_velocities(st: SceneStatic, vel_f: V3,
+                       rigid: RigidBodyState) -> V3:
     """Velocities of the dynamic set; rigid particles carry the body linear
     velocity (the reference fills rigid_particles.vel with it,
     rigid_solver.py:97)."""
     if st.rigid_active and st.n_rigid > 0:
-        rv = jnp.broadcast_to(rigid.vel, (st.n_rigid, 3))
-        return jnp.concatenate([vel_f, rv], axis=0)
+        shape = (st.n_rigid,)
+        rv = V3(jnp.full(shape, 0.0) + rigid.vel[0],
+                jnp.full(shape, 0.0) + rigid.vel[1],
+                jnp.full(shape, 0.0) + rigid.vel[2])
+        return concat_v3(vel_f, rv)
     return vel_f
 
 
 def compute_viscosity(st: SceneStatic, arrays: SceneArrays, nh: Neighborhood,
-                      pos_f, vel_f, rho, rigid: RigidBodyState,
-                      c_s: float, alpha: float, eps: float = 0.01):
+                      pos_f: V3, vel_f: V3, rho, rigid: RigidBodyState,
+                      c_s: float, alpha: float, eps: float = 0.01) -> V3:
     """Monaghan artificial viscosity, applied only under compression
     (shear < 0), solid neighbors use V_j rho0 in place of m
     (reference solver_base.py:170-202). Returns the per-particle term
     already scaled by particle_m (solve_all_viscosity's trailing multiply,
     solver_base.py:175)."""
     j = nh.nbr.idx
-    x_ij = pos_f[:, None, :] - nh.pos_all[j]
+    x_ij = pair_disp(pos_f, nh.pos_all, j)
     vel_all = dynamic_velocities(st, vel_f, rigid)
-    v_ij = vel_f[:, None, :] - vel_all[j]
-    shear = jnp.sum(v_ij * x_ij, axis=-1)
-    q2 = jnp.sum(x_ij * x_ij, axis=-1)
+    v_ij = vel_f.expand(1) - vel_all.take(j)
+    shear = v_ij.dot(x_ij)
+    q2 = x_ij.norm2()
+    r = jnp.sqrt(q2)
     rho_j = rho_of_neighbor(st, rho, j)
     nu = (2.0 * alpha * st.h * c_s) / (rho[:, None] + rho_j)
     pi = -nu * shear / (q2 + eps * st.h * st.h)
-    gradw = sm.cubic_grad(x_ij, st.h)
+    gcoef = sm.cubic_grad_coeff(r, st.h)
     mask_f, mask_s = fluid_solid_masks(st, nh)
     compressing = shear < 0.0
-    term_f = (-st.particle_m * pi)[..., None] * gradw
-    out = msum(term_f, mask_f & compressing)
+    # grad W = gcoef * x_ij; term = -coeff * pi * gradW.
+    scale_f = jnp.where(mask_f & compressing, -st.particle_m * pi * gcoef, 0.0)
     if st.rigid_active and st.fs_couple and st.n_rigid > 0:
         vol_j = gather_rigid_volume(st, arrays, j)
-        term_s = (-RHO_0 * vol_j * pi)[..., None] * gradw
-        out = out + msum(term_s, mask_s & compressing)
-    return st.particle_m * out
+        scale_f = scale_f + jnp.where(mask_s & compressing,
+                                      -RHO_0 * vol_j * pi * gcoef, 0.0)
+    return st.particle_m * (x_ij * scale_f).sum(axis=1)
 
 
-def compute_tension(st: SceneStatic, nh: Neighborhood, pos_f,
-                    tension_k: float):
+def compute_tension(st: SceneStatic, nh: Neighborhood, pos_f: V3,
+                    tension_k: float) -> V3:
     """Simple cohesion: -k * m * W * x_ij, fluid-fluid only
     (reference solver_base.py:204-217)."""
     j = nh.nbr.idx
-    x_ij = pos_f[:, None, :] - nh.pos_all[j]
-    w = sm.cubic_w(jnp.linalg.norm(x_ij, axis=-1), st.h)
+    x_ij = pair_disp(pos_f, nh.pos_all, j)
+    w = sm.cubic_w(x_ij.norm(), st.h)
     mask_f = nh.nbr.mask & (j < st.n_fluid)
-    term = (-tension_k * w)[..., None] * x_ij
-    return st.particle_m * msum(term, mask_f)
+    scale = jnp.where(mask_f, -tension_k * w, 0.0)
+    return st.particle_m * (x_ij * scale).sum(axis=1)
 
 
 def boundary_pressure_acc(st: SceneStatic, arrays: SceneArrays,
-                          nh: Neighborhood, pos_f, p_i, rho_i):
+                          nh: Neighborhood, pos_f: V3, p_i, rho_i) -> V3:
     """Akinci boundary pressure acceleration: -sum_b V_b p_i/rho_i^2 gradW
     (reference wcsph_solver.py:92-100, pcisph_solver.py:190-198). The caller
     scales by rho0 (and particle_m where the reference does)."""
     bj, bm = nh.bnbr.idx, nh.bnbr.mask
-    q = pos_f[:, None, :] - arrays.boundary_pos[bj]
-    gradw = sm.cubic_grad(q, st.h)
-    coeff = -arrays.boundary_volume[bj] * (p_i / (rho_i * rho_i))[:, None]
-    return msum(coeff[..., None] * gradw, bm)
+    q = pair_disp(pos_f, arrays.boundary_pos, bj)
+    gcoef = sm.cubic_grad_coeff(q.norm(), st.h)
+    coeff = -arrays.boundary_volume[bj] * (p_i / (rho_i * rho_i))[:, None] * gcoef
+    return (q * jnp.where(bm, coeff, 0.0)).sum(axis=1)
 
 
 def scatter_rigid_force(st: SceneStatic, nh: Neighborhood,
-                        contrib: jnp.ndarray, mask_s: jnp.ndarray,
-                        force: jnp.ndarray) -> jnp.ndarray:
+                        contrib: V3, mask_s: jnp.ndarray,
+                        force: V3) -> V3:
     """Accumulate per-pair force contributions onto rigid particles.
 
     Deterministic segment-sum replacement for the reference's atomic
@@ -276,24 +290,35 @@ def scatter_rigid_force(st: SceneStatic, nh: Neighborhood,
     pcisph_solver.py:186, iisph_solver.py:159, dfsph_solver.py:212)."""
     if not (st.rigid_active and st.fs_couple and st.n_rigid > 0):
         return force
-    j_local = rigid_local(st, nh.nbr.idx)
-    c = jnp.where(mask_s[..., None], contrib, 0.0)
-    return force.at[j_local.reshape(-1)].add(c.reshape(-1, 3))
+    j_flat = rigid_local(st, nh.nbr.idx).reshape(-1)
+    c = contrib.where(mask_s)
+    return V3(force.x.at[j_flat].add(c.x.reshape(-1)),
+              force.y.at[j_flat].add(c.y.reshape(-1)),
+              force.z.at[j_flat].add(c.z.reshape(-1)))
 
 
-def clamp_to_box(st: SceneStatic, pos, vel, margin: float, decay_mul: float):
+def clamp_to_box(st: SceneStatic, pos: V3, vel: V3, margin: float,
+                 decay_mul: float):
     """Clamp-mode boundary handling: project positions to the padded box and
     scale the offending velocity component (reference wcsph_solver.py:54-63
     with margin=diameter, decay -0.5; other solvers use margin=radius)."""
-    lo = jnp.asarray(st.box_min, jnp.float32) + margin
-    hi = jnp.asarray(st.box_max, jnp.float32) - margin
-    hit_lo = pos <= lo
-    hit_hi = pos >= hi
-    new_pos = jnp.clip(pos, lo, hi)
-    new_vel = jnp.where(hit_lo | hit_hi, vel * decay_mul, vel)
+    out_p = []
+    out_v = []
+    for c, (lo_c, hi_c) in zip(
+            (pos.x, pos.y, pos.z),
+            zip(st.box_min, st.box_max)):
+        lo = jnp.float32(lo_c + margin)
+        hi = jnp.float32(hi_c - margin)
+        out_p.append(jnp.clip(c, lo, hi))
+        out_v.append(((c <= lo) | (c >= hi), ))
+    new_pos = V3(*out_p)
+    hits = [v[0] for v in out_v]
+    new_vel = V3(jnp.where(hits[0], vel.x * decay_mul, vel.x),
+                 jnp.where(hits[1], vel.y * decay_mul, vel.y),
+                 jnp.where(hits[2], vel.z * decay_mul, vel.z))
     return new_pos, new_vel
 
 
-def gravity_acc(st: SceneStatic) -> jnp.ndarray:
-    """a = g * (0, -1, 0) (reference solver_base.py:131-134)."""
-    return jnp.asarray([0.0, -st.gravity, 0.0], jnp.float32)
+def gravity_acc(st: SceneStatic) -> V3:
+    """a = g * (0, -1, 0) (reference solver_base.py:131-134), broadcastable."""
+    return V3(jnp.float32(0.0), jnp.float32(-st.gravity), jnp.float32(0.0))

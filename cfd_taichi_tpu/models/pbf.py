@@ -22,6 +22,8 @@ Deviations from the reference, both documented in SURVEY.md §7 pitfalls:
   * the reference's XSPH pass reads neighbor positions mid-update (a data
     race inside update_all_pos, pbf_solver.py:85-89); here the updated
     positions are used deterministically.
+
+All pair math is component-separated (V3) for clean TPU tiling.
 """
 
 from __future__ import annotations
@@ -50,20 +52,21 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     j = nh.nbr.idx
     mask_f = nh.nbr.mask & (j < st.n_fluid)   # PBF is fluid-fluid only
     jf = jnp.clip(j, 0, st.n_fluid - 1)
-    x_ij = pos[:, None, :] - nh.pos_all[j]
-    r_ij = jnp.linalg.norm(x_ij, axis=-1)
-    spiky_g = sm.spiky_grad(x_ij, st.h)
+    x_ij = base.pair_disp(pos, nh.pos_all, j)
+    r_ij = x_ij.norm()
+    spiky_c = sm.spiky_grad_coeff(r_ij, st.h)   # gradW = spiky_c * x_ij
     poly_w = sm.poly6_w(r_ij, st.h)
     if st.akinci:
         bj, bm = nh.bnbr.idx, nh.bnbr.mask
-        xb = pos[:, None, :] - arrays.boundary_pos[bj]
-        bspiky_g = sm.spiky_grad(xb, st.h)
-        bpoly_w = sm.poly6_w(jnp.linalg.norm(xb, axis=-1), st.h)
+        xb = base.pair_disp(pos, arrays.boundary_pos, bj)
+        rb = xb.norm()
+        bspiky_c = sm.spiky_grad_coeff(rb, st.h)
+        bpoly_w = sm.poly6_w(rb, st.h)
         bvol = arrays.boundary_volume[bj]
 
     # --- external force + predicted positions (pbf_solver.py:26-30) ---------
-    vel = fluid.vel + dt * base.gravity_acc(st)[None, :]
-    pos_predict = pos + dt * vel
+    vel = fluid.vel + base.gravity_acc(st) * dt
+    pos_predict = pos + vel * dt
 
     # --- density (poly6) + constraint (pbf_solver.py:127-130,166-174) -------
     rho = base.DENSITY_EPS + st.particle_m * base.msum(poly_w, mask_f)
@@ -72,15 +75,14 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     constraint = jnp.maximum(rho / RHO_0 - 1.0, 0.0)
 
     # --- lambda (pbf_solver.py:32-52) ---------------------------------------
-    grad_c_j = spiky_g / RHO_0                           # (Nf, K, 3)
-    grad_c_i = base.msum(grad_c_j, mask_f)
+    gscale = jnp.where(mask_f, spiky_c / RHO_0, 0.0)
+    grad_c_i = (x_ij * gscale).sum(axis=1)              # V3 of (Nf,)
+    around = base.msum(x_ij.norm2() * (spiky_c / RHO_0) ** 2, mask_f)
     if st.akinci:
-        grad_c_i = grad_c_i + base.msum(bspiky_g / RHO_0, bm)
-    around = base.msum(jnp.sum(grad_c_j * grad_c_j, axis=-1), mask_f)
-    if st.akinci:
-        bgc = bspiky_g / RHO_0
-        around = around + base.msum(jnp.sum(bgc * bgc, axis=-1), bm)
-    denom = jnp.sum(grad_c_i * grad_c_i, axis=-1) + around
+        bgscale = jnp.where(bm, bspiky_c / RHO_0, 0.0)
+        grad_c_i = grad_c_i + (xb * bgscale).sum(axis=1)
+        around = around + base.msum(xb.norm2() * (bspiky_c / RHO_0) ** 2, bm)
+    denom = grad_c_i.dot(grad_c_i) + around
     lam = jnp.where(constraint == 0.0, 0.0,
                     -constraint / (denom + EPSILON))
 
@@ -89,19 +91,20 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     s = poly_w / w_ref
     s2 = s * s
     s_corr = -TENSION_K * s2 * s2                        # quartic
-    pair = (lam[:, None] + lam[jf] + s_corr)[..., None] * spiky_g
-    delta_pos = base.msum(pair, mask_f)
+    pair_scale = jnp.where(mask_f,
+                           (lam[:, None] + lam[jf] + s_corr) * spiky_c, 0.0)
+    delta_pos = (x_ij * pair_scale).sum(axis=1)
     if st.akinci:
         bs = bpoly_w / w_ref
         bs2 = bs * bs
         bs_corr = -TENSION_K * bs2 * bs2
-        bpair = (lam[:, None] + bs_corr)[..., None] * bspiky_g
-        delta_pos = delta_pos + base.msum(bpair, bm)
+        bpair = jnp.where(bm, (lam[:, None] + bs_corr) * bspiky_c, 0.0)
+        delta_pos = delta_pos + (xb * bpair).sum(axis=1)
     delta_pos = delta_pos / RHO_0
 
     # --- position/velocity update + XSPH (pbf_solver.py:67-96) --------------
     pos_predict = pos_predict + delta_pos
-    new_vel = (pos_predict - pos) / dt
+    new_vel = (pos_predict - pos) * (1.0 / dt)
     if not st.akinci:
         pos_predict, new_vel = base.clamp_to_box(
             st, pos_predict, new_vel, margin=st.particle_radius,
@@ -110,10 +113,10 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     # XSPH over updated positions/velocities (deterministic resolution of
     # the reference's in-kernel race, see module docstring).
-    xs = new_pos[:, None, :] - new_pos[jf]
-    w_x = sm.poly6_w(jnp.linalg.norm(xs, axis=-1), st.h)
-    dv = (new_vel[jf] - new_vel[:, None, :]) * w_x[..., None]
-    new_vel = new_vel + XSPH_C * base.msum(dv, mask_f)
+    xs = new_pos.expand(1) - new_pos.take(jf)
+    w_x = sm.poly6_w(xs.norm(), st.h)
+    dv = (new_vel.take(jf) - new_vel.expand(1)) * w_x
+    new_vel = new_vel + XSPH_C * dv.msum(mask_f)
 
     return state._replace(
         fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=fluid.acc),

@@ -16,8 +16,7 @@ Functional parity with the reference `pcisph_solver` (pcisph_solver.py:1-241):
 
 The reference's host-driven iteration with a kernel-scalar sync per
 residual (pcisph_solver.py:54-70,122-133) becomes a single on-device
-`lax.while_loop` whose carry holds (pressure, force, rho_err, residual,
-rigid force, iter).
+`lax.while_loop`. All pair math is component-separated (V3).
 """
 
 from __future__ import annotations
@@ -27,6 +26,7 @@ import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
 from cfd_taichi_tpu.ops import smoothing as sm
+from cfd_taichi_tpu.ops.vec import V3
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
 
 RHO_MAX_ERR_PERCENT = 0.1   # pcisph_solver.py:19
@@ -46,45 +46,14 @@ def init_state(scene: Scene) -> base.SimState:
     dense_i = jnp.argmax(nh.nbr.count)
     j = nh.nbr.idx[dense_i]
     mask = nh.nbr.mask[dense_i]
-    rvec = scene.fluid_pos0[dense_i][None, :] - nh.pos_all[j]
-    gradw = jnp.where(mask[:, None], sm.cubic_grad(rvec, st.h), 0.0)
-    grad_sum = jnp.sum(gradw, axis=0)
-    grad_sq_sum = jnp.sum(jnp.sum(gradw * gradw, axis=-1))
+    rvec = scene.fluid_pos0.take(dense_i).expand(0) - nh.pos_all.take(j)
+    gcoef = jnp.where(mask, sm.cubic_grad_coeff(rvec.norm(), st.h), 0.0)
+    gradw = rvec * gcoef
+    grad_sum = gradw.sum(axis=0)
+    grad_sq_sum = jnp.sum(gradw.dot(gradw))
     beta = st.dt0**2 * st.particle_m**2 * 2.0 / RHO_0**2
-    delta = 1.0 / ((jnp.dot(grad_sum, grad_sum) + grad_sq_sum) * beta)
+    delta = 1.0 / ((grad_sum.dot(grad_sum) + grad_sq_sum) * beta)
     return base.init_sim_state(scene, extra=(delta.astype(jnp.float32),))
-
-
-def _predict_vel_pos(st, pos, vel, ext_force, press_force, dt):
-    """vel/pos prediction + clamp-mode projection (pcisph_solver.py:72-87)."""
-    vel_p = vel + dt * (ext_force + press_force) / st.particle_m
-    pos_p = pos + dt * vel_p
-    if not st.akinci:
-        pos_p, vel_p = base.clamp_to_box(st, pos_p, vel_p,
-                                         margin=st.particle_radius,
-                                         decay_mul=-base.V_DECAY)
-    return vel_p, pos_p
-
-
-def _predict_rho(st, arrays, nh, pos_p, rigid_pos_all):
-    """Density over *predicted* fluid positions with the step-initial
-    neighbor list; solid neighbors keep their current positions; no 0.001
-    seed (pcisph_solver.py:89-101,135-154)."""
-    j = nh.nbr.idx
-    mask_f, mask_s = base.fluid_solid_masks(st, nh)
-    pos_p_j = pos_p[jnp.clip(j, 0, st.n_fluid - 1)]
-    d_f = jnp.linalg.norm(pos_p[:, None, :] - pos_p_j, axis=-1)
-    rho = st.particle_m * base.msum(sm.cubic_w(d_f, st.h), mask_f)
-    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-        d_s = jnp.linalg.norm(pos_p[:, None, :] - rigid_pos_all[j], axis=-1)
-        vol_j = base.gather_rigid_volume(st, arrays, j)
-        rho = rho + RHO_0 * base.msum(vol_j * sm.cubic_w(d_s, st.h), mask_s)
-    if st.akinci:
-        bj, bm = nh.bnbr.idx, nh.bnbr.mask
-        d_b = jnp.linalg.norm(pos_p[:, None, :] - arrays.boundary_pos[bj], axis=-1)
-        rho = rho + RHO_0 * base.msum(
-            arrays.boundary_volume[bj] * sm.cubic_w(d_b, st.h), bm)
-    return rho
 
 
 def _positive_avg(err):
@@ -107,42 +76,71 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     tension = base.compute_tension(st, nh, pos, TENSION_K)
     viscosity = base.compute_viscosity(st, arrays, nh, pos, vel, rho, rigid,
                                        c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
-    ext_force = base.gravity_acc(st)[None, :] + tension + viscosity
+    ext_force = base.gravity_acc(st) + tension + viscosity
 
     # Precompute pair geometry reused by every loop iteration.
     j = nh.nbr.idx
-    x_ij = pos[:, None, :] - nh.pos_all[j]
-    gradw = sm.cubic_grad(x_ij, st.h)
+    jf = jnp.clip(j, 0, st.n_fluid - 1)
+    x_ij = base.pair_disp(pos, nh.pos_all, j)
+    gcoef = sm.cubic_grad_coeff(x_ij.norm(), st.h)
     mask_f, mask_s = base.fluid_solid_masks(st, nh)
     vol_j = base.gather_rigid_volume(st, arrays, j)
+    if st.akinci:
+        bj, bm = nh.bnbr.idx, nh.bnbr.mask
+        xb = base.pair_disp(pos, arrays.boundary_pos, bj)
+        bgcoef = sm.cubic_grad_coeff(xb.norm(), st.h)
+        bvol = arrays.boundary_volume[bj]
 
     def press_force_of(p_iter, rigid_force):
         """Pressure force from current iterate (pcisph_solver.py:109-119,
         169-198); also scatters the rigid reaction."""
-        p_j = p_iter[jnp.clip(j, 0, st.n_fluid - 1)]
-        term_f = ((p_iter[:, None] + p_j) / RHO_0**2
-                  * st.particle_m**2)[..., None] * gradw
-        raw = base.msum(term_f, mask_f)
+        p_j = p_iter[jf]
+        scale_f = jnp.where(
+            mask_f,
+            (p_iter[:, None] + p_j) / RHO_0**2 * st.particle_m**2 * gcoef, 0.0)
+        raw = (x_ij * scale_f).sum(axis=1)
         if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-            term_s = (vol_j * RHO_0 * p_iter[:, None]
-                      / (rho * rho)[:, None])[..., None] * gradw
-            raw = raw + base.msum(term_s * st.particle_m, mask_s)
-            rigid_force = base.scatter_rigid_force(
-                st, nh, term_s * st.particle_m, mask_s, rigid_force)
+            s_scale = jnp.where(
+                mask_s,
+                vol_j * RHO_0 * p_iter[:, None] / (rho * rho)[:, None] * gcoef,
+                0.0)
+            contrib = x_ij * (s_scale * st.particle_m)
+            raw = raw + contrib.sum(axis=1)
+            rigid_force = base.scatter_rigid_force(st, nh, contrib, mask_s,
+                                                   rigid_force)
         force = -raw
         if st.akinci:
-            bacc = base.boundary_pressure_acc(st, arrays, nh, pos, p_iter, rho)
-            force = force + bacc * RHO_0 * st.particle_m
+            bscale = jnp.where(
+                bm, -bvol * (p_iter / (rho * rho))[:, None] * bgcoef, 0.0)
+            bacc = (xb * bscale).sum(axis=1)
+            force = force + bacc * (RHO_0 * st.particle_m)
         return force, rigid_force
 
-    def predict(press_force):
-        vel_p, pos_p = _predict_vel_pos(st, pos, vel, ext_force, press_force, dt)
-        rho_p = _predict_rho(st, arrays, nh, pos_p, nh.pos_all)
+    def predict(press_force: V3):
+        """Predict v,x then rho over predicted positions with the
+        step-initial neighbor list (pcisph_solver.py:72-101,135-154)."""
+        vel_p = vel + (ext_force + press_force) * (dt / st.particle_m)
+        pos_p = pos + vel_p * dt
+        if not st.akinci:
+            pos_p, vel_p = base.clamp_to_box(st, pos_p, vel_p,
+                                             margin=st.particle_radius,
+                                             decay_mul=-base.V_DECAY)
+        # Fluid neighbors at predicted positions; solid at current positions.
+        d_f = (pos_p.expand(1) - pos_p.take(jf)).norm()
+        rho_p = st.particle_m * base.msum(sm.cubic_w(d_f, st.h), mask_f)
+        if st.rigid_active and st.fs_couple and st.n_rigid > 0:
+            d_s = (pos_p.expand(1) - nh.pos_all.take(j)).norm()
+            rho_p = rho_p + RHO_0 * base.msum(
+                vol_j * sm.cubic_w(d_s, st.h), mask_s)
+        if st.akinci:
+            d_b = (pos_p.expand(1) - arrays.boundary_pos.take(bj)).norm()
+            rho_p = rho_p + RHO_0 * base.msum(
+                bvol * sm.cubic_w(d_b, st.h), bm)
         return rho_p - RHO_0
 
     # --- predictive-corrective loop (pcisph_solver.py:47-70) ----------------
     press0 = jnp.zeros(st.n_fluid, jnp.float32)
-    force0 = jnp.zeros((st.n_fluid, 3), jnp.float32)
+    force0 = V3.zeros((st.n_fluid,))
     rho_err0 = predict(force0)
     res0 = _positive_avg(rho_err0)
     err_thresh = RHO_0 * RHO_MAX_ERR_PERCENT * 0.01
@@ -164,9 +162,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                      jnp.zeros((), jnp.int32)))
 
     # --- integration (pcisph_solver.py:200-217) -----------------------------
-    new_vel = (vel + dt * (ext_force + press_force) / st.particle_m) \
+    new_vel = (vel + (ext_force + press_force) * (dt / st.particle_m)) \
         * base.ARTIFICIAL_FRICTION
-    new_pos = pos + dt * new_vel
+    new_pos = pos + new_vel * dt
     if not st.akinci:
         new_pos, new_vel = base.clamp_to_box(st, new_pos, new_vel,
                                              margin=st.particle_radius,

@@ -12,7 +12,7 @@ Functional parity with the reference `rigid_solver` (rigid_solver.py:1-234):
     restitution decay 0.1 (rigid_solver.py:87-116)
 
 All per-particle loops become vectorized reductions; every reference atomic
-update is a deterministic masked max/min/sum.
+update is a deterministic masked max/min/sum. Particle clouds are V3s.
 """
 
 from __future__ import annotations
@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models.base import RigidBodyState
+from cfd_taichi_tpu.ops.vec import V3, matvec
 from cfd_taichi_tpu.scene import SceneArrays, SceneStatic, rotation3d_swapped_jnp
 
 MU_T = 0.8       # friction (rigid_solver.py:108)
@@ -54,8 +55,10 @@ def step(st: SceneStatic, arrays: SceneArrays, rigid: RigidBodyState,
     mass = arrays.rigid_mass_total
 
     # --- compute_attitude (rigid_solver.py:118-128) -------------------------
-    rel = rigid.pos - rigid.centroid
-    torque = jnp.sum(jnp.cross(rel, rigid.force), axis=0)
+    rel = V3(rigid.pos.x - rigid.centroid[0], rigid.pos.y - rigid.centroid[1],
+             rigid.pos.z - rigid.centroid[2])
+    tq = rel.cross(rigid.force)
+    torque = jnp.stack([jnp.sum(tq.x), jnp.sum(tq.y), jnp.sum(tq.z)])
     alpha = rigid.inertia_inv @ torque
     omega = rigid.omega + alpha * dt
     attitude = omega * dt
@@ -64,51 +67,78 @@ def step(st: SceneStatic, arrays: SceneArrays, rigid: RigidBodyState,
     # R = rotation3d(-att.x, -att.z, -att.y) — the same swapped-argument quirk
     # as the initial attitude (see scene.rotation3d_swapped_jnp).
     rot = rotation3d_swapped_jnp(-attitude)
-    pos = (rigid.pos - rigid.centroid) @ rot.T + rigid.centroid
-    vertices = (rigid.vertices - rigid.centroid) @ rot.T + rigid.centroid
+    pos = matvec(rot, rel)
+    pos = V3(pos.x + rigid.centroid[0], pos.y + rigid.centroid[1],
+             pos.z + rigid.centroid[2])
+    vrel = V3(rigid.vertices.x - rigid.centroid[0],
+              rigid.vertices.y - rigid.centroid[1],
+              rigid.vertices.z - rigid.centroid[2])
+    vertices = matvec(rot, vrel)
+    vertices = V3(vertices.x + rigid.centroid[0], vertices.y + rigid.centroid[1],
+                  vertices.z + rigid.centroid[2])
     inertia_inv = rot @ rigid.inertia_inv @ rot.T
 
     # --- kinematic (rigid_solver.py:33-104) ---------------------------------
-    force_total = jnp.sum(rigid.force, axis=0)
+    force_total = jnp.stack([jnp.sum(rigid.force.x), jnp.sum(rigid.force.y),
+                             jnp.sum(rigid.force.z)])
     acc = force_total / mass + g
     vel = rigid.vel + acc * dt
     ori_disp = vel * dt
 
-    lo = jnp.asarray(st.box_min, jnp.float32) + 2.0 * st.particle_radius
-    hi = jnp.asarray(st.box_max, jnp.float32) - 2.0 * st.particle_radius
+    margin = 2.0 * st.particle_radius
+    lo = jnp.asarray(st.box_min, jnp.float32) + margin
+    hi = jnp.asarray(st.box_max, jnp.float32) - margin
 
-    predicted = pos + ori_disp[None, :]
-    viol_lo = predicted <= lo[None, :]   # (Nr, 3)
-    viol_hi = predicted >= hi[None, :]
+    pos_c = (pos.x, pos.y, pos.z)
+    new_rel = V3(pos.x - rigid.centroid[0], pos.y - rigid.centroid[1],
+                 pos.z - rigid.centroid[2])
 
-    # Displacement clamping: the reference's atomic max (lo side) / min (hi
-    # side) over per-particle correction displacements (rigid_solver.py:58,67).
-    cand_lo = jnp.where(viol_lo, lo[None, :] - pos, -jnp.inf)
-    disp = jnp.maximum(ori_disp, jnp.max(cand_lo, axis=0))
-    cand_hi = jnp.where(viol_hi, hi[None, :] - pos, jnp.inf)
-    disp = jnp.minimum(disp, jnp.min(cand_hi, axis=0))
+    disp = []
+    col_lo_any = []
+    col_hi_any = []
+    col_mask_per_axis = []
+    omega_v = V3(omega[0], omega[1], omega[2])
+    # Contact-point velocities v = vel + omega x (x + ori_disp - centroid).
+    rel_pred = V3(new_rel.x + ori_disp[0], new_rel.y + ori_disp[1],
+                  new_rel.z + ori_disp[2])
+    v_contact = omega_v.cross(rel_pred)
+    v_contact = V3(v_contact.x + vel[0], v_contact.y + vel[1],
+                   v_contact.z + vel[2])
+    vc = (v_contact.x, v_contact.y, v_contact.z)
 
-    # Collision detection: a (particle, axis) pair collides when it violates
-    # the wall and its contact-point velocity drives into it
-    # (rigid_solver.py:59-72).
-    v_contact = vel[None, :] + jnp.cross(
-        jnp.broadcast_to(omega, pos.shape), predicted - rigid.centroid)
-    col_lo = viol_lo & (v_contact < 0.0)
-    col_hi = viol_hi & (v_contact > 0.0)
-    col_any = col_lo | col_hi            # (Nr, 3) per (particle, axis)
+    for axis in range(3):
+        c = pos_c[axis]
+        predicted = c + ori_disp[axis]
+        viol_lo = predicted <= lo[axis]
+        viol_hi = predicted >= hi[axis]
+        # Displacement clamping (reference atomic max/min,
+        # rigid_solver.py:58,67) as masked reductions.
+        cand_lo = jnp.where(viol_lo, lo[axis] - c, -jnp.inf)
+        d = jnp.maximum(ori_disp[axis], jnp.max(cand_lo, initial=-jnp.inf))
+        cand_hi = jnp.where(viol_hi, hi[axis] - c, jnp.inf)
+        d = jnp.minimum(d, jnp.min(cand_hi, initial=jnp.inf))
+        disp.append(d)
+        col_lo = viol_lo & (vc[axis] < 0.0)
+        col_hi = viol_hi & (vc[axis] > 0.0)
+        col_lo_any.append(jnp.any(col_lo))
+        col_hi_any.append(jnp.any(col_hi))
+        col_mask_per_axis.append(col_lo | col_hi)
 
+    disp = jnp.stack(disp)
+    col_any = jnp.stack(col_mask_per_axis, axis=1)  # (Nr, 3)
     cnt = jnp.sum(col_any)
     # Collision normal per axis: -1 for lo-side hits, +1 for hi-side (the
     # reference's last-writer race resolved deterministically, hi priority).
-    norm = jnp.where(jnp.any(col_hi, axis=0), 1.0,
-                     jnp.where(jnp.any(col_lo, axis=0), -1.0, 0.0))
+    norm = jnp.stack([
+        jnp.where(col_hi_any[a], 1.0, jnp.where(col_lo_any[a], -1.0, 0.0))
+        for a in range(3)])
 
     # Mean collision point — reproducing the reference's arithmetic exactly:
     # (sum_of_positions + ori_disp) / cnt - centroid (rigid_solver.py:81).
-    point_sum = jnp.sum(jnp.where(col_any[:, :, None],
-                                  pos[:, None, :], 0.0), axis=(0, 1))
+    psum = jnp.stack([
+        jnp.sum(jnp.where(col_any, pos_c[a][:, None], 0.0)) for a in range(3)])
     safe_cnt = jnp.maximum(cnt, 1)
-    col_point = (point_sum + ori_disp) / safe_cnt - rigid.centroid
+    col_point = (psum + ori_disp) / safe_cnt - rigid.centroid
 
     def with_impulse(args):
         vel_in, omega_in = args
@@ -117,18 +147,18 @@ def step(st: SceneStatic, arrays: SceneArrays, rigid: RigidBodyState,
         pm = _skew(col_point)
         K = jnp.eye(3) / mass - pm @ inertia_inv @ pm
         imp = jnp.linalg.solve(K, v_new - v)
-        return vel_in + imp / mass, omega_in + inertia_inv @ jnp.cross(col_point, imp)
+        return (vel_in + imp / mass,
+                omega_in + inertia_inv @ jnp.cross(col_point, imp))
 
     vel, omega = jax.lax.cond(cnt > 0, with_impulse, lambda a: a, (vel, omega))
 
-    new_pos = pos + disp[None, :]
-    new_vertices = vertices + disp[None, :]
+    new_pos = V3(pos.x + disp[0], pos.y + disp[1], pos.z + disp[2])
+    new_vertices = V3(vertices.x + disp[0], vertices.y + disp[1],
+                      vertices.z + disp[2])
     new_centroid = rigid.centroid + disp
 
     return rigid._replace(
         pos=new_pos, vertices=new_vertices, vel=vel, omega=omega,
-        alpha=alpha, acc=acc, force=jnp.zeros_like(rigid.force),
+        alpha=alpha, acc=acc, force=V3.zeros(rigid.force.x.shape),
         centroid=new_centroid, inertia_inv=inertia_inv,
     )
-
-

@@ -11,7 +11,8 @@ Functional parity with the reference `wcsph_solver` (wcsph_solver.py:1-144):
     diameter margin with -0.5 velocity decay         (wcsph_solver.py:49-63)
 
 One fused pressure phase + kinematic phase; no iteration loop (the only
-solver with a closed-form pressure).
+solver with a closed-form pressure). All pair math is component-separated
+(V3) so intermediates tile cleanly on TPU.
 """
 
 from __future__ import annotations
@@ -50,38 +51,34 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     p = tait_pressure(rho)
 
     j = nh.nbr.idx
-    x_ij = pos[:, None, :] - nh.pos_all[j]
-    gradw = sm.cubic_grad(x_ij, st.h)
+    x_ij = base.pair_disp(pos, nh.pos_all, j)
+    gcoef = sm.cubic_grad_coeff(x_ij.norm(), st.h)
     mask_f, mask_s = base.fluid_solid_masks(st, nh)
 
     p_over_rho2 = p / (rho * rho)                         # (Nf,)
     p_over_rho2_j = p_over_rho2[jnp.clip(j, 0, st.n_fluid - 1)]
     sym = p_over_rho2[:, None] + p_over_rho2_j            # (Nf, K)
-    grad_term = (-st.particle_m * sym)[..., None] * gradw
-    pressure_acc = base.msum(grad_term, mask_f)
+    scale = jnp.where(mask_f, -st.particle_m * sym * gcoef, 0.0)
 
     force = rigid.force
     if st.rigid_active and st.fs_couple and st.n_rigid > 0:
         vol_j = base.gather_rigid_volume(st, arrays, j)
-        solid_term = (-vol_j * p_over_rho2[:, None] * RHO_0)[..., None] * gradw
-        pressure_acc = pressure_acc + base.msum(solid_term, mask_s)
+        s_scale = jnp.where(mask_s,
+                            -vol_j * p_over_rho2[:, None] * RHO_0 * gcoef, 0.0)
         # Reaction on the rigid body: += -term * m (wcsph_solver.py:126).
-        force = base.scatter_rigid_force(st, nh, -solid_term * st.particle_m,
-                                         mask_s, force)
-
-    if st.akinci:
-        boundary_acc = RHO_0 * base.boundary_pressure_acc(st, arrays, nh, pos, p, rho)
-    else:
-        boundary_acc = jnp.zeros_like(pressure_acc)
+        force = base.scatter_rigid_force(
+            st, nh, x_ij * (-s_scale * st.particle_m), mask_s, force)
+        scale = scale + s_scale
+    pressure_acc = (x_ij * scale).sum(axis=1)
 
     viscosity = base.compute_viscosity(st, arrays, nh, pos, vel, rho, rigid,
                                        c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
     tension = base.compute_tension(st, nh, pos, TENSION_K)
 
     # --- kinematic phase (reference wcsph_solver.py:40-63) ------------------
-    acc = base.gravity_acc(st)[None, :] + pressure_acc + viscosity + tension
+    acc = base.gravity_acc(st) + pressure_acc + viscosity + tension
     if st.akinci:
-        acc = acc + boundary_acc
+        acc = acc + RHO_0 * base.boundary_pressure_acc(st, arrays, nh, pos, p, rho)
     new_vel = (vel + acc * dt) * WCSPH_DAMPING
     new_pos = pos + new_vel * dt
     if not st.akinci:

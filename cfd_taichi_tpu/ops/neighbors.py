@@ -14,6 +14,10 @@ Design (fixed shapes, no atomics, XLA-friendly):
      not-self; compact the ragged candidates to a fixed (N, K) list with a
      stable top_k over the validity mask.
 
+Positions are component-separated `V3`s (see ops/vec.py): every intermediate
+here is a 2-D (N, C) buffer that tiles cleanly on TPU — no trailing-3
+tensors, which would be lane-padded 3 -> 128 when materialized.
+
 The compact (N, K) list is built once per step and reused by every pairwise
 pass of the solvers (the reference instead re-walks the grid in every pass).
 Queries run in blocks via `lax.map` so the transient (block, 27*cell_cap)
@@ -23,11 +27,13 @@ candidate tensors stay small regardless of particle count.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from cfd_taichi_tpu.ops.vec import V3
 
 
 class GridSpec(NamedTuple):
@@ -59,23 +65,20 @@ class NeighborList(NamedTuple):
     count: jnp.ndarray   # (Nq,) int32 — true neighbor count (may exceed K => overflow)
 
 
-def cell_id(pos: jnp.ndarray, grid: GridSpec) -> jnp.ndarray:
+def cell_id(pos: V3, grid: GridSpec) -> jnp.ndarray:
     """Linearized cell id with the reference's y-major layout
     (id = x + gx*z + gx*gz*y, ParticleSystem.py:102,487-488). Out-of-domain
     positions clamp into edge cells instead of erroring."""
     gx, gy, gz = grid.dims
-    c = jnp.floor(pos / grid.cell).astype(jnp.int32)
-    c = jnp.clip(c, 0, jnp.array([gx - 1, gy - 1, gz - 1], jnp.int32))
-    return c[..., 0] + gx * c[..., 2] + gx * gz * c[..., 1]
+    inv = 1.0 / grid.cell
+    cx = jnp.clip(jnp.floor(pos.x * inv).astype(jnp.int32), 0, gx - 1)
+    cy = jnp.clip(jnp.floor(pos.y * inv).astype(jnp.int32), 0, gy - 1)
+    cz = jnp.clip(jnp.floor(pos.z * inv).astype(jnp.int32), 0, gz - 1)
+    return cx + gx * cz + gx * gz * cy
 
 
-def cell_coords(pos: jnp.ndarray, grid: GridSpec) -> jnp.ndarray:
-    """3-D cell coordinates floor(pos/h) — unclipped (for bounds-checked stencils)."""
-    return jnp.floor(pos / grid.cell).astype(jnp.int32)
-
-
-def build_cell_table(pos: jnp.ndarray, grid: GridSpec,
-                     valid: jnp.ndarray | None = None) -> CellTable:
+def build_cell_table(pos: V3, grid: GridSpec,
+                     valid: Optional[jnp.ndarray] = None) -> CellTable:
     """Counting sort of source particles by cell id; rebuilt every step like
     the reference's reset_grid/update_grid (ParticleSystem.py:369-407).
 
@@ -96,27 +99,29 @@ def build_cell_table(pos: jnp.ndarray, grid: GridSpec,
 _STENCIL = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
 
 
-def _query_block(pos_q, qid, pos_src, table: CellTable, grid: GridSpec,
+def _query_block(pos_q: V3, qid, pos_src: V3, table: CellTable, grid: GridSpec,
                  K: int, cell_cap: int, exclude_self: bool):
     """Neighbor query for one block of query particles.
 
-    pos_q: (B, 3); qid: (B,) global query ids in the source index space
+    pos_q: V3 of (B,); qid: (B,) global query ids in the source index space
     (or -1 when the query set is disjoint from the source set).
     """
-    B = pos_q.shape[0]
     Ns = table.order.shape[0]
     gx, gy, gz = grid.dims
-    dims_v = jnp.array([gx, gy, gz], jnp.int32)
+    inv = 1.0 / grid.cell
 
-    center = cell_coords(pos_q, grid)  # (B, 3)
+    ccx = jnp.floor(pos_q.x * inv).astype(jnp.int32)
+    ccy = jnp.floor(pos_q.y * inv).astype(jnp.int32)
+    ccz = jnp.floor(pos_q.z * inv).astype(jnp.int32)
 
     cand_parts = []
     valid_parts = []
     slot = jnp.arange(cell_cap, dtype=jnp.int32)  # (cap,)
     for off in _STENCIL:
-        cc = center + jnp.array(off, jnp.int32)          # (B, 3)
-        in_bounds = jnp.all((cc >= 0) & (cc < dims_v), axis=-1)  # (B,)
-        cid = cc[:, 0] + gx * cc[:, 2] + gx * gz * cc[:, 1]
+        cx, cy, cz = ccx + off[0], ccy + off[1], ccz + off[2]
+        in_bounds = ((cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy)
+                     & (cz >= 0) & (cz < gz))
+        cid = cx + gx * cz + gx * gz * cy
         cid = jnp.clip(cid, 0, grid.num_cells - 1)
         start = table.starts[cid]                        # (B,)
         length = table.starts[cid + 1] - start           # (B,)
@@ -130,9 +135,11 @@ def _query_block(pos_q, qid, pos_src, table: CellTable, grid: GridSpec,
     valid = jnp.concatenate(valid_parts, axis=1)  # (B, 27*cap)
 
     # Distance cutoff: keep dist <= h (reference skips dist > support_radius,
-    # ParticleSystem.py:466).
-    d = pos_q[:, None, :] - pos_src[cand]         # (B, C, 3)
-    dist2 = jnp.sum(d * d, axis=-1)
+    # ParticleSystem.py:466). Component-wise: all 2-D (B, C) buffers.
+    dx = pos_q.x[:, None] - pos_src.x[cand]
+    dy = pos_q.y[:, None] - pos_src.y[cand]
+    dz = pos_q.z[:, None] - pos_src.z[cand]
+    dist2 = dx * dx + dy * dy + dz * dz
     valid &= dist2 <= jnp.float32(grid.cell) ** 2
 
     if exclude_self:
@@ -149,17 +156,16 @@ def _query_block(pos_q, qid, pos_src, table: CellTable, grid: GridSpec,
     return idx.astype(jnp.int32), mask, count
 
 
-def find_neighbors(pos_q: jnp.ndarray, qid, pos_src: jnp.ndarray,
-                   table: CellTable, grid: GridSpec, K: int,
-                   cell_cap: int = 24, exclude_self: bool = False,
-                   block: int = 65536) -> NeighborList:
+def find_neighbors(pos_q: V3, qid, pos_src: V3, table: CellTable,
+                   grid: GridSpec, K: int, cell_cap: int = 24,
+                   exclude_self: bool = False, block: int = 65536) -> NeighborList:
     """Build a compact (Nq, K) neighbor list of `pos_q` against `pos_src`.
 
     qid: global ids of the queries in the source index space (for
     self-exclusion) or None when query/source sets are disjoint.
     Runs blockwise under `lax.map` to bound transient candidate memory.
     """
-    Nq = pos_q.shape[0]
+    Nq = pos_q.x.shape[0]
     if qid is None:
         qid = jnp.full((Nq,), -1, jnp.int32)
     qid = qid.astype(jnp.int32)
@@ -174,11 +180,12 @@ def find_neighbors(pos_q: jnp.ndarray, qid, pos_src: jnp.ndarray,
 
     nblk = -(-Nq // block)
     pad = nblk * block - Nq
-    pos_p = jnp.pad(pos_q, ((0, pad), (0, 0)))
-    qid_p = jnp.pad(qid, (0, pad), constant_values=-2)
-    pos_b = pos_p.reshape(nblk, block, 3)
-    qid_b = qid_p.reshape(nblk, block)
-    idx, mask, count = jax.lax.map(lambda t: fn(t[0], t[1]), (pos_b, qid_b))
+    pos_b = V3(*(jnp.pad(c, (0, pad)).reshape(nblk, block)
+                 for c in pos_q.astuple()))
+    qid_b = jnp.pad(qid, (0, pad), constant_values=-2).reshape(nblk, block)
+    idx, mask, count = jax.lax.map(
+        lambda t: fn(V3(t[0], t[1], t[2]), t[3]),
+        (pos_b.x, pos_b.y, pos_b.z, qid_b))
     return NeighborList(
         idx=idx.reshape(nblk * block, K)[:Nq],
         mask=mask.reshape(nblk * block, K)[:Nq],
@@ -186,15 +193,17 @@ def find_neighbors(pos_q: jnp.ndarray, qid, pos_src: jnp.ndarray,
     )
 
 
-def brute_force_neighbors(pos_q, qid, pos_src, h: float, K: int,
+def brute_force_neighbors(pos_q: V3, qid, pos_src: V3, h: float, K: int,
                           exclude_self: bool = False) -> NeighborList:
     """O(Nq*Ns) reference implementation for tests (cf. the reference's own
     dead-code brute-force fallback, wcsph_solver.py:131-144)."""
-    d = pos_q[:, None, :] - pos_src[None, :, :]
-    dist2 = jnp.sum(d * d, axis=-1)
+    dx = pos_q.x[:, None] - pos_src.x[None, :]
+    dy = pos_q.y[:, None] - pos_src.y[None, :]
+    dz = pos_q.z[:, None] - pos_src.z[None, :]
+    dist2 = dx * dx + dy * dy + dz * dz
     valid = dist2 <= h * h
     if exclude_self and qid is not None:
-        valid &= jnp.arange(pos_src.shape[0])[None, :] != jnp.asarray(qid)[:, None]
+        valid &= jnp.arange(pos_src.x.shape[0])[None, :] != jnp.asarray(qid)[:, None]
     count = valid.sum(axis=1).astype(jnp.int32)
     topv, topi = jax.lax.top_k(valid.astype(jnp.int32), K)
     mask = topv == 1

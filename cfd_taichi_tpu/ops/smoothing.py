@@ -62,6 +62,30 @@ def cubic_grad(rvec: jnp.ndarray, h: float, eps: float = 1e-5) -> jnp.ndarray:
     return coeff * dirn
 
 
+def cubic_grad_coeff(r: jnp.ndarray, h: float, eps: float = 1e-5) -> jnp.ndarray:
+    """Scalar factor c(r) with grad W = c(r) * rvec — the component-separated
+    form of `cubic_grad` for TPU-friendly V3 math (same piecewise rule and
+    1e-5 < q guard as solver_base.py:90-103)."""
+    k = 48.0 / (_PI * h**3)
+    q = r / h
+    near = 6.0 * k * (3.0 * q * q - 2.0 * q)
+    omq = 1.0 - q
+    far = -6.0 * k * omq * omq
+    coeff = jnp.where(q <= 0.5, near, far)
+    coeff = jnp.where((q > eps) & (q <= 1.0), coeff, 0.0)
+    return coeff / (h * jnp.maximum(r, 1e-12))
+
+
+def spiky_grad_coeff(r: jnp.ndarray, h: float) -> jnp.ndarray:
+    """Scalar factor c(r) with spiky grad W = c(r) * rvec
+    (solver_base.py:113-120)."""
+    q = r / h
+    omq = 1.0 - q
+    coeff = -45.0 * omq * omq / (_PI * h**4)
+    coeff = jnp.where((q > 0.0) & (q <= 1.0), coeff, 0.0)
+    return coeff / jnp.maximum(r, 1e-12)
+
+
 def spiky_w(r: jnp.ndarray, h: float) -> jnp.ndarray:
     """Spiky kernel W = 15 (1-q)^3 / (pi h^3) for q <= 1 (solver_base.py:105-111)."""
     q = r / h

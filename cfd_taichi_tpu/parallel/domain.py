@@ -18,8 +18,9 @@ TPU-native answer is:
     over the mesh axis — replacing the reference's kernel-scalar host syncs
     (dfsph_solver.py:125,253; pcisph_solver.py:122).
 
-The sharded step currently covers the WCSPH and DFSPH fluid paths
-(clamp or Akinci boundary; rigid coupling remains single-chip).
+Particle state is component-separated (V3, ops/vec.py) so every buffer
+tiles cleanly on TPU. The sharded step currently covers the WCSPH fluid
+path (clamp or Akinci boundary; rigid coupling remains single-chip).
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cfd_taichi_tpu.ops import neighbors as nb
 from cfd_taichi_tpu.ops import smoothing as sm
+from cfd_taichi_tpu.ops.vec import V3
 from cfd_taichi_tpu.scene import RHO_0, SceneArrays, SceneStatic
 
 AXIS = "shard"
@@ -57,8 +59,8 @@ class ShardSpec:
 
 class ShardedFluid(NamedTuple):
     """Device-sharded fluid state; leading dim = ndev * cap, sharded on it."""
-    pos: jnp.ndarray    # (ndev*cap, 3)
-    vel: jnp.ndarray    # (ndev*cap, 3)
+    pos: V3             # components (ndev*cap,)
+    vel: V3
     mask: jnp.ndarray   # (ndev*cap,) bool — slot validity
 
 
@@ -84,9 +86,17 @@ def make_spec(st: SceneStatic, n_devices: int, slack: float = 1.7) -> ShardSpec:
 
 def shard_fluid(mesh: Mesh, spec: ShardSpec, pos: np.ndarray,
                 vel: np.ndarray | None = None) -> ShardedFluid:
-    """Host-side partition of particles into per-device slabs (capacity-padded)."""
+    """Host-side partition of particles into per-device slabs (capacity-padded).
+
+    `pos`/`vel` are host (N, 3) arrays (or V3s, converted)."""
+    if hasattr(pos, "to_numpy"):
+        pos = pos.to_numpy()
     pos = np.asarray(pos, np.float32)
-    vel = np.zeros_like(pos) if vel is None else np.asarray(vel, np.float32)
+    if vel is None:
+        vel = np.zeros_like(pos)
+    elif hasattr(vel, "to_numpy"):
+        vel = vel.to_numpy()
+    vel = np.asarray(vel, np.float32)
     dev_of = np.clip(((pos[:, spec.axis] - spec.lo) // spec.slab_w).astype(np.int64),
                      0, spec.ndev - 1)
     pos_out = np.zeros((spec.ndev * spec.cap, 3), np.float32)
@@ -101,105 +111,96 @@ def shard_fluid(mesh: Mesh, spec: ShardSpec, pos: np.ndarray,
         vel_out[s:s + idx.shape[0]] = vel[idx]
         mask_out[s:s + idx.shape[0]] = True
     sh = NamedSharding(mesh, P(AXIS))
+    put = lambda a: jax.device_put(jnp.asarray(a), sh)  # noqa: E731
     return ShardedFluid(
-        pos=jax.device_put(jnp.asarray(pos_out), sh),
-        vel=jax.device_put(jnp.asarray(vel_out), sh),
-        mask=jax.device_put(jnp.asarray(mask_out), sh),
+        pos=V3(put(pos_out[:, 0]), put(pos_out[:, 1]), put(pos_out[:, 2])),
+        vel=V3(put(vel_out[:, 0]), put(vel_out[:, 1]), put(vel_out[:, 2])),
+        mask=put(mask_out),
     )
 
 
 def unshard(fluid: ShardedFluid):
-    """Gather valid particles back to host order-independently."""
+    """Gather valid particles back to host, order-independently."""
     mask = np.asarray(fluid.mask)
-    return np.asarray(fluid.pos)[mask], np.asarray(fluid.vel)[mask]
+    return fluid.pos.to_numpy()[mask], fluid.vel.to_numpy()[mask]
 
 
 # ---------------------------------------------------------------------------
 # In-shard packing helpers (fixed shapes, no dynamic sizes)
 # ---------------------------------------------------------------------------
 
-def _pack(select: jnp.ndarray, arrays: list, out_cap: int, fill=0.0):
+def _pack(select: jnp.ndarray, arrays: list, out_cap: int):
     """Compact rows where `select` is True into the first slots of fixed-size
-    (out_cap, ...) buffers. Returns (packed_arrays, out_mask)."""
+    (out_cap,) buffers. Returns (packed_arrays, out_mask)."""
     key = select.astype(jnp.int32)
     _, idx = jax.lax.top_k(key, out_cap)          # stable: first selected rows
     got = jnp.take(select, idx)
-    packed = []
-    for a in arrays:
-        g = jnp.take(a, idx, axis=0)
-        packed.append(jnp.where(got[:, None] if a.ndim == 2 else got, g, fill))
+    packed = [jnp.where(got, jnp.take(a, idx), 0.0) for a in arrays]
     return packed, got
 
 
 def _ring_shift(x, direction: int):
-    """ppermute by +-1 along the shard ring."""
+    """ppermute by +-1 along the shard ring: direction=+1 delivers device i's
+    payload to device i+1 (each device receives from its left neighbor)."""
     n = jax.lax.axis_size(AXIS)
     perm = [(i, (i + direction) % n) for i in range(n)]
     return jax.lax.ppermute(x, AXIS, perm)
 
 
-def _halo_exchange(spec: ShardSpec, pos, vel, mask, h: float):
-    """Collect each side's 2h ghost band and trade it with ring neighbors.
-
-    Returns (halo_pos, halo_vel, halo_mask) of shape (2*hcap, ...): ghosts
-    received from the left and right neighbors."""
+def _exchange(spec: ShardSpec, arrays: list, select_left, select_right):
+    """Pack rows selected per side and trade them with ring neighbors.
+    Returns (from_left_arrays, from_left_mask, from_right_arrays,
+    from_right_mask) with the wrap-around edges masked off."""
     me = jax.lax.axis_index(AXIS)
-    x = pos[:, spec.axis]
+    n = jax.lax.axis_size(AXIS)
+    packed_l, ml = _pack(select_left, arrays, spec.hcap)
+    packed_r, mr = _pack(select_right, arrays, spec.hcap)
+    # Payload going right (right-edge band / right-crossers) arrives as the
+    # receiver's from_left; symmetric for the other direction.
+    from_left = [_ring_shift(t, +1) for t in packed_r + [mr]]
+    from_right = [_ring_shift(t, -1) for t in packed_l + [ml]]
+    fl_mask = jnp.where(me == 0, False, from_left[-1])
+    fr_mask = jnp.where(me == n - 1, False, from_right[-1])
+    return from_left[:-1], fl_mask, from_right[:-1], fr_mask
+
+
+def _halo_exchange(spec: ShardSpec, pos: V3, vel: V3, mask, h: float):
+    """Collect each side's 2h ghost band and trade it with ring neighbors.
+    Returns halo (pos, vel, mask) of shape (2*hcap,)."""
+    me = jax.lax.axis_index(AXIS)
+    x = (pos.x, pos.y, pos.z)[spec.axis]
     slab_lo = spec.lo + me.astype(jnp.float32) * spec.slab_w
     slab_hi = slab_lo + spec.slab_w
-
     send_left = mask & (x < slab_lo + 2.0 * h)
     send_right = mask & (x >= slab_hi - 2.0 * h)
-    (pl, vl), ml = _pack(send_left, [pos, vel], spec.hcap)
-    (pr, vr), mr = _pack(send_right, [pos, vel], spec.hcap)
-
-    # ppermute conventions: _ring_shift(x, +1) delivers device i's payload to
-    # device i+1, i.e. each device *receives from its left neighbor*.
-    # from_left  = the left neighbor's right-edge band (travels rightward),
-    # from_right = the right neighbor's left-edge band (travels leftward).
-    from_left = [_ring_shift(t, +1) for t in (pr, vr, mr)]
-    from_right = [_ring_shift(t, -1) for t in (pl, vl, ml)]
-
-    halo_pos = jnp.concatenate([from_left[0], from_right[0]], axis=0)
-    halo_vel = jnp.concatenate([from_left[1], from_right[1]], axis=0)
-    halo_mask = jnp.concatenate([from_left[2], from_right[2]], axis=0)
-
-    # Ring wrap-around: the leftmost device would receive the rightmost
-    # device's band (and vice versa) — geometrically bogus; mask it off.
-    n = jax.lax.axis_size(AXIS)
-    halo_mask = halo_mask.at[:spec.hcap].set(
-        jnp.where(me == 0, False, halo_mask[:spec.hcap]))
-    halo_mask = halo_mask.at[spec.hcap:].set(
-        jnp.where(me == n - 1, False, halo_mask[spec.hcap:]))
+    arrays = [pos.x, pos.y, pos.z, vel.x, vel.y, vel.z]
+    fl, fl_m, fr, fr_m = _exchange(spec, arrays, send_left, send_right)
+    halo_pos = V3(*(jnp.concatenate([a, b]) for a, b in zip(fl[0:3], fr[0:3])))
+    halo_vel = V3(*(jnp.concatenate([a, b]) for a, b in zip(fl[3:6], fr[3:6])))
+    halo_mask = jnp.concatenate([fl_m, fr_m])
     return halo_pos, halo_vel, halo_mask
 
 
-def _migrate(spec: ShardSpec, pos, vel, mask):
+def _migrate(spec: ShardSpec, pos: V3, vel: V3, mask):
     """Send boundary-crossing particles to ring neighbors and re-compact."""
     me = jax.lax.axis_index(AXIS)
-    n = jax.lax.axis_size(AXIS)
-    x = pos[:, spec.axis]
-    dev_of = jnp.clip(((x - spec.lo) / spec.slab_w).astype(jnp.int32), 0, spec.ndev - 1)
+    x = (pos.x, pos.y, pos.z)[spec.axis]
+    dev_of = jnp.clip(((x - spec.lo) / spec.slab_w).astype(jnp.int32),
+                      0, spec.ndev - 1)
     go_left = mask & (dev_of < me)
     go_right = mask & (dev_of > me)
     stay = mask & ~go_left & ~go_right
 
-    (pl, vl), ml = _pack(go_left, [pos, vel], spec.hcap)
-    (pr, vr), mr = _pack(go_right, [pos, vel], spec.hcap)
-    # A left-going packet is received by the left neighbor: shift -1.
-    in_from_right = [_ring_shift(t, -1) for t in (pl, vl, ml)]
-    in_from_left = [_ring_shift(t, +1) for t in (pr, vr, mr)]
-    # Mask the wrap-around edges.
-    in_from_left[2] = jnp.where(me == 0, False, in_from_left[2])
-    in_from_right[2] = jnp.where(me == n - 1, False, in_from_right[2])
+    arrays = [pos.x, pos.y, pos.z, vel.x, vel.y, vel.z]
+    fl, fl_m, fr, fr_m = _exchange(spec, arrays, go_left, go_right)
+    packed_stay, ms = _pack(stay, arrays, spec.cap)
 
-    # Re-compact stayers into low slots, then place arrivals after them.
-    (ps, vs), ms = _pack(stay, [pos, vel], spec.cap)
-    all_pos = jnp.concatenate([ps, in_from_left[0], in_from_right[0]], axis=0)
-    all_vel = jnp.concatenate([vs, in_from_left[1], in_from_right[1]], axis=0)
-    all_mask = jnp.concatenate([ms, in_from_left[2], in_from_right[2]], axis=0)
-    (pf, vf), mf = _pack(all_mask, [all_pos, all_vel], spec.cap)
-    return pf, vf, mf
+    merged = [jnp.concatenate([s, a, b])
+              for s, a, b in zip(packed_stay, fl, fr)]
+    merged_mask = jnp.concatenate([ms, fl_m, fr_m])
+    final, mf = _pack(merged_mask, merged, spec.cap)
+    return (V3(final[0], final[1], final[2]), V3(final[3], final[4], final[5]),
+            mf)
 
 
 # ---------------------------------------------------------------------------
@@ -221,97 +222,115 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
     h = st.h
     dt = jnp.float32(st.dt0)
 
-    def local_step(pos, vel, mask, bpos, bvol):
+    def local_step(px, py, pz, vx, vy, vz, mask, bx, by, bz, bvol):
+        pos = V3(px, py, pz)
+        vel = V3(vx, vy, vz)
+        bpos = V3(bx, by, bz)
         halo_pos, halo_vel, halo_mask = _halo_exchange(spec, pos, vel, mask, h)
-        src_pos = jnp.concatenate([pos, halo_pos], axis=0)
-        src_vel = jnp.concatenate([vel, halo_vel], axis=0)
-        src_mask = jnp.concatenate([mask, halo_mask], axis=0)
-        ns = src_pos.shape[0]
+        src_pos = V3(*(jnp.concatenate([a, b]) for a, b in
+                       zip(pos.astuple(), halo_pos.astuple())))
+        src_vel = V3(*(jnp.concatenate([a, b]) for a, b in
+                       zip(vel.astuple(), halo_vel.astuple())))
+        src_mask = jnp.concatenate([mask, halo_mask])
+        ns = src_mask.shape[0]
 
         # Invalid slots go to a virtual cell past the grid so no real cell's
         # capacity is wasted on padding.
-        src_pos_eff = src_pos
-        table = nb.build_cell_table(src_pos_eff, st.grid, valid=src_mask)
+        table = nb.build_cell_table(src_pos, st.grid, valid=src_mask)
         qid = jnp.arange(ns, dtype=jnp.int32)
-        nlist = nb.find_neighbors(src_pos_eff, qid, src_pos_eff, table,
-                                  st.grid, K=st.K, cell_cap=st.cell_cap,
+        nlist = nb.find_neighbors(src_pos, qid, src_pos, table, st.grid,
+                                  K=st.K, cell_cap=st.cell_cap,
                                   exclude_self=True)
         j = nlist.idx
         pair_mask = nlist.mask & src_mask[j] & src_mask[:, None]
 
-        x_ij = src_pos_eff[:, None, :] - src_pos_eff[j]
-        r = jnp.linalg.norm(x_ij, axis=-1)
+        x_ij = src_pos.expand(1) - src_pos.take(j)
+        r = x_ij.norm()
         wk = sm.cubic_w(r, h)
-        rho = 0.001 + st.particle_m * jnp.sum(jnp.where(pair_mask, wk, 0.0), axis=1)
+        rho = 0.001 + st.particle_m * jnp.sum(
+            jnp.where(pair_mask, wk, 0.0), axis=1)
 
         if st.akinci:
             btab = nb.build_cell_table(bpos, st.grid)
-            blist = nb.find_neighbors(src_pos_eff, None, bpos, btab, st.grid,
+            blist = nb.find_neighbors(src_pos, None, bpos, btab, st.grid,
                                       K=st.bK, cell_cap=st.cell_cap)
             bj, bm = blist.idx, blist.mask
-            xb = src_pos_eff[:, None, :] - bpos[bj]
-            wb = sm.cubic_w(jnp.linalg.norm(xb, axis=-1), h)
+            xb = src_pos.expand(1) - bpos.take(bj)
+            rb = xb.norm()
+            wb = sm.cubic_w(rb, h)
             rho = rho + RHO_0 * jnp.sum(
                 jnp.where(bm, bvol[bj] * wb, 0.0), axis=1)
 
         p = w.tait_pressure(rho)
         p_over_rho2 = p / (rho * rho)
-        gradw = sm.cubic_grad(x_ij, h)
+        gcoef = sm.cubic_grad_coeff(r, h)
         sym = p_over_rho2[:, None] + p_over_rho2[j]
-        acc_p = jnp.sum(jnp.where(pair_mask[..., None],
-                                  (-st.particle_m * sym)[..., None] * gradw,
-                                  0.0), axis=1)
+        pscale = jnp.where(pair_mask, -st.particle_m * sym * gcoef, 0.0)
+        acc = x_ij * pscale
 
         # Viscosity (fluid-only; reference solver_base.py:170-189).
-        v_ij = src_vel[:, None, :] - src_vel[j]
-        shear = jnp.sum(v_ij * x_ij, axis=-1)
-        q2 = jnp.sum(x_ij * x_ij, axis=-1)
-        nu = (2.0 * w.VISCOSITY_ALPHA * h * w.VISCOSITY_C_S) / (rho[:, None] + rho[j])
+        v_ij = src_vel.expand(1) - src_vel.take(j)
+        shear = v_ij.dot(x_ij)
+        q2 = x_ij.norm2()
+        nu = (2.0 * w.VISCOSITY_ALPHA * h * w.VISCOSITY_C_S) \
+            / (rho[:, None] + rho[j])
         pi_v = -nu * shear / (q2 + 0.01 * h * h)
-        visc_mask = pair_mask & (shear < 0.0)
-        viscosity = st.particle_m * jnp.sum(
-            jnp.where(visc_mask[..., None],
-                      (-st.particle_m * pi_v)[..., None] * gradw, 0.0), axis=1)
+        visc_scale = jnp.where(pair_mask & (shear < 0.0),
+                               -st.particle_m * st.particle_m * pi_v * gcoef,
+                               0.0)
+        acc = acc + x_ij * visc_scale
 
-        tension = st.particle_m * jnp.sum(
-            jnp.where(pair_mask[..., None],
-                      (-w.TENSION_K * wk)[..., None] * x_ij, 0.0), axis=1)
-
-        acc = jnp.asarray([0.0, -st.gravity, 0.0])[None, :] \
-            + acc_p + viscosity + tension
+        tens_scale = jnp.where(pair_mask, -w.TENSION_K * wk * st.particle_m,
+                               0.0)
+        acc = acc + x_ij * tens_scale
+        acc_sum = acc.sum(axis=1)
+        acc_tot = V3(acc_sum.x,
+                     acc_sum.y - st.gravity,
+                     acc_sum.z)
         if st.akinci:
-            bgradw = sm.cubic_grad(xb, h)
-            bacc = RHO_0 * jnp.sum(
-                jnp.where(bm[..., None],
-                          (-bvol[bj] * p_over_rho2[:, None])[..., None] * bgradw,
-                          0.0), axis=1)
-            acc = acc + bacc
+            bgcoef = sm.cubic_grad_coeff(rb, h)
+            bscale = jnp.where(
+                bm, -bvol[bj] * p_over_rho2[:, None] * bgcoef * RHO_0, 0.0)
+            bacc = (xb * bscale).sum(axis=1)
+            acc_tot = acc_tot + bacc
 
         # Integrate only the locally-owned slots.
-        new_vel = (src_vel[:spec.cap] + acc[:spec.cap] * dt) * w.WCSPH_DAMPING
-        new_pos = src_pos[:spec.cap] + new_vel * dt
-        if not st.akinci:
-            lo = jnp.asarray(st.box_min, jnp.float32) + 2.0 * st.particle_radius
-            hi = jnp.asarray(st.box_max, jnp.float32) - 2.0 * st.particle_radius
-            hit = (new_pos <= lo) | (new_pos >= hi)
-            new_vel = jnp.where(hit, new_vel * -0.5, new_vel)
-            new_pos = jnp.clip(new_pos, lo, hi)
-        new_pos = jnp.where(mask[:, None], new_pos, src_pos[:spec.cap])
-        new_vel = jnp.where(mask[:, None], new_vel, 0.0)
+        def local(c):
+            return c[:spec.cap]
 
-        return _migrate(spec, new_pos, new_vel, mask)
+        new_vel = V3(*((local(v) + local(a) * dt) * w.WCSPH_DAMPING
+                       for v, a in zip(vel.astuple(), acc_tot.astuple())))
+        new_pos = V3(*(local(pc) + nv * dt
+                       for pc, nv in zip(pos.astuple(), new_vel.astuple())))
+        if not st.akinci:
+            margin = 2.0 * st.particle_radius
+            np_, nv_ = [], []
+            for c, v, lo_c, hi_c in zip(new_pos.astuple(), new_vel.astuple(),
+                                        st.box_min, st.box_max):
+                lo = jnp.float32(lo_c + margin)
+                hi = jnp.float32(hi_c - margin)
+                hit = (c <= lo) | (c >= hi)
+                nv_.append(jnp.where(hit, v * -0.5, v))
+                np_.append(jnp.clip(c, lo, hi))
+            new_pos, new_vel = V3(*np_), V3(*nv_)
+        new_pos = new_pos.where(mask, pos)
+        new_vel = new_vel.where(mask, 0.0)
+
+        out_pos, out_vel, out_mask = _migrate(spec, new_pos, new_vel, mask)
+        return (*out_pos.astuple(), *out_vel.astuple(), out_mask)
 
     mapped = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(AXIS),) * 7 + (P(), P(), P(), P()),
+        out_specs=(P(AXIS),) * 7,
         check_rep=False,
     )
 
     @jax.jit
     def step(fluid: ShardedFluid) -> ShardedFluid:
-        pos, vel, mask = mapped(fluid.pos, fluid.vel, fluid.mask,
-                                arrays.boundary_pos, arrays.boundary_volume)
-        return ShardedFluid(pos=pos, vel=vel, mask=mask)
+        out = mapped(*fluid.pos.astuple(), *fluid.vel.astuple(), fluid.mask,
+                     *arrays.boundary_pos.astuple(), arrays.boundary_volume)
+        return ShardedFluid(pos=V3(out[0], out[1], out[2]),
+                            vel=V3(out[3], out[4], out[5]), mask=out[6])
 
     return step

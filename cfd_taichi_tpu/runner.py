@@ -127,24 +127,24 @@ def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
 
             t = sim.t
             if sc.is_output_ply and (t / frame_time) > ply_cnt:
-                pos = np.asarray(sim.state.fluid.pos)
+                pos = sim.state.fluid.pos.to_numpy()
                 io_utils.write_ply_ascii(
                     os.path.join(output_dir, f"output_{ply_cnt:06d}.ply"),
                     pos, rgba)
                 if sim.scene.rigid is not None:
                     io_utils.write_obj(
                         os.path.join(output_dir, f"obj_{ply_cnt:06d}.obj"),
-                        np.asarray(sim.state.rigid.vertices),
+                        sim.state.rigid.vertices.to_numpy(),
                         sim.scene.rigid.faces)
                 ply_cnt += 1
 
             if sc.is_output_gif and (t / frame_time) > output_frame_cnt:
                 from cfd_taichi_tpu.utils import render
 
-                clouds = [(np.asarray(sim.state.fluid.pos), (0.0, 0.28, 1.0),
+                clouds = [(sim.state.fluid.pos.to_numpy(), (0.0, 0.28, 1.0),
                            sim.scene.static.particle_radius)]
                 if sim.rigid_enabled:
-                    clouds.append((np.asarray(sim.state.rigid.pos),
+                    clouds.append((sim.state.rigid.pos.to_numpy(),
                                    (1.0, 0.0, 0.0),
                                    sim.scene.static.particle_radius))
                 fp = os.path.join(output_dir, f"frame_{output_frame_cnt:06d}.png")

@@ -24,6 +24,7 @@ import numpy as np
 from cfd_taichi_tpu import geometry as geo
 from cfd_taichi_tpu.config import SimConfig
 from cfd_taichi_tpu.ops import neighbors as nb
+from cfd_taichi_tpu.ops.vec import V3
 
 RHO_0 = 1000.0  # fluid rest density (reference solver_base.py:19)
 
@@ -64,8 +65,9 @@ class SceneStatic:
 
 
 class SceneArrays(NamedTuple):
-    """Step-invariant device arrays."""
-    boundary_pos: jnp.ndarray      # (Nb, 3)
+    """Step-invariant device arrays. Particle positions are component-
+    separated V3s (ops/vec.py) — the TPU-native layout."""
+    boundary_pos: V3               # components (Nb,)
     boundary_volume: jnp.ndarray   # (Nb,) — V_b = 1/sum_k W_bk (ParticleSystem.py:309-320)
     boundary_table: nb.CellTable   # static cell list, built once (ParticleSystem.py:237-238)
     rigid_volume: jnp.ndarray      # (Nr,) — V_i = 1/sum W (ParticleSystem.py:252-259)
@@ -75,8 +77,8 @@ class SceneArrays(NamedTuple):
 
 class RigidInit(NamedTuple):
     """Initial rigid body state pieces (go into solver State pytrees)."""
-    pos: jnp.ndarray           # (Nr, 3) particle positions, world frame
-    vertices: jnp.ndarray      # (V, 3) mesh vertices, world frame (OBJ export)
+    pos: V3                    # particle positions, world frame, components (Nr,)
+    vertices: V3               # mesh vertices, world frame (OBJ export)
     faces: np.ndarray          # (F, 3) host-side, for OBJ export
     centroid: jnp.ndarray      # (3,)
     inertia_inv: jnp.ndarray   # (3, 3)
@@ -87,7 +89,7 @@ class RigidInit(NamedTuple):
 class Scene:
     static: SceneStatic
     arrays: SceneArrays
-    fluid_pos0: jnp.ndarray
+    fluid_pos0: V3
     rigid: Optional[RigidInit]
 
 
@@ -134,7 +136,7 @@ def build_scene(cfg: SimConfig) -> Scene:
     # --- boundary shell ------------------------------------------------------
     boundary_pos = geo.seed_boundary_shell(sc.box_min, sc.box_max, r)
     n_boundary = boundary_pos.shape[0]
-    bpos = jnp.asarray(boundary_pos)
+    bpos = V3.from_rows(boundary_pos)
     btable = nb.build_cell_table(bpos, grid)
     # V_b = 1 / sum_{k != b} W_bk (self excluded by for_all_boundary_neighbor,
     # ParticleSystem.py:309-320, 362-363).
@@ -161,7 +163,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_active = bool(so.active)
         rigid_rho = float(so.rho_0)
 
-        rpos = jnp.asarray(vox)
+        rpos = V3.from_rows(vox)
         rtable = nb.build_cell_table(rpos, grid)
         # V_i = 1 / sum_{j != i, solid} W_ij (ParticleSystem.py:252-259); the
         # reference warns and zeroes when the sum underflows.
@@ -170,9 +172,10 @@ def build_scene(cfg: SimConfig) -> Scene:
         rvol = jnp.where(inv_w < 1e-6, 0.0, 1.0 / jnp.maximum(inv_w, 1e-6))
         rmass = rigid_rho * rvol  # ParticleSystem.py:262-263
         msum = jnp.sum(rmass)
-        centroid = jnp.sum(rpos * rmass[:, None], axis=0) / msum
-        rel = rpos - centroid
-        x, y, z = rel[:, 0], rel[:, 1], rel[:, 2]
+        centroid = jnp.asarray([
+            jnp.sum(rpos.x * rmass), jnp.sum(rpos.y * rmass),
+            jnp.sum(rpos.z * rmass)]) / msum
+        x, y, z = rpos.x - centroid[0], rpos.y - centroid[1], rpos.z - centroid[2]
         m = rmass
         ixx = jnp.sum(m * (y * y + z * z))
         iyy = jnp.sum(m * (x * x + z * z))
@@ -183,7 +186,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         inertia = jnp.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]],
                             jnp.float32)
         rigid_init = RigidInit(
-            pos=rpos, vertices=jnp.asarray(verts_w), faces=faces,
+            pos=rpos, vertices=V3.from_rows(verts_w), faces=faces,
             centroid=centroid, inertia_inv=jnp.linalg.inv(inertia),
             inertia=inertia,
         )
@@ -207,17 +210,17 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_mass_total=rigid_mass_total,
     )
     return Scene(static=static, arrays=arrays,
-                 fluid_pos0=jnp.asarray(fluid_pos), rigid=rigid_init)
+                 fluid_pos0=V3.from_rows(fluid_pos), rigid=rigid_init)
 
 
-def _kernel_sum(pos_q, qid, pos_src, table, grid, h, K):
+def _kernel_sum(pos_q: V3, qid, pos_src: V3, table, grid, h, K):
     """sum_{j != i} W(|x_i - x_j|, h) over the cell list."""
     from cfd_taichi_tpu.ops import smoothing
 
     nlist = nb.find_neighbors(pos_q, qid, pos_src, table, grid, K=K,
                               cell_cap=64, exclude_self=True)
-    rvec = pos_q[:, None, :] - pos_src[nlist.idx]
-    w = smoothing.cubic_w(jnp.linalg.norm(rvec, axis=-1), h)
+    d = pos_q.expand(1) - pos_src.take(nlist.idx)
+    w = smoothing.cubic_w(d.norm(), h)
     return jnp.sum(jnp.where(nlist.mask, w, 0.0), axis=1)
 
 

@@ -61,10 +61,20 @@ class StepTimer:
 
 def check_valid(pos, vel, acc) -> jnp.ndarray:
     """Count of particles with NaN/Inf in pos/vel/acc (reference check_valid,
-    solver_base.py:145-164 — returns a count instead of printing per-particle)."""
-    bad = jnp.zeros(pos.shape[0], bool)
+    solver_base.py:145-164 — returns a count instead of printing per-particle).
+    Accepts V3s (component triples) or (N, 3) arrays."""
+    comps = []
     for arr in (pos, vel, acc):
-        bad |= jnp.any(~jnp.isfinite(arr), axis=-1)
+        if hasattr(arr, "astuple"):
+            comps.extend(arr.astuple())
+        else:
+            comps.append(jnp.asarray(arr).reshape(arr.shape[0], -1))
+    bad = None
+    for c in comps:
+        b = ~jnp.isfinite(c)
+        if b.ndim > 1:
+            b = jnp.any(b, axis=-1)
+        bad = b if bad is None else (bad | b)
     return jnp.sum(bad)
 
 

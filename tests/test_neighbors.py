@@ -5,6 +5,8 @@ O(N^2) gradient at wcsph_solver.py:131-144)."""
 import jax.numpy as jnp
 import numpy as np
 
+from cfd_taichi_tpu.ops.vec import V3
+
 from cfd_taichi_tpu.ops import neighbors as nb
 
 
@@ -27,10 +29,10 @@ def test_grid_for_box_matches_reference_formula():
 def test_self_query_matches_brute_force():
     h = 0.1
     box = (1.0, 1.0, 1.0)
-    pos = jnp.asarray(_random_cloud(500, box))
+    pos = V3.from_rows(_random_cloud(500, box))
     grid = nb.grid_for_box((0, 0, 0), box, h)
     table = nb.build_cell_table(pos, grid)
-    qid = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    qid = jnp.arange(pos.x.shape[0], dtype=jnp.int32)
     fast = nb.find_neighbors(pos, qid, pos, table, grid, K=64, cell_cap=32,
                              exclude_self=True)
     slow = nb.brute_force_neighbors(pos, qid, pos, h, K=64, exclude_self=True)
@@ -41,8 +43,8 @@ def test_self_query_matches_brute_force():
 def test_cross_query_matches_brute_force():
     h = 0.1
     box = (1.0, 0.5, 1.0)
-    src = jnp.asarray(_random_cloud(400, box, seed=1))
-    q = jnp.asarray(_random_cloud(120, box, seed=2))
+    src = V3.from_rows(_random_cloud(400, box, seed=1))
+    q = V3.from_rows(_random_cloud(120, box, seed=2))
     grid = nb.grid_for_box((0, 0, 0), box, h)
     table = nb.build_cell_table(src, grid)
     fast = nb.find_neighbors(q, None, src, table, grid, K=64, cell_cap=32)
@@ -54,10 +56,10 @@ def test_cross_query_matches_brute_force():
 def test_blockwise_query_equals_single_shot():
     h = 0.1
     box = (1.0, 1.0, 1.0)
-    pos = jnp.asarray(_random_cloud(700, box, seed=3))
+    pos = V3.from_rows(_random_cloud(700, box, seed=3))
     grid = nb.grid_for_box((0, 0, 0), box, h)
     table = nb.build_cell_table(pos, grid)
-    qid = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    qid = jnp.arange(pos.x.shape[0], dtype=jnp.int32)
     one = nb.find_neighbors(pos, qid, pos, table, grid, K=48, cell_cap=32,
                             exclude_self=True, block=10**9)
     blk = nb.find_neighbors(pos, qid, pos, table, grid, K=48, cell_cap=32,
@@ -76,11 +78,11 @@ def test_lattice_neighbor_count():
     n = 9
     ax = np.arange(n) * d + 3 * d
     pos = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1).reshape(-1, 3)
-    pos = jnp.asarray(pos.astype(np.float32))
-    box = (float(pos[:, 0].max() + 3 * d),) * 3
+    pos = V3.from_rows(pos.astype(np.float32))
+    box = (float(pos.x.max() + 3 * d),) * 3
     grid = nb.grid_for_box((0, 0, 0), box, h)
     table = nb.build_cell_table(pos, grid)
-    qid = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    qid = jnp.arange(pos.x.shape[0], dtype=jnp.int32)
     res = nb.find_neighbors(pos, qid, pos, table, grid, K=64, cell_cap=32,
                             exclude_self=True)
     counts = np.asarray(res.count).reshape(n, n, n)
@@ -90,7 +92,7 @@ def test_lattice_neighbor_count():
 
 def test_cell_table_is_permutation():
     h = 0.1
-    pos = jnp.asarray(_random_cloud(300, (1, 1, 1), seed=4))
+    pos = V3.from_rows(_random_cloud(300, (1, 1, 1), seed=4))
     grid = nb.grid_for_box((0, 0, 0), (1, 1, 1), h)
     table = nb.build_cell_table(pos, grid)
     # Grid sanity: sorted order is a permutation of all particles and the CSR

@@ -47,14 +47,14 @@ def test_rigid_falls_and_couples():
     forces = []
     for _ in range(40):
         sim.frame()
-        forces.append(float(np.abs(np.asarray(sim.state.rigid.force)).max()))
+        forces.append(float(np.abs(sim.state.rigid.force.to_numpy()).max()))
     c1 = np.asarray(sim.state.rigid.centroid)
     # The cube starts above the water and falls.
     assert c1[1] < c0[1]
     stats = sim.telemetry()
     assert stats["nan_particles"] == 0
     # Rigid state stays finite.
-    assert np.isfinite(np.asarray(sim.state.rigid.pos)).all()
+    assert np.isfinite(sim.state.rigid.pos.to_numpy()).all()
     assert np.isfinite(np.asarray(sim.state.rigid.vel)).all()
 
 
@@ -75,13 +75,13 @@ def test_coupling_force_transfer(solver):
     for _ in range(25):
         for _ in range(sim.iter_cnt):
             sim.step()
-        f = np.asarray(sim.state.rigid.force)
+        f = sim.state.rigid.force.to_numpy()
         if np.abs(f).max() > 0:
             saw_force = True
         for _ in range(sim.iter_cnt):
             sim.rigid_step()
     assert saw_force, f"{solver}: no coupling force reached the rigid body"
-    assert np.isfinite(np.asarray(sim.state.rigid.pos)).all()
+    assert np.isfinite(sim.state.rigid.pos.to_numpy()).all()
     assert sim.telemetry()["nan_particles"] == 0
 
 
@@ -94,7 +94,7 @@ def test_rigid_box_collision_stops_fall():
                             "solver.delta_time": 1e-3})
     for _ in range(400):
         sim.frame()
-    pos = np.asarray(sim.state.rigid.pos)
+    pos = sim.state.rigid.pos.to_numpy()
     # Never below the floor margin (one diameter, rigid_solver.py:56).
     assert pos[:, 1].min() >= 0.05 - 5e-3
     # And it has essentially stopped moving vertically.

@@ -33,7 +33,7 @@ def setup():
     sim = Simulation(parse_config(copy.deepcopy(CFG)))
     mesh = domain.make_mesh(NDEV)
     spec = domain.make_spec(sim.scene.static, NDEV)
-    fluid = domain.shard_fluid(mesh, spec, np.asarray(sim.scene.fluid_pos0))
+    fluid = domain.shard_fluid(mesh, spec, sim.scene.fluid_pos0)
     step = domain.make_sharded_wcsph_step(sim.scene.static, sim.scene.arrays,
                                           mesh, spec)
     return sim, mesh, spec, fluid, step
@@ -51,7 +51,7 @@ def test_shard_roundtrip(setup):
     pos, vel = domain.unshard(fluid)
     assert pos.shape[0] == sim.scene.static.n_fluid
     np.testing.assert_allclose(
-        _sorted_rows(pos), _sorted_rows(np.asarray(sim.scene.fluid_pos0)),
+        _sorted_rows(pos), _sorted_rows(sim.scene.fluid_pos0.to_numpy()),
         atol=0)
 
 
@@ -61,7 +61,7 @@ def test_sharded_step_matches_single_chip(setup):
     for _ in range(n_steps):
         sim.step()
         fluid = step(fluid)
-    ref_pos = np.asarray(sim.state.fluid.pos)
+    ref_pos = sim.state.fluid.pos.to_numpy()
     got_pos, got_vel = domain.unshard(fluid)
     assert got_pos.shape[0] == ref_pos.shape[0], "particle count drift"
     np.testing.assert_allclose(_sorted_rows(got_pos), _sorted_rows(ref_pos),

@@ -32,11 +32,16 @@ def test_cubic_w_normalization_lattice():
     assert np.isclose(integral, 1.0, rtol=2e-2)
 
 
-def test_cubic_grad_matches_finite_difference():
+def test_cubic_grad_is_6x_analytic_gradient():
+    """Reference parity quirk: the reference's cubic_kernel_derivative
+    (solver_base.py:90-103, k = 48/(pi h^3) with an extra factor 6) is
+    exactly SIX TIMES the analytic gradient of its cubic_kernel. Every solver
+    constant (Tait B, PCISPH delta, DFSPH alpha...) is calibrated against
+    that scaling, so we preserve it and pin it here."""
     rng = np.random.default_rng(0)
     pts = rng.uniform(-H, H, size=(64, 3)).astype(np.float32)
-    pts = pts[np.linalg.norm(pts, axis=-1) > 0.15 * H]  # keep away from 0 and kinks
-    eps = 1e-4 * H
+    pts = pts[np.linalg.norm(pts, axis=-1) > 0.15 * H]  # away from 0 and kinks
+    eps = 1e-3 * H  # large enough to dodge f32 cancellation in the FD
     g = np.asarray(smoothing.cubic_grad(jnp.asarray(pts), H))
     for axis in range(3):
         dp = pts.copy()
@@ -47,7 +52,19 @@ def test_cubic_grad_matches_finite_difference():
         wm = np.asarray(smoothing.cubic_w(jnp.linalg.norm(jnp.asarray(dm), axis=-1), H))
         fd = (wp - wm) / (2 * eps)
         keep = np.abs(fd) > 1e-3  # skip near-kink points
-        assert np.allclose(g[keep, axis], fd[keep], rtol=5e-2, atol=2.0)
+        assert keep.sum() > 5
+        assert np.allclose(g[keep, axis], 6.0 * fd[keep], rtol=5e-2, atol=2.0)
+
+
+def test_grad_coeff_forms_match_vector_forms():
+    rng = np.random.default_rng(2)
+    rvec = rng.uniform(-H, H, size=(128, 3)).astype(np.float32)
+    r = np.linalg.norm(rvec, axis=-1)
+    for grad_fn, coeff_fn in ((smoothing.cubic_grad, smoothing.cubic_grad_coeff),
+                              (smoothing.spiky_grad, smoothing.spiky_grad_coeff)):
+        gv = np.asarray(grad_fn(jnp.asarray(rvec), H))
+        gc = np.asarray(coeff_fn(jnp.asarray(r), H))[:, None] * rvec
+        np.testing.assert_allclose(gv, gc, rtol=1e-4, atol=1e-2)
 
 
 def test_grad_antisymmetry():

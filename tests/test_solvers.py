@@ -41,7 +41,7 @@ def test_solver_runs_stable(name):
         sim.step()
     stats = sim.telemetry()
     assert stats["nan_particles"] == 0, f"{name} produced NaNs"
-    pos = np.asarray(sim.state.fluid.pos)
+    pos = sim.state.fluid.pos.to_numpy()
     assert np.all(pos >= -0.05) and np.all(pos <= 0.85), f"{name} escaped box"
     # Density bounded: the reference-parity density (no self term) sits near
     # 0.55-0.69 * rho0 at rest and must not blow up.
@@ -107,10 +107,10 @@ def test_momentum_symmetry_wcsph():
     center = f.pos.mean(axis=0)
     squeezed = center + (f.pos - center) * 0.8
     sim.state = sim.state._replace(fluid=f._replace(pos=squeezed))
-    p0 = np.asarray(sim.state.fluid.vel).sum(axis=0)
+    p0 = sim.state.fluid.vel.to_numpy().sum(axis=0)
     for _ in range(5):
         sim.step()
-    p1 = np.asarray(sim.state.fluid.vel).sum(axis=0)
+    p1 = sim.state.fluid.vel.to_numpy().sum(axis=0)
     # Velocity damping (0.9998) breaks exact conservation; tolerance covers it.
     assert np.linalg.norm(p1 - p0) < 1e-2 * sim.scene.static.n_fluid ** 0.5
 
@@ -122,7 +122,7 @@ def test_clamp_mode_all_solvers(name):
         sim.step()
     stats = sim.telemetry()
     assert stats["nan_particles"] == 0
-    pos = np.asarray(sim.state.fluid.pos)
+    pos = sim.state.fluid.pos.to_numpy()
     assert pos.min() >= 0.025 - 1e-5  # margin = radius for non-wcsph solvers
 
 

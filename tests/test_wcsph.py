@@ -44,7 +44,7 @@ def test_wcsph_runs_stable(sim_result):
 
 
 def test_wcsph_particles_contained(sim_result):
-    pos = np.asarray(sim_result.state.fluid.pos)
+    pos = sim_result.state.fluid.pos.to_numpy()
     lo = np.array([0.0, 0.0, 0.0]) - 0.05
     hi = np.array([0.6, 0.8, 0.6]) + 0.05
     assert np.all(pos >= lo) and np.all(pos <= hi)
@@ -60,10 +60,10 @@ def test_wcsph_density_reasonable(sim_result):
 
 def test_wcsph_fluid_falls_under_gravity():
     sim = _make_sim()
-    y0 = float(np.asarray(sim.state.fluid.pos)[:, 1].mean())
+    y0 = float(sim.state.fluid.pos.to_numpy()[:, 1].mean())
     for _ in range(30):
         sim.step()
-    y1 = float(np.asarray(sim.state.fluid.pos)[:, 1].mean())
+    y1 = float(sim.state.fluid.pos.to_numpy()[:, 1].mean())
     assert y1 < y0  # the suspended block falls
 
 
@@ -73,8 +73,8 @@ def test_wcsph_deterministic():
     for _ in range(5):
         s1.step()
         s2.step()
-    np.testing.assert_array_equal(np.asarray(s1.state.fluid.pos),
-                                  np.asarray(s2.state.fluid.pos))
+    np.testing.assert_array_equal(s1.state.fluid.pos.to_numpy(),
+                                  s2.state.fluid.pos.to_numpy())
 
 
 def test_clamp_boundary_mode():
@@ -83,7 +83,7 @@ def test_clamp_boundary_mode():
         sim.step()
     stats = sim.telemetry()
     assert stats["nan_particles"] == 0
-    pos = np.asarray(sim.state.fluid.pos)
+    pos = sim.state.fluid.pos.to_numpy()
     # Clamp margin = diameter (wcsph_solver.py:57-63).
     assert pos.min() >= 0.05 - 1e-5
     assert np.all(pos <= np.array([0.6, 0.8, 0.6]) - 0.05 + 1e-5)
@@ -96,8 +96,8 @@ def test_checkpoint_roundtrip(tmp_path, sim_result):
     io_utils.save_checkpoint(path, sim_result.state, meta={"t": sim_result.t})
     sim2 = _make_sim()
     restored = io_utils.load_checkpoint(path, sim2.state)
-    np.testing.assert_array_equal(np.asarray(restored.fluid.pos),
-                                  np.asarray(sim_result.state.fluid.pos))
+    np.testing.assert_array_equal(restored.fluid.pos.to_numpy(),
+                                  sim_result.state.fluid.pos.to_numpy())
     assert float(restored.t) == sim_result.t
 
 
