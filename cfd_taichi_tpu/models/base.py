@@ -322,3 +322,237 @@ def clamp_to_box(st: SceneStatic, pos: V3, vel: V3, margin: float,
 def gravity_acc(st: SceneStatic) -> V3:
     """a = g * (0, -1, 0) (reference solver_base.py:131-134), broadcastable."""
     return V3(jnp.float32(0.0), jnp.float32(-st.gravity), jnp.float32(0.0))
+
+
+# ===========================================================================
+# Windowed pair-sweep context (the fast path — see ops/pairwise.py)
+# ===========================================================================
+
+from cfd_taichi_tpu.ops import pairwise as pw  # noqa: E402
+
+
+class Sweep(NamedTuple):
+    """One sorted source set + its per-block windows, with cached windowed
+    positions. Pair tensors (x_ij, masks) are recomputed per pass so they
+    fuse into each pass's reduction instead of being materialized."""
+    eng: pw.PairEngine
+    pos_w: V3               # (nblk, W) windowed source positions
+    gid_w: Optional[jnp.ndarray]  # (nblk, W) sorted-global ids (self-exclusion)
+
+
+class Ctx(NamedTuple):
+    """Per-step sorted-fluid solver context."""
+    fluid: pw.SortedSet          # sorted fluid set; .pos is THE sorted position
+    q_pos: V3                    # (nblk, B) blockified sorted fluid positions
+    q_valid: jnp.ndarray         # (nblk, B)
+    q_gid: jnp.ndarray           # (nblk, B) sorted fluid index of each query
+    f: Sweep                     # fluid -> fluid
+    r: Optional[Sweep]           # fluid -> rigid (when active & coupled)
+    b: Optional[Sweep]           # fluid -> boundary (Akinci mode)
+    rigid_set: Optional[pw.SortedSet]
+    rigid_vol_w: Optional[jnp.ndarray]   # (nblk, Wr) windowed rigid volumes
+    rigid_lid_w: Optional[jnp.ndarray]   # (nblk, Wr) original rigid local ids
+    bvol_w: Optional[jnp.ndarray]        # (nblk, Wb) windowed boundary volumes
+    overflow: jnp.ndarray        # () int32 — max window overflow this step
+
+
+def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
+              rigid_pos: Optional[V3]) -> Ctx:
+    """Sort the fluid (and rigid) sets by cell and build pair windows.
+
+    This replaces the reference's per-step grid rebuild
+    (solver_base.py:139-141) in the windowed formulation. Callers must
+    permute all their per-fluid state by `ctx.fluid.perm`.
+    """
+    n = st.n_fluid
+    fluid = pw.sort_set(fluid_pos, st.grid)
+    nq = pw.pad_to_blocks(n, st.B)
+    nblk = nq // st.B
+    # Pad query cells with the last real cell so block ranges stay tight.
+    pad = nq - n
+    last_cell = fluid.cells[-1]
+    q_cells = jnp.concatenate([fluid.cells,
+                               jnp.full((pad,), 1, jnp.int32) * last_cell])
+    q_pos = pw.blockify_v3(fluid.pos, nblk, st.B)
+    q_valid = pw.blockify(jnp.ones((n,), bool), nblk, st.B, fill=False)
+    q_gid = pw.blockify(jnp.arange(n, dtype=jnp.int32), nblk, st.B, fill=-1)
+
+    eng_f = pw.build_engine(q_cells, fluid.starts, n, st.grid, st.B, st.Wf)
+    f_sweep = Sweep(eng=eng_f, pos_w=pw.window_v3(eng_f, fluid.pos),
+                    gid_w=jnp.where(eng_f.win_valid, eng_f.win_idx, -2))
+    overflow = eng_f.overflow
+
+    r_sweep = None
+    rigid_set = None
+    rigid_vol_w = None
+    rigid_lid_w = None
+    if st.rigid_active and rigid_pos is not None and st.n_rigid > 0:
+        rigid_set = pw.sort_set(rigid_pos, st.grid)
+        eng_r = pw.build_engine(q_cells, rigid_set.starts, st.n_rigid,
+                                st.grid, st.B, st.Wr)
+        r_sweep = Sweep(eng=eng_r, pos_w=pw.window_v3(eng_r, rigid_set.pos),
+                        gid_w=None)
+        rigid_vol_w = pw.window(eng_r, arrays.rigid_volume[rigid_set.perm])
+        rigid_lid_w = pw.window(eng_r, rigid_set.perm, fill=0).astype(jnp.int32)
+        overflow = jnp.maximum(overflow, eng_r.overflow)
+
+    b_sweep = None
+    bvol_w = None
+    if st.akinci:
+        eng_b = pw.build_engine(q_cells, arrays.boundary_table.starts,
+                                st.n_boundary, st.grid, st.B, st.Wb)
+        bpos_s = arrays.boundary_pos.take(arrays.boundary_table.order)
+        bvol_s = arrays.boundary_volume[arrays.boundary_table.order]
+        b_sweep = Sweep(eng=eng_b, pos_w=pw.window_v3(eng_b, bpos_s), gid_w=None)
+        bvol_w = pw.window(eng_b, bvol_s)
+        overflow = jnp.maximum(overflow, eng_b.overflow)
+
+    return Ctx(fluid=fluid, q_pos=q_pos, q_valid=q_valid, q_gid=q_gid,
+               f=f_sweep, r=r_sweep, b=b_sweep, rigid_set=rigid_set,
+               rigid_vol_w=rigid_vol_w, rigid_lid_w=rigid_lid_w,
+               bvol_w=bvol_w, overflow=overflow)
+
+
+def pair_geom(st: SceneStatic, ctx: Ctx, sweep: Sweep, exclude_self: bool):
+    """x_ij (nblk,B,W), r, and the pair validity mask for one sweep.
+    Recomputed per pass; fuses into the pass reduction."""
+    x_ij = ctx.q_pos.expand(2) - sweep.pos_w.expand(1)
+    r2 = x_ij.norm2()
+    mask = (sweep.eng.win_valid[:, None, :] & ctx.q_valid[:, :, None]
+            & (r2 <= jnp.float32(st.h) ** 2))
+    if exclude_self and sweep.gid_w is not None:
+        mask &= sweep.gid_w[:, None, :] != ctx.q_gid[:, :, None]
+    return x_ij, jnp.sqrt(r2), mask
+
+
+def sweep_sum(term: jnp.ndarray, mask: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Masked pair reduction: (nblk,B,W) -> (N,) in sorted-query order."""
+    return pw.unblock(jnp.sum(jnp.where(mask, term, 0.0), axis=2), n)
+
+
+def sweep_sum_vec(x_ij: V3, scale: jnp.ndarray, n: int) -> V3:
+    """Reduce scale*x_ij over the window axis -> V3 of (N,). `scale` must
+    already be masked (zero where invalid)."""
+    return pw.unblock_v3(V3(jnp.sum(x_ij.x * scale, axis=2),
+                            jnp.sum(x_ij.y * scale, axis=2),
+                            jnp.sum(x_ij.z * scale, axis=2)), n)
+
+
+def q_form(ctx: Ctx, arr: jnp.ndarray) -> jnp.ndarray:
+    """(N,) sorted per-fluid array -> (nblk, B, 1) broadcastable query form."""
+    nblk, B = ctx.q_valid.shape
+    return pw.blockify(arr, nblk, B)[:, :, None]
+
+
+def w_form_fluid(ctx: Ctx, arr: jnp.ndarray) -> jnp.ndarray:
+    """(N,) sorted per-fluid array -> (nblk, 1, W) broadcastable window form."""
+    return pw.window(ctx.f.eng, arr)[:, None, :]
+
+
+def neighbor_counts(st: SceneStatic, ctx: Ctx) -> jnp.ndarray:
+    """Dynamic-set neighbor count per fluid particle (fluid + active rigid),
+    the reference's get_neighbour_count (ParticleSystem.py:424-445)."""
+    _, _, mask_f = pair_geom(st, ctx, ctx.f, exclude_self=True)
+    count = jnp.sum(mask_f, axis=2)
+    if ctx.r is not None and st.fs_couple:
+        _, _, mask_r = pair_geom(st, ctx, ctx.r, exclude_self=False)
+        count = count + jnp.sum(mask_r, axis=2)
+    return pw.unblock(count, st.n_fluid)
+
+
+# --- shared physics ops in windowed form -----------------------------------
+
+def ctx_rho(st: SceneStatic, ctx: Ctx) -> jnp.ndarray:
+    """Density (reference solver_base.py:41-72) over the sweeps."""
+    import cfd_taichi_tpu.ops.smoothing as sm_
+
+    _, r, mask = pair_geom(st, ctx, ctx.f, exclude_self=True)
+    rho = DENSITY_EPS + st.particle_m * sweep_sum(
+        sm_.cubic_w(r, st.h), mask, st.n_fluid)
+    if ctx.r is not None and st.fs_couple:
+        _, rr, mask_r = pair_geom(st, ctx, ctx.r, exclude_self=False)
+        rho = rho + RHO_0 * sweep_sum(
+            ctx.rigid_vol_w[:, None, :] * sm_.cubic_w(rr, st.h), mask_r,
+            st.n_fluid)
+    if ctx.b is not None:
+        _, rb, mask_b = pair_geom(st, ctx, ctx.b, exclude_self=False)
+        rho = rho + RHO_0 * sweep_sum(
+            ctx.bvol_w[:, None, :] * sm_.cubic_w(rb, st.h), mask_b,
+            st.n_fluid)
+    return rho
+
+
+def ctx_viscosity(st: SceneStatic, ctx: Ctx, vel_s: V3, rho: jnp.ndarray,
+                  rigid: "RigidBodyState", c_s: float, alpha: float,
+                  eps: float = 0.01) -> V3:
+    """Monaghan artificial viscosity (solver_base.py:170-202), sorted order."""
+    import cfd_taichi_tpu.ops.smoothing as sm_
+
+    x_ij, r, mask = pair_geom(st, ctx, ctx.f, exclude_self=True)
+    v_w = pw.window_v3(ctx.f.eng, vel_s)
+    v_ij = V3(q_form(ctx, vel_s.x) - v_w.x[:, None, :],
+              q_form(ctx, vel_s.y) - v_w.y[:, None, :],
+              q_form(ctx, vel_s.z) - v_w.z[:, None, :])
+    shear = v_ij.dot(x_ij)
+    q2 = r * r
+    rho_q = q_form(ctx, rho)
+    rho_w = w_form_fluid(ctx, rho)
+    nu = (2.0 * alpha * st.h * c_s) / (rho_q + rho_w)
+    pi = -nu * shear / (q2 + eps * st.h * st.h)
+    gcoef = sm_.cubic_grad_coeff(r, st.h)
+    scale = jnp.where(mask & (shear < 0.0), -st.particle_m * pi * gcoef, 0.0)
+    out = sweep_sum_vec(x_ij, scale, st.n_fluid)
+    if ctx.r is not None and st.fs_couple:
+        x_r, rr, mask_r = pair_geom(st, ctx, ctx.r, exclude_self=False)
+        # Rigid neighbors carry the body linear velocity (rigid_solver.py:97).
+        v_ij_r = V3(q_form(ctx, vel_s.x) - rigid.vel[0],
+                    q_form(ctx, vel_s.y) - rigid.vel[1],
+                    q_form(ctx, vel_s.z) - rigid.vel[2])
+        shear_r = v_ij_r.dot(x_r)
+        q2r = rr * rr
+        # Reference quirk: rho of a solid neighbor is read from the fluid
+        # rho field at the rigid-local index (solver_base.py:199).
+        rho_quirk = rho[jnp.clip(ctx.rigid_lid_w, 0, st.n_fluid - 1)]
+        nu_r = (2.0 * alpha * st.h * c_s) / (rho_q + rho_quirk[:, None, :])
+        pi_r = -nu_r * shear_r / (q2r + eps * st.h * st.h)
+        gc_r = sm_.cubic_grad_coeff(rr, st.h)
+        scale_r = jnp.where(mask_r & (shear_r < 0.0),
+                            -RHO_0 * ctx.rigid_vol_w[:, None, :] * pi_r * gc_r,
+                            0.0)
+        out = out + sweep_sum_vec(x_r, scale_r, st.n_fluid)
+    return st.particle_m * out
+
+
+def ctx_tension(st: SceneStatic, ctx: Ctx, tension_k: float) -> V3:
+    """Cohesion -k m W x_ij, fluid-fluid only (solver_base.py:204-217)."""
+    import cfd_taichi_tpu.ops.smoothing as sm_
+
+    x_ij, r, mask = pair_geom(st, ctx, ctx.f, exclude_self=True)
+    scale = jnp.where(mask, -tension_k * sm_.cubic_w(r, st.h), 0.0)
+    return st.particle_m * sweep_sum_vec(x_ij, scale, st.n_fluid)
+
+
+def ctx_boundary_pressure_acc(st: SceneStatic, ctx: Ctx, p_i, rho_i) -> V3:
+    """Akinci boundary pressure acc: -sum_b V_b p_i/rho_i^2 gradW
+    (wcsph_solver.py:92-100)."""
+    import cfd_taichi_tpu.ops.smoothing as sm_
+
+    xb, rb, mask_b = pair_geom(st, ctx, ctx.b, exclude_self=False)
+    gcoef = sm_.cubic_grad_coeff(rb, st.h)
+    coeff = q_form(ctx, p_i / (rho_i * rho_i))
+    scale = jnp.where(mask_b, -ctx.bvol_w[:, None, :] * coeff * gcoef, 0.0)
+    return sweep_sum_vec(xb, scale, st.n_fluid)
+
+
+def ctx_scatter_rigid_force(st: SceneStatic, ctx: Ctx, contrib: V3,
+                            pair_mask, force: V3) -> V3:
+    """Scatter per-pair (nblk,B,Wr) contributions onto rigid particles in
+    their ORIGINAL order (deterministic segment-sum; replaces atomic +=)."""
+    if ctx.r is None or not st.fs_couple:
+        return force
+    sums_sorted = pw.scatter_window_sum(
+        ctx.r.eng, contrib.x, contrib.y, contrib.z, pair_mask, st.n_rigid)
+    perm = ctx.rigid_set.perm
+    return V3(force.x.at[perm].add(sums_sorted.x),
+              force.y.at[perm].add(sums_sorted.y),
+              force.z.at[perm].add(sums_sorted.z))

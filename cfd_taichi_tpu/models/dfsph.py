@@ -19,8 +19,8 @@ Functional parity with the reference `dfsph_solver` (dfsph_solver.py:1-445):
   * position update with 0.9999 friction      (dfsph_solver.py:235-250)
 
 All three host loops (reference dfsph_solver.py:221-233, 393-416 with a
-device->host scalar sync per iteration) become on-device `lax.while_loop`s.
-All pair math is component-separated (V3) for clean TPU tiling.
+device->host scalar sync per iteration) become on-device `lax.while_loop`s
+over windowed pair sweeps (ops/pairwise.py).
 """
 
 from __future__ import annotations
@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
+from cfd_taichi_tpu.ops import pairwise as pw
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
@@ -55,143 +56,158 @@ def init_state(scene: Scene) -> base.SimState:
     return base.init_sim_state(scene, extra=(warm_k,))
 
 
-class _Pairs:
-    """Step-constant pair geometry shared by all passes (2-D buffers only)."""
-
-    def __init__(self, st: SceneStatic, arrays: SceneArrays, nh, pos: V3,
-                 rigid: base.RigidBodyState):
-        self.st = st
-        self.rigid = rigid
-        self.j = nh.nbr.idx
-        self.jf = jnp.clip(self.j, 0, st.n_fluid - 1)
-        self.x_ij = base.pair_disp(pos, nh.pos_all, self.j)
-        self.gcoef = sm.cubic_grad_coeff(self.x_ij.norm(), st.h)
-        self.mask_f, self.mask_s = base.fluid_solid_masks(st, nh)
-        self.vol_j = base.gather_rigid_volume(st, arrays, self.j)
-        if st.akinci:
-            self.bj, self.bm = nh.bnbr.idx, nh.bnbr.mask
-            self.xb = base.pair_disp(pos, arrays.boundary_pos, self.bj)
-            self.bgcoef = sm.cubic_grad_coeff(self.xb.norm(), st.h)
-            self.bvol = arrays.boundary_volume[self.bj]
-        if st.rigid_active and st.n_rigid > 0:
-            # Rigid particle offsets from the centroid (contact velocities).
-            self.rigid_rel = V3(nh.pos_all.x[st.n_fluid:] - rigid.centroid[0],
-                                nh.pos_all.y[st.n_fluid:] - rigid.centroid[1],
-                                nh.pos_all.z[st.n_fluid:] - rigid.centroid[2])
-
-    def grad_dot_x(self, v: V3) -> jnp.ndarray:
-        """v . gradW for each pair, where gradW = gcoef * x_ij."""
-        return v.dot(self.x_ij) * self.gcoef
-
-
-def _rigid_vel_at(pairs: _Pairs, dt, include_alpha: bool) -> V3:
-    """v_j of a solid neighbor: body vel + acc*dt + (omega [+ alpha*dt]) x r
-    (dfsph_solver.py:163-170 density path with alpha; 288-294 divergence
-    path without)."""
-    rigid = pairs.rigid
-    om = rigid.omega + (rigid.alpha * dt if include_alpha else 0.0)
-    lin = rigid.vel + rigid.acc * dt
-    omega_v = V3(om[0], om[1], om[2])
-    rel = pairs.rigid_rel
-    spin = omega_v.cross(rel)
-    return V3(lin[0] + spin.x, lin[1] + spin.y, lin[2] + spin.z)
-
-
-def _dynamic_vel(st: SceneStatic, pairs: _Pairs, vel_f: V3, v_rigid) -> V3:
-    if st.rigid_active and st.n_rigid > 0:
-        return base.concat_v3(vel_f, v_rigid)
-    return vel_f
-
-
-def _alpha_factor(st: SceneStatic, pairs: _Pairs, rho):
-    """alpha_i = rho_i / (|S_f|^2 + Q_f + Q_b + |S_b|^2), guard < 1e-6 -> 0
-    (dfsph_solver.py:32-51; note the boundary vector sum is squared
-    separately — reference quirk preserved)."""
-    coeff = jnp.where(pairs.mask_f, st.particle_m,
-                      jnp.where(pairs.mask_s, pairs.vol_j * RHO_0, 0.0))
-    scale = coeff * pairs.gcoef
-    vec = pairs.x_ij * scale                       # (N, K) components
-    s = vec.sum(axis=1)                            # V3 of (N,)
-    q = base.msum(vec.dot(vec), pairs.mask_f | pairs.mask_s)
-    denom = s.dot(s) + q
-    if st.akinci:
-        bscale = pairs.bvol * RHO_0 * pairs.bgcoef
-        bvec = (pairs.xb * bscale).where(pairs.bm)
-        sb = bvec.sum(axis=1)
-        qb = base.msum(bvec.dot(bvec), pairs.bm)
-        denom = denom + qb + sb.dot(sb)
-    return jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
-
-
-def _stiff_vel_delta(st: SceneStatic, pairs: _Pairs, k_over_rho,
-                     extra_fluid_guard: bool = False):
-    """Common stiffness velocity update used by warm start, divergence and
-    density iterations: Sum_f m (ki/ri + kj/rj) gradW + Sum_s V rho0 ki/ri
-    gradW + rho0 * Sum_b V ki/ri gradW. `k_over_rho` = k_i / rho_i (Nf,).
-    With `extra_fluid_guard`, fluid pairs only contribute when the combined
-    factor > 1e-5 (dfsph_solver.py:367). Returns (delta V3, solid scale or
-    None for the rigid-force scatter)."""
-    kij = k_over_rho[:, None] + k_over_rho[pairs.jf]
-    mf = pairs.mask_f & (kij > 1e-5) if extra_fluid_guard else pairs.mask_f
-    scale = jnp.where(mf, st.particle_m * kij * pairs.gcoef, 0.0)
-    solid_scale = None
-    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-        solid_scale = jnp.where(
-            pairs.mask_s,
-            pairs.vol_j * RHO_0 * k_over_rho[:, None] * pairs.gcoef, 0.0)
-        scale = scale + solid_scale
-    out = (pairs.x_ij * scale).sum(axis=1)
-    if st.akinci:
-        bscale = jnp.where(
-            pairs.bm, pairs.bvol * k_over_rho[:, None] * pairs.bgcoef, 0.0)
-        out = out + RHO_0 * (pairs.xb * bscale).sum(axis=1)
-    return out, solid_scale
-
-
-def _rho_derivative(st: SceneStatic, pairs: _Pairs, vel: V3, counts, dt):
-    """max(sum (v_i - v_j) . gradW terms, 0) with <20-neighbor skip; returns
-    (dr array, avg over positive entries) (dfsph_solver.py:252-300)."""
-    if st.rigid_active and st.n_rigid > 0:
-        v_rigid = _rigid_vel_at(pairs, dt, include_alpha=False)
-    else:
-        v_rigid = None
-    v_all = _dynamic_vel(st, pairs, vel, v_rigid)
-    v_ij = vel.expand(1) - v_all.take(pairs.j)
-    dots = v_ij.dot(pairs.x_ij) * pairs.gcoef
-    dr = st.particle_m * base.msum(dots, pairs.mask_f)
-    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-        dr = dr + RHO_0 * base.msum(pairs.vol_j * dots, pairs.mask_s)
-    if st.akinci:
-        bdots = vel.expand(1).dot(pairs.xb) * pairs.bgcoef
-        dr = dr + RHO_0 * base.msum(pairs.bvol * bdots, pairs.bm)
-    dr = jnp.where(counts < MIN_NEIGHBORS, 0.0, jnp.maximum(dr, 0.0))
-    pos_mask = dr > 0.0
-    cnt = jnp.sum(pos_mask)
-    avg = jnp.where(cnt > 0, jnp.sum(jnp.where(pos_mask, dr, 0.0)) / cnt, 0.0)
-    return dr, avg
-
-
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
     fluid, rigid = state.fluid, state.rigid
-    pos, vel = fluid.pos, fluid.vel
     dt = state.dt
     (warm_k,) = state.extra
 
-    nh = base.build_neighborhood(st, arrays, pos, rigid.pos)
-    pairs = _Pairs(st, arrays, nh, pos, rigid)
-    counts = nh.nbr.count
+    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
+    perm = ctx.fluid.perm
+    pos = ctx.fluid.pos
+    vel = fluid.vel.take(perm)
+    warm_k = warm_k[perm]
+    n = st.n_fluid
+    nblk, B = ctx.q_valid.shape
+
+    # NOTE: pair geometry (x_ij, r, masks — (nblk, B, W) tensors) is
+    # recomputed inside every sweep below. Hoisting it out of the while
+    # loops would materialize multi-GB loop invariants in HBM and make every
+    # sweep HBM-bound; recomputation from the small (nblk, W) windows is
+    # nearly free on the VPU and lets XLA fuse it into each reduction.
+    has_rigid = ctx.r is not None and st.fs_couple
+    if has_rigid:
+        # Rigid window particle offsets from the centroid (small: (nblk, Wr)).
+        rel_r = V3(ctx.r.pos_w.x - rigid.centroid[0],
+                   ctx.r.pos_w.y - rigid.centroid[1],
+                   ctx.r.pos_w.z - rigid.centroid[2])
+
+    counts = base.neighbor_counts(st, ctx)
 
     # --- initialize: rho + alpha (dfsph_solver.py:423-426) ------------------
-    rho = base.compute_rho(st, arrays, nh, pos)
-    alpha = _alpha_factor(st, pairs, rho)
+    rho = base.ctx_rho(st, ctx)
+
+    # alpha_i = rho_i / (|S_f+s|^2 + Q_f+s + Q_b + |S_b|^2), guard < 1e-6
+    # (dfsph_solver.py:32-51; boundary vector sum squared separately — quirk).
+    x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+    gc_f = sm.cubic_grad_coeff(r_f, st.h)
+    coeff_f = jnp.where(mask_f, st.particle_m * gc_f, 0.0)
+    sx = jnp.sum(x_f.x * coeff_f, axis=2)
+    sy = jnp.sum(x_f.y * coeff_f, axis=2)
+    sz = jnp.sum(x_f.z * coeff_f, axis=2)
+    qsum = jnp.sum(coeff_f * coeff_f * (r_f * r_f), axis=2)
+    if has_rigid:
+        x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
+        gc_r = sm.cubic_grad_coeff(r_r, st.h)
+        coeff_r = jnp.where(mask_r,
+                            ctx.rigid_vol_w[:, None, :] * RHO_0 * gc_r, 0.0)
+        sx = sx + jnp.sum(x_r.x * coeff_r, axis=2)
+        sy = sy + jnp.sum(x_r.y * coeff_r, axis=2)
+        sz = sz + jnp.sum(x_r.z * coeff_r, axis=2)
+        qsum = qsum + jnp.sum(coeff_r * coeff_r * (r_r * r_r), axis=2)
+    denom = sx * sx + sy * sy + sz * sz + qsum
+    if ctx.b is not None:
+        x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b, exclude_self=False)
+        gc_b = sm.cubic_grad_coeff(r_b, st.h)
+        coeff_b = jnp.where(mask_b, ctx.bvol_w[:, None, :] * RHO_0 * gc_b, 0.0)
+        sbx = jnp.sum(x_b.x * coeff_b, axis=2)
+        sby = jnp.sum(x_b.y * coeff_b, axis=2)
+        sbz = jnp.sum(x_b.z * coeff_b, axis=2)
+        qb = jnp.sum(coeff_b * coeff_b * (r_b * r_b), axis=2)
+        denom = denom + qb + sbx * sbx + sby * sby + sbz * sbz
+    del x_f, r_f, mask_f, gc_f, coeff_f  # do not leak into loop closures
+    if has_rigid:
+        del x_r, r_r, mask_r, gc_r, coeff_r
+    if ctx.b is not None:
+        del x_b, r_b, mask_b, gc_b, coeff_b
+    denom = pw.unblock(denom, n)
+    alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
+
+    def stiff_vel_delta(k_over_rho, extra_fluid_guard=False):
+        """Sum_f m (ki/ri + kj/rj) gradW + Sum_s V rho0 ki/ri gradW + rho0 *
+        Sum_b V ki/ri gradW. Returns (delta V3 (N,), (solid scale, x_r,
+        mask_r) or None). Geometry recomputed in-body (see NOTE above)."""
+        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+        gc_f = sm.cubic_grad_coeff(r_f, st.h)
+        kq = base.q_form(ctx, k_over_rho)
+        kij = kq + base.w_form_fluid(ctx, k_over_rho)
+        mf = mask_f & (kij > 1e-5) if extra_fluid_guard else mask_f
+        scale = jnp.where(mf, st.particle_m * kij * gc_f, 0.0)
+        out = base.sweep_sum_vec(x_f, scale, n)
+        solid = None
+        if has_rigid:
+            x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r,
+                                              exclude_self=False)
+            gc_r = sm.cubic_grad_coeff(r_r, st.h)
+            s_scale = jnp.where(
+                mask_r, ctx.rigid_vol_w[:, None, :] * RHO_0 * kq * gc_r, 0.0)
+            out = out + base.sweep_sum_vec(x_r, s_scale, n)
+            solid = (s_scale, x_r, mask_r)
+        if ctx.b is not None:
+            x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b,
+                                              exclude_self=False)
+            gc_b = sm.cubic_grad_coeff(r_b, st.h)
+            b_scale = jnp.where(mask_b,
+                                ctx.bvol_w[:, None, :] * kq * gc_b, 0.0)
+            out = out + RHO_0 * base.sweep_sum_vec(x_b, b_scale, n)
+        return out, solid
+
+    def rigid_vel_w(include_alpha: bool):
+        """Contact velocity of rigid window particles: v + a dt +
+        (omega [+ alpha dt]) x r (dfsph_solver.py:163-170, 288-294)."""
+        om = rigid.omega + (rigid.alpha * dt if include_alpha else 0.0)
+        lin = rigid.vel + rigid.acc * dt
+        spin = V3(om[0], om[1], om[2]).cross(rel_r)
+        return V3(lin[0] + spin.x, lin[1] + spin.y, lin[2] + spin.z)
+
+    def vel_dot_terms(v: V3, v_rw):
+        """sum (v_i - v_j) . gradW with m / V rho0 weights (+ boundary with
+        v_j = 0). Returns (N,) density-rate. Geometry recomputed in-body."""
+        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+        gc_f = sm.cubic_grad_coeff(r_f, st.h)
+        vq = pw.blockify_v3(v, nblk, B)
+        vw = pw.window_v3(ctx.f.eng, v)
+        dots = ((vq.x[:, :, None] - vw.x[:, None, :]) * x_f.x
+                + (vq.y[:, :, None] - vw.y[:, None, :]) * x_f.y
+                + (vq.z[:, :, None] - vw.z[:, None, :]) * x_f.z) * gc_f
+        d = st.particle_m * base.sweep_sum(dots, mask_f, n)
+        if has_rigid:
+            x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r,
+                                              exclude_self=False)
+            gc_r = sm.cubic_grad_coeff(r_r, st.h)
+            dots_r = ((vq.x[:, :, None] - v_rw.x[:, None, :]) * x_r.x
+                      + (vq.y[:, :, None] - v_rw.y[:, None, :]) * x_r.y
+                      + (vq.z[:, :, None] - v_rw.z[:, None, :]) * x_r.z) * gc_r
+            d = d + RHO_0 * base.sweep_sum(
+                ctx.rigid_vol_w[:, None, :] * dots_r, mask_r, n)
+        if ctx.b is not None:
+            x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b,
+                                              exclude_self=False)
+            gc_b = sm.cubic_grad_coeff(r_b, st.h)
+            dots_b = (vq.x[:, :, None] * x_b.x + vq.y[:, :, None] * x_b.y
+                      + vq.z[:, :, None] * x_b.z) * gc_b
+            d = d + RHO_0 * base.sweep_sum(
+                ctx.bvol_w[:, None, :] * dots_b, mask_b, n)
+        return d
+
+    def rho_derivative(v: V3):
+        """max(drho/dt, 0) with the <20-neighbor skip and positive-average
+        residual (dfsph_solver.py:252-300)."""
+        v_rw = rigid_vel_w(include_alpha=False) if has_rigid else None
+        dr = vel_dot_terms(v, v_rw)
+        dr = jnp.where(counts < MIN_NEIGHBORS, 0.0, jnp.maximum(dr, 0.0))
+        pos_mask = dr > 0.0
+        cnt = jnp.sum(pos_mask)
+        avg = jnp.where(cnt > 0,
+                        jnp.sum(jnp.where(pos_mask, dr, 0.0)) / cnt, 0.0)
+        return dr, avg
 
     # --- divergence solve (dfsph_solver.py:393-416) -------------------------
     if WARM_START:
-        delta, _ = _stiff_vel_delta(st, pairs, (warm_k / dt) / rho)
+        delta, _ = stiff_vel_delta((warm_k / dt) / rho)
         vel = vel - delta * dt
         warm_k = jnp.zeros_like(warm_k)
 
-    dr0, avg0 = _rho_derivative(st, pairs, vel, counts, dt)
+    dr0, avg0 = rho_derivative(vel)
 
     def div_cond(carry):
         _, _, _, avg, _, stop, it = carry
@@ -201,11 +217,10 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     def div_body(carry):
         v, wk, dr, avg, past, _, it = carry
         k_over_rho = (dr * alpha / dt) / rho
-        delta, _ = _stiff_vel_delta(st, pairs, k_over_rho,
-                                    extra_fluid_guard=True)
+        delta, _ = stiff_vel_delta(k_over_rho, extra_fluid_guard=True)
         v = v - delta * dt
         wk = wk + dr * alpha          # sum_up_stiff (dfsph_solver.py:381-384)
-        new_dr, new_avg = _rho_derivative(st, pairs, v, counts, dt)
+        new_dr, new_avg = rho_derivative(v)
         stop = jnp.abs(new_avg - avg) < STALL_EPS
         return (v, wk, new_dr, new_avg, avg, stop, it + 1)
 
@@ -215,18 +230,19 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
          jnp.zeros((), jnp.int32)))
 
     # --- external forces + v_adv + adaptive dt (dfsph_solver.py:91-122) -----
-    tension = base.compute_tension(st, nh, pos, TENSION_K)
-    viscosity = base.compute_viscosity(st, arrays, nh, pos, vel, rho, rigid,
-                                       c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    tension = base.ctx_tension(st, ctx, TENSION_K)
+    viscosity = base.ctx_viscosity(st, ctx, vel, rho, rigid,
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
     force_ext = base.gravity_acc(st) + tension + viscosity
     vel_adv = vel + force_ext * (dt / st.particle_m)
 
     max_vel = jnp.max(vel_adv.norm())
     if st.rigid_active and st.n_rigid > 0:
-        rel = pairs.rigid_rel
-        omega_v = V3(rigid.omega[0], rigid.omega[1], rigid.omega[2])
-        spin = omega_v.cross(rel).norm()
-        max_vel = max_vel + jnp.max(jnp.linalg.norm(rigid.vel) + spin)
+        rel = V3(rigid.pos.x - rigid.centroid[0],
+                 rigid.pos.y - rigid.centroid[1],
+                 rigid.pos.z - rigid.centroid[2])
+        spin = V3(rigid.omega[0], rigid.omega[1], rigid.omega[2]).cross(rel)
+        max_vel = max_vel + jnp.max(jnp.linalg.norm(rigid.vel) + spin.norm())
     if ADAPTIVE_DT:
         cfl_dt = 0.4 * (2.0 * st.particle_radius) / max_vel * 0.2
         dt = jnp.clip(cfl_dt, MIN_DT, MAX_DT)
@@ -234,19 +250,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     # --- density solve (dfsph_solver.py:221-233) ----------------------------
     def rho_adv_of(v_adv: V3):
-        if st.rigid_active and st.n_rigid > 0:
-            v_rigid = _rigid_vel_at(pairs, dt, include_alpha=True)
-        else:
-            v_rigid = None
-        v_all = _dynamic_vel(st, pairs, v_adv, v_rigid)
-        v_ij = v_adv.expand(1) - v_all.take(pairs.j)
-        dots = v_ij.dot(pairs.x_ij) * pairs.gcoef
-        d = st.particle_m * base.msum(dots, pairs.mask_f)
-        if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-            d = d + RHO_0 * base.msum(pairs.vol_j * dots, pairs.mask_s)
-        if st.akinci:
-            bdots = v_adv.expand(1).dot(pairs.xb) * pairs.bgcoef
-            d = d + RHO_0 * base.msum(pairs.bvol * bdots, pairs.bm)
+        v_rw = rigid_vel_w(include_alpha=True) if has_rigid else None
+        d = vel_dot_terms(v_adv, v_rw)
         rho_adv = jnp.maximum(rho + dt * d, RHO_0)
         unclamped = rho_adv != RHO_0
         cnt = jnp.sum(unclamped)
@@ -266,13 +271,14 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         v_adv, _, rforce, it = carry
         rho_adv, avg = rho_adv_of(v_adv)
         k_over_rho = ((rho_adv - RHO_0) * alpha / dt2) / rho
-        delta, solid_scale = _stiff_vel_delta(st, pairs, k_over_rho)
-        if solid_scale is not None:
+        delta, solid = stiff_vel_delta(k_over_rho)
+        if solid is not None:
             # Rigid reaction accumulates every density iteration
             # (dfsph_solver.py:204-212).
-            contrib = pairs.x_ij * (solid_scale * st.particle_m)
-            rforce = base.scatter_rigid_force(st, nh, contrib, pairs.mask_s,
-                                              rforce)
+            s_scale, x_r_, mask_r_ = solid
+            contrib = x_r_ * (s_scale * st.particle_m)
+            rforce = base.ctx_scatter_rigid_force(st, ctx, contrib, mask_r_,
+                                                  rforce)
         v_adv = v_adv - delta * dt
         return (v_adv, avg, rforce, it + 1)
 
@@ -289,7 +295,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=fluid.acc),
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(perm)),
         rigid=rigid._replace(force=rigid_force),
         dt=dt,
         t=state.t + dt,

@@ -14,8 +14,8 @@ Functional parity with the reference `iisph_solver` (iisph_solver.py:1-349):
     rigid force scatter once per step          (iisph_solver.py:150-206)
 
 The reference's host loop with per-iteration kernel-scalar residual sync
-(iisph_solver.py:78-99) becomes an on-device `lax.while_loop`. All pair
-math is component-separated (V3) for clean TPU tiling.
+(iisph_solver.py:78-99) becomes an on-device `lax.while_loop` over windowed
+pair sweeps (ops/pairwise.py).
 """
 
 from __future__ import annotations
@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
+from cfd_taichi_tpu.ops import pairwise as pw
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
@@ -45,108 +46,162 @@ def init_state(scene: Scene) -> base.SimState:
 
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
-    pos, vel = fluid.pos, fluid.vel
     (p_past,) = state.extra
     dt2 = dt * dt
 
-    nh = base.build_neighborhood(st, arrays, pos, rigid.pos)
-    j = nh.nbr.idx
-    jf = jnp.clip(j, 0, st.n_fluid - 1)
-    x_ij = base.pair_disp(pos, nh.pos_all, j)
-    gcoef = sm.cubic_grad_coeff(x_ij.norm(), st.h)
-    mask_f, mask_s = base.fluid_solid_masks(st, nh)
-    vol_j = base.gather_rigid_volume(st, arrays, j)
-    if st.akinci:
-        bj, bm = nh.bnbr.idx, nh.bnbr.mask
-        bvol = arrays.boundary_volume[bj]
-        xb = base.pair_disp(pos, arrays.boundary_pos, bj)
-        bgcoef = sm.cubic_grad_coeff(xb.norm(), st.h)
+    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
+    perm = ctx.fluid.perm
+    pos = ctx.fluid.pos
+    vel = fluid.vel.take(perm)
+    p_past = p_past[perm]
+    n = st.n_fluid
+    nblk, B = ctx.q_valid.shape
+
+    # Step-level pair geometry for the predict-advection section. The solve
+    # loop's closures recompute their own geometry in-body so no (nblk,B,W)
+    # tensor becomes a materialized while-loop invariant.
+    x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+    gc_f = sm.cubic_grad_coeff(r_f, st.h)
+    has_rigid = ctx.r is not None and st.fs_couple
+    if has_rigid:
+        x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
+        gc_r = sm.cubic_grad_coeff(r_r, st.h)
+    if ctx.b is not None:
+        x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b, exclude_self=False)
+        gc_b = sm.cubic_grad_coeff(r_b, st.h)
 
     # --- predict advection (iisph_solver.py:36-75) --------------------------
-    rho = base.compute_rho(st, arrays, nh, pos)
-    tension = base.compute_tension(st, nh, pos, TENSION_K)
-    viscosity = base.compute_viscosity(st, arrays, nh, pos, vel, rho, rigid,
-                                       c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    rho = base.ctx_rho(st, ctx)
+    tension = base.ctx_tension(st, ctx, TENSION_K)
+    viscosity = base.ctx_viscosity(st, ctx, vel, rho, rigid,
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
     f_adv = base.gravity_acc(st) + tension + viscosity
     v_adv = vel + f_adv * (dt / st.particle_m)
 
-    inv_rho_i2 = (1.0 / (rho * rho))[:, None]  # (Nf, 1)
+    inv_rho2_q = base.q_form(ctx, 1.0 / (rho * rho))   # (nblk, B, 1)
 
     # d_ii = dt^2 [ -sum_f m/rho_i^2 gradW - sum_s V rho0/rho_i^2 gradW
     #               - rho0 sum_b V_b/rho_i^2 gradW ]  (iisph_solver.py:255-273)
-    coeff = jnp.where(mask_f, st.particle_m, jnp.where(mask_s, vol_j * RHO_0, 0.0))
-    d_scale = jnp.where(mask_f | mask_s, -coeff * inv_rho_i2 * gcoef, 0.0)
-    d_ii = (x_ij * d_scale).sum(axis=1)   # V3 of (Nf,)
-    if st.akinci:
-        b_scale = jnp.where(bm, -bvol * inv_rho_i2 * bgcoef, 0.0)
-        d_ii = d_ii + RHO_0 * (xb * b_scale).sum(axis=1)
+    scale = jnp.where(mask_f, -st.particle_m * inv_rho2_q * gc_f, 0.0)
+    d_ii = base.sweep_sum_vec(x_f, scale, n)
+    if has_rigid:
+        scale_r = jnp.where(
+            mask_r, -ctx.rigid_vol_w[:, None, :] * RHO_0 * inv_rho2_q * gc_r,
+            0.0)
+        d_ii = d_ii + base.sweep_sum_vec(x_r, scale_r, n)
+    if ctx.b is not None:
+        scale_b = jnp.where(
+            mask_b, -ctx.bvol_w[:, None, :] * inv_rho2_q * gc_b, 0.0)
+        d_ii = d_ii + RHO_0 * base.sweep_sum_vec(x_b, scale_b, n)
     d_ii = d_ii * dt2
 
     # rho_adv (iisph_solver.py:57-66, 316-340): rigid neighbor velocity uses
     # omega + alpha dt about the centroid.
-    if st.rigid_active and st.n_rigid > 0:
-        rel = V3(nh.pos_all.x[st.n_fluid:] - rigid.centroid[0],
-                 nh.pos_all.y[st.n_fluid:] - rigid.centroid[1],
-                 nh.pos_all.z[st.n_fluid:] - rigid.centroid[2])
+    vq = pw.blockify_v3(v_adv, nblk, B)
+    vw = pw.window_v3(ctx.f.eng, v_adv)
+    dots = ((vq.x[:, :, None] - vw.x[:, None, :]) * x_f.x
+            + (vq.y[:, :, None] - vw.y[:, None, :]) * x_f.y
+            + (vq.z[:, :, None] - vw.z[:, None, :]) * x_f.z) * gc_f
+    drho = st.particle_m * base.sweep_sum(dots, mask_f, n)
+    if has_rigid:
+        rel_r = V3(ctx.r.pos_w.x - rigid.centroid[0],
+                   ctx.r.pos_w.y - rigid.centroid[1],
+                   ctx.r.pos_w.z - rigid.centroid[2])
         om = rigid.omega + rigid.alpha * dt
         lin = rigid.vel + rigid.acc * dt
-        spin = V3(om[0], om[1], om[2]).cross(rel)
-        v_rigid = V3(lin[0] + spin.x, lin[1] + spin.y, lin[2] + spin.z)
-        v_all = base.concat_v3(v_adv, v_rigid)
-    else:
-        v_all = v_adv
-    v_ij = v_adv.expand(1) - v_all.take(j)
-    dots = v_ij.dot(x_ij) * gcoef
-    drho = st.particle_m * base.msum(dots, mask_f)
-    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-        drho = drho + RHO_0 * base.msum(vol_j * dots, mask_s)
-    if st.akinci:
-        bdots = v_adv.expand(1).dot(xb) * bgcoef
-        drho = drho + RHO_0 * base.msum(bvol * bdots, bm)
+        spin = V3(om[0], om[1], om[2]).cross(rel_r)
+        v_rw = V3(lin[0] + spin.x, lin[1] + spin.y, lin[2] + spin.z)
+        dots_r = ((vq.x[:, :, None] - v_rw.x[:, None, :]) * x_r.x
+                  + (vq.y[:, :, None] - v_rw.y[:, None, :]) * x_r.y
+                  + (vq.z[:, :, None] - v_rw.z[:, None, :]) * x_r.z) * gc_r
+        drho = drho + RHO_0 * base.sweep_sum(
+            ctx.rigid_vol_w[:, None, :] * dots_r, mask_r, n)
+    if ctx.b is not None:
+        dots_b = (vq.x[:, :, None] * x_b.x + vq.y[:, :, None] * x_b.y
+                  + vq.z[:, :, None] * x_b.z) * gc_b
+        drho = drho + RHO_0 * base.sweep_sum(
+            ctx.bvol_w[:, None, :] * dots_b, mask_b, n)
     rho_adv = drho * dt + rho
 
     # a_ii with the d_ji correction (iisph_solver.py:276-303). d_ji uses the
     # querying particle's own m/rho_i^2 in every branch (reference behavior):
-    # d_ji = -dt^2 m/rho_i^2 gradW_ji = +dt^2 m/rho_i^2 gradW_ij.
-    dji_scale = dt2 * st.particle_m * inv_rho_i2 * gcoef      # (Nf, K)
-    # (d_ii_i - d_ji) . gradW = d_ii.gradW - dji_scale*|x|^2*gcoef
-    ddot = (d_ii.expand(1).dot(x_ij) - dji_scale * x_ij.norm2()) * gcoef
-    a_ii = base.msum(coeff * ddot, mask_f | mask_s)
-    if st.akinci:
-        dji_b = dt2 * st.particle_m * inv_rho_i2 * bgcoef
-        bddot = (d_ii.expand(1).dot(xb) - dji_b * xb.norm2()) * bgcoef
-        a_ii = a_ii + RHO_0 * base.msum(bvol * bddot, bm)
+    # d_ji = +dt^2 m/rho_i^2 gradW_ij, so
+    # (d_ii_i - d_ji).gradW = d_ii.gradW - dt^2 m/rho_i^2 gc^2 |x|^2.
+    dii_q = pw.blockify_v3(d_ii, nblk, B)
+    dji_f = dt2 * st.particle_m * inv_rho2_q * gc_f      # (nblk, B, W)
+    ddot_f = ((dii_q.x[:, :, None] * x_f.x + dii_q.y[:, :, None] * x_f.y
+               + dii_q.z[:, :, None] * x_f.z) - dji_f * (r_f * r_f)) * gc_f
+    a_ii = st.particle_m * base.sweep_sum(ddot_f, mask_f, n)
+    if has_rigid:
+        dji_r = dt2 * st.particle_m * inv_rho2_q * gc_r
+        ddot_r = ((dii_q.x[:, :, None] * x_r.x + dii_q.y[:, :, None] * x_r.y
+                   + dii_q.z[:, :, None] * x_r.z) - dji_r * (r_r * r_r)) * gc_r
+        a_ii = a_ii + RHO_0 * base.sweep_sum(
+            ctx.rigid_vol_w[:, None, :] * ddot_r, mask_r, n)
+    if ctx.b is not None:
+        dji_b = dt2 * st.particle_m * inv_rho2_q * gc_b
+        ddot_b = ((dii_q.x[:, :, None] * x_b.x + dii_q.y[:, :, None] * x_b.y
+                   + dii_q.z[:, :, None] * x_b.z) - dji_b * (r_b * r_b)) * gc_b
+        a_ii = a_ii + RHO_0 * base.sweep_sum(
+            ctx.bvol_w[:, None, :] * ddot_b, mask_b, n)
 
     p0 = 0.5 * p_past  # warm start (iisph_solver.py:67)
+
+    del x_f, r_f, mask_f, gc_f  # keep step-level geometry out of the loop
+    if has_rigid:
+        del x_r, r_r, mask_r, gc_r
+    if ctx.b is not None:
+        del x_b, r_b, mask_b, gc_b
 
     # --- relaxed Jacobi solve (iisph_solver.py:78-147) ----------------------
     err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
 
     def d_ij_of(p):
-        scale = jnp.where(mask_f,
-                          -st.particle_m * (p / (rho * rho))[jf] * gcoef, 0.0)
-        return (x_ij * scale).sum(axis=1) * dt2   # fluid-only (py:306-314)
+        # d_ij = -dt^2 sum_f m p_j/rho_j^2 gradW (fluid-only, py:306-314).
+        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+        gc_f = sm.cubic_grad_coeff(r_f, st.h)
+        pj_term = base.w_form_fluid(ctx, p / (rho * rho))
+        scale = jnp.where(mask_f, -st.particle_m * pj_term * gc_f, 0.0)
+        return base.sweep_sum_vec(x_f, scale, n) * dt2
 
     def r_sum_of(p, d_ij: V3):
         # Off-diagonal row sum (iisph_solver.py:229-253):
         # sum_f m (d_ij_i - d_ii_j p_j - (d_ij_j - d_ji p_i)) . gradW
-        dij_j = d_ij.take(jf)                 # V3 (N, K)
-        dii_j = d_ii.take(jf)
-        p_j = p[jf]
-        # d_ji scaled by p_i: dji_scale * p_i * x_ij
-        e = V3(
-            d_ij.x[:, None] - dii_j.x * p_j - dij_j.x + dji_scale * p[:, None] * x_ij.x,
-            d_ij.y[:, None] - dii_j.y * p_j - dij_j.y + dji_scale * p[:, None] * x_ij.y,
-            d_ij.z[:, None] - dii_j.z * p_j - dij_j.z + dji_scale * p[:, None] * x_ij.z,
-        )
-        dot = e.dot(x_ij) * gcoef
-        out = st.particle_m * base.msum(dot, mask_f)
-        if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-            sdot = d_ij.expand(1).dot(x_ij) * gcoef
-            out = out + RHO_0 * base.msum(vol_j * sdot, mask_s)
-        if st.akinci:
-            bdot = d_ij.expand(1).dot(xb) * bgcoef
-            out = out + RHO_0 * base.msum(bvol * bdot, bm)
+        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+        gc_f = sm.cubic_grad_coeff(r_f, st.h)
+        dij_q = pw.blockify_v3(d_ij, nblk, B)
+        dij_w = pw.window_v3(ctx.f.eng, d_ij)
+        dii_w = pw.window_v3(ctx.f.eng, d_ii)
+        p_w = base.w_form_fluid(ctx, p)[:, 0, :]         # (nblk, W)
+        p_q = base.q_form(ctx, p)
+        # e . gradW, with e = dij_i - dii_j p_j - dij_j + d_ji p_i and
+        # d_ji p_i = dt^2 m/rho_i^2 p_i * gc * x_ij.
+        exf = (dij_q.x[:, :, None] - dii_w.x[:, None, :] * p_w[:, None, :]
+               - dij_w.x[:, None, :])
+        eyf = (dij_q.y[:, :, None] - dii_w.y[:, None, :] * p_w[:, None, :]
+               - dij_w.y[:, None, :])
+        ezf = (dij_q.z[:, :, None] - dii_w.z[:, None, :] * p_w[:, None, :]
+               - dij_w.z[:, None, :])
+        dji_p = dt2 * st.particle_m * inv_rho2_q * p_q * gc_f
+        dot = (exf * x_f.x + eyf * x_f.y + ezf * x_f.z
+               + dji_p * (r_f * r_f)) * gc_f
+        out = st.particle_m * base.sweep_sum(dot, mask_f, n)
+        if has_rigid:
+            x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r,
+                                              exclude_self=False)
+            gc_r = sm.cubic_grad_coeff(r_r, st.h)
+            sdot = (dij_q.x[:, :, None] * x_r.x + dij_q.y[:, :, None] * x_r.y
+                    + dij_q.z[:, :, None] * x_r.z) * gc_r
+            out = out + RHO_0 * base.sweep_sum(
+                ctx.rigid_vol_w[:, None, :] * sdot, mask_r, n)
+        if ctx.b is not None:
+            x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b,
+                                              exclude_self=False)
+            gc_b = sm.cubic_grad_coeff(r_b, st.h)
+            bdot = (dij_q.x[:, :, None] * x_b.x + dij_q.y[:, :, None] * x_b.y
+                    + dij_q.z[:, :, None] * x_b.z) * gc_b
+            out = out + RHO_0 * base.sweep_sum(
+                ctx.bvol_w[:, None, :] * bdot, mask_b, n)
         return out
 
     def residual_of(p, r_sum):
@@ -178,7 +233,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     p_iter, d_ij, r_sum, res, _, _, iters = jax.lax.while_loop(
         cond, body,
-        (p0, V3.zeros((st.n_fluid,)), jnp.zeros(st.n_fluid, jnp.float32),
+        (p0, V3.zeros((n,)), jnp.zeros(n, jnp.float32),
          jnp.float32(jnp.inf), jnp.float32(jnp.inf), jnp.zeros((), bool),
          jnp.zeros((), jnp.int32)))
 
@@ -186,12 +241,16 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     f_press = (d_ij + d_ii * p_iter) * (st.particle_m / dt2)
 
     rigid_force = rigid.force
-    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
+    if has_rigid:
         # compute_rigid_force (iisph_solver.py:150-160): once per step.
-        c_scale = (vol_j * RHO_0 * (p_iter / (rho * rho))[:, None]
-                   * gcoef * st.particle_m)
-        rigid_force = base.scatter_rigid_force(st, nh, x_ij * c_scale, mask_s,
-                                               rigid_force)
+        x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
+        gc_r = sm.cubic_grad_coeff(r_r, st.h)
+        c_scale = jnp.where(
+            mask_r,
+            ctx.rigid_vol_w[:, None, :] * RHO_0 * base.q_form(ctx, p_iter)
+            * inv_rho2_q * gc_r * st.particle_m, 0.0)
+        rigid_force = base.ctx_scatter_rigid_force(st, ctx, x_r * c_scale,
+                                                   mask_r, rigid_force)
 
     new_vel = (v_adv + f_press * (dt / st.particle_m)) * base.ARTIFICIAL_FRICTION
     new_pos = pos + new_vel * dt
@@ -201,7 +260,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=fluid.acc),
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(perm)),
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,

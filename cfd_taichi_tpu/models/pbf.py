@@ -23,7 +23,7 @@ Deviations from the reference, both documented in SURVEY.md §7 pitfalls:
     race inside update_all_pos, pbf_solver.py:85-89); here the updated
     positions are used deterministically.
 
-All pair math is component-separated (V3) for clean TPU tiling.
+Runs on windowed pair sweeps (ops/pairwise.py).
 """
 
 from __future__ import annotations
@@ -31,6 +31,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
+from cfd_taichi_tpu.ops import pairwise as pw
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
 
@@ -46,42 +47,42 @@ def init_state(scene: Scene) -> base.SimState:
 
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
-    pos = fluid.pos
 
-    nh = base.build_neighborhood(st, arrays, pos, rigid.pos)
-    j = nh.nbr.idx
-    mask_f = nh.nbr.mask & (j < st.n_fluid)   # PBF is fluid-fluid only
-    jf = jnp.clip(j, 0, st.n_fluid - 1)
-    x_ij = base.pair_disp(pos, nh.pos_all, j)
-    r_ij = x_ij.norm()
-    spiky_c = sm.spiky_grad_coeff(r_ij, st.h)   # gradW = spiky_c * x_ij
-    poly_w = sm.poly6_w(r_ij, st.h)
-    if st.akinci:
-        bj, bm = nh.bnbr.idx, nh.bnbr.mask
-        xb = base.pair_disp(pos, arrays.boundary_pos, bj)
-        rb = xb.norm()
-        bspiky_c = sm.spiky_grad_coeff(rb, st.h)
-        bpoly_w = sm.poly6_w(rb, st.h)
-        bvol = arrays.boundary_volume[bj]
+    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
+    perm = ctx.fluid.perm
+    pos = ctx.fluid.pos
+    n = st.n_fluid
+    nblk, B = ctx.q_valid.shape
+
+    # PBF is fluid-fluid (+ Akinci boundary) only.
+    x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+    spiky_c = sm.spiky_grad_coeff(r_f, st.h)    # gradW = spiky_c * x_ij
+    poly_w = sm.poly6_w(r_f, st.h)
+    if ctx.b is not None:
+        x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b, exclude_self=False)
+        bspiky_c = sm.spiky_grad_coeff(r_b, st.h)
+        bpoly_w = sm.poly6_w(r_b, st.h)
+        bvol = ctx.bvol_w[:, None, :]
 
     # --- external force + predicted positions (pbf_solver.py:26-30) ---------
-    vel = fluid.vel + base.gravity_acc(st) * dt
+    vel = fluid.vel.take(perm) + base.gravity_acc(st) * dt
     pos_predict = pos + vel * dt
 
     # --- density (poly6) + constraint (pbf_solver.py:127-130,166-174) -------
-    rho = base.DENSITY_EPS + st.particle_m * base.msum(poly_w, mask_f)
-    if st.akinci:
-        rho = rho + RHO_0 * base.msum(bvol * bpoly_w, bm)
+    rho = base.DENSITY_EPS + st.particle_m * base.sweep_sum(poly_w, mask_f, n)
+    if ctx.b is not None:
+        rho = rho + RHO_0 * base.sweep_sum(bvol * bpoly_w, mask_b, n)
     constraint = jnp.maximum(rho / RHO_0 - 1.0, 0.0)
 
     # --- lambda (pbf_solver.py:32-52) ---------------------------------------
     gscale = jnp.where(mask_f, spiky_c / RHO_0, 0.0)
-    grad_c_i = (x_ij * gscale).sum(axis=1)              # V3 of (Nf,)
-    around = base.msum(x_ij.norm2() * (spiky_c / RHO_0) ** 2, mask_f)
-    if st.akinci:
-        bgscale = jnp.where(bm, bspiky_c / RHO_0, 0.0)
-        grad_c_i = grad_c_i + (xb * bgscale).sum(axis=1)
-        around = around + base.msum(xb.norm2() * (bspiky_c / RHO_0) ** 2, bm)
+    grad_c_i = base.sweep_sum_vec(x_f, gscale, n)
+    around = base.sweep_sum((r_f * spiky_c / RHO_0) ** 2, mask_f, n)
+    if ctx.b is not None:
+        bgscale = jnp.where(mask_b, bspiky_c / RHO_0, 0.0)
+        grad_c_i = grad_c_i + base.sweep_sum_vec(x_b, bgscale, n)
+        around = around + base.sweep_sum((r_b * bspiky_c / RHO_0) ** 2,
+                                         mask_b, n)
     denom = grad_c_i.dot(grad_c_i) + around
     lam = jnp.where(constraint == 0.0, 0.0,
                     -constraint / (denom + EPSILON))
@@ -91,15 +92,16 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     s = poly_w / w_ref
     s2 = s * s
     s_corr = -TENSION_K * s2 * s2                        # quartic
-    pair_scale = jnp.where(mask_f,
-                           (lam[:, None] + lam[jf] + s_corr) * spiky_c, 0.0)
-    delta_pos = (x_ij * pair_scale).sum(axis=1)
-    if st.akinci:
+    lam_q = base.q_form(ctx, lam)
+    pair_scale = jnp.where(
+        mask_f, (lam_q + base.w_form_fluid(ctx, lam) + s_corr) * spiky_c, 0.0)
+    delta_pos = base.sweep_sum_vec(x_f, pair_scale, n)
+    if ctx.b is not None:
         bs = bpoly_w / w_ref
         bs2 = bs * bs
         bs_corr = -TENSION_K * bs2 * bs2
-        bpair = jnp.where(bm, (lam[:, None] + bs_corr) * bspiky_c, 0.0)
-        delta_pos = delta_pos + (xb * bpair).sum(axis=1)
+        bpair = jnp.where(mask_b, (lam_q + bs_corr) * bspiky_c, 0.0)
+        delta_pos = delta_pos + base.sweep_sum_vec(x_b, bpair, n)
     delta_pos = delta_pos / RHO_0
 
     # --- position/velocity update + XSPH (pbf_solver.py:67-96) --------------
@@ -113,13 +115,24 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     # XSPH over updated positions/velocities (deterministic resolution of
     # the reference's in-kernel race, see module docstring).
-    xs = new_pos.expand(1) - new_pos.take(jf)
-    w_x = sm.poly6_w(xs.norm(), st.h)
-    dv = (new_vel.take(jf) - new_vel.expand(1)) * w_x
-    new_vel = new_vel + XSPH_C * dv.msum(mask_f)
+    q_np = pw.blockify_v3(new_pos, nblk, B)
+    w_np = pw.window_v3(ctx.f.eng, new_pos)
+    d_new = (q_np.expand(2) - w_np.expand(1)).norm()
+    w_x = sm.poly6_w(d_new, st.h)
+    q_nv = pw.blockify_v3(new_vel, nblk, B)
+    w_nv = pw.window_v3(ctx.f.eng, new_vel)
+    dvx = jnp.where(mask_f, (w_nv.x[:, None, :] - q_nv.x[:, :, None]) * w_x, 0.0)
+    dvy = jnp.where(mask_f, (w_nv.y[:, None, :] - q_nv.y[:, :, None]) * w_x, 0.0)
+    dvz = jnp.where(mask_f, (w_nv.z[:, None, :] - q_nv.z[:, :, None]) * w_x, 0.0)
+    from cfd_taichi_tpu.ops.vec import V3
+
+    xsph = pw.unblock_v3(V3(dvx.sum(axis=2), dvy.sum(axis=2),
+                            dvz.sum(axis=2)), n)
+    new_vel = new_vel + XSPH_C * xsph
 
     return state._replace(
-        fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=fluid.acc),
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(perm)),
         t=state.t + dt,
         step_count=state.step_count + 1,
     )

@@ -16,7 +16,7 @@ Functional parity with the reference `pcisph_solver` (pcisph_solver.py:1-241):
 
 The reference's host-driven iteration with a kernel-scalar sync per
 residual (pcisph_solver.py:54-70,122-133) becomes a single on-device
-`lax.while_loop`. All pair math is component-separated (V3).
+`lax.while_loop` over windowed pair sweeps (ops/pairwise.py).
 """
 
 from __future__ import annotations
@@ -40,6 +40,8 @@ TENSION_K = 0.5
 def init_state(scene: Scene) -> base.SimState:
     """Compute the scalar stiffness delta once at init from the particle with
     the densest neighborhood (pcisph_solver.py:28-45)."""
+    from cfd_taichi_tpu.ops import neighbors as nb
+
     st, arrays = scene.static, scene.arrays
     rigid_pos = scene.rigid.pos if scene.rigid is not None else None
     nh = base.build_neighborhood(st, arrays, scene.fluid_pos0, rigid_pos)
@@ -65,82 +67,97 @@ def _positive_avg(err):
 
 
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
+    from cfd_taichi_tpu.ops import pairwise as pw
+
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
-    pos, vel = fluid.pos, fluid.vel
     (delta,) = state.extra
 
-    nh = base.build_neighborhood(st, arrays, pos, rigid.pos)
+    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
+    perm = ctx.fluid.perm
+    pos = ctx.fluid.pos
+    vel = fluid.vel.take(perm)
+    n = st.n_fluid
 
     # --- external forces (pcisph_solver.py:220-226) -------------------------
-    rho = base.compute_rho(st, arrays, nh, pos)
-    tension = base.compute_tension(st, nh, pos, TENSION_K)
-    viscosity = base.compute_viscosity(st, arrays, nh, pos, vel, rho, rigid,
-                                       c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    rho = base.ctx_rho(st, ctx)
+    tension = base.ctx_tension(st, ctx, TENSION_K)
+    viscosity = base.ctx_viscosity(st, ctx, vel, rho, rigid,
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
     ext_force = base.gravity_acc(st) + tension + viscosity
 
-    # Precompute pair geometry reused by every loop iteration.
-    j = nh.nbr.idx
-    jf = jnp.clip(j, 0, st.n_fluid - 1)
-    x_ij = base.pair_disp(pos, nh.pos_all, j)
-    gcoef = sm.cubic_grad_coeff(x_ij.norm(), st.h)
-    mask_f, mask_s = base.fluid_solid_masks(st, nh)
-    vol_j = base.gather_rigid_volume(st, arrays, j)
-    if st.akinci:
-        bj, bm = nh.bnbr.idx, nh.bnbr.mask
-        xb = base.pair_disp(pos, arrays.boundary_pos, bj)
-        bgcoef = sm.cubic_grad_coeff(xb.norm(), st.h)
-        bvol = arrays.boundary_volume[bj]
+    # NOTE: pair geometry is recomputed inside each closure below so the
+    # (nblk, B, W) tensors never become materialized while-loop invariants
+    # (which would make every sweep HBM-bound).
+    inv_rho2_q = base.q_form(ctx, 1.0 / (rho * rho))
+    has_rigid = ctx.r is not None and st.fs_couple
 
     def press_force_of(p_iter, rigid_force):
         """Pressure force from current iterate (pcisph_solver.py:109-119,
         169-198); also scatters the rigid reaction."""
-        p_j = p_iter[jf]
-        scale_f = jnp.where(
-            mask_f,
-            (p_iter[:, None] + p_j) / RHO_0**2 * st.particle_m**2 * gcoef, 0.0)
-        raw = (x_ij * scale_f).sum(axis=1)
-        if st.rigid_active and st.fs_couple and st.n_rigid > 0:
+        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+        gc_f = sm.cubic_grad_coeff(r_f, st.h)
+        sym = base.q_form(ctx, p_iter) + base.w_form_fluid(ctx, p_iter)
+        scale = jnp.where(mask_f,
+                          sym / RHO_0**2 * st.particle_m**2 * gc_f, 0.0)
+        raw = base.sweep_sum_vec(x_f, scale, n)
+        if has_rigid:
+            x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r,
+                                              exclude_self=False)
+            gc_r = sm.cubic_grad_coeff(r_r, st.h)
             s_scale = jnp.where(
-                mask_s,
-                vol_j * RHO_0 * p_iter[:, None] / (rho * rho)[:, None] * gcoef,
-                0.0)
-            contrib = x_ij * (s_scale * st.particle_m)
-            raw = raw + contrib.sum(axis=1)
-            rigid_force = base.scatter_rigid_force(st, nh, contrib, mask_s,
-                                                   rigid_force)
+                mask_r,
+                ctx.rigid_vol_w[:, None, :] * RHO_0
+                * base.q_form(ctx, p_iter) * inv_rho2_q * gc_r, 0.0)
+            contrib = x_r * (s_scale * st.particle_m)
+            raw = raw + base.sweep_sum_vec(x_r, s_scale * st.particle_m, n)
+            rigid_force = base.ctx_scatter_rigid_force(st, ctx, contrib,
+                                                       mask_r, rigid_force)
         force = -raw
-        if st.akinci:
-            bscale = jnp.where(
-                bm, -bvol * (p_iter / (rho * rho))[:, None] * bgcoef, 0.0)
-            bacc = (xb * bscale).sum(axis=1)
+        if ctx.b is not None:
+            x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b,
+                                              exclude_self=False)
+            gc_b = sm.cubic_grad_coeff(r_b, st.h)
+            b_scale = jnp.where(
+                mask_b,
+                -ctx.bvol_w[:, None, :] * base.q_form(ctx, p_iter)
+                * inv_rho2_q * gc_b, 0.0)
+            bacc = base.sweep_sum_vec(x_b, b_scale, n)
             force = force + bacc * (RHO_0 * st.particle_m)
         return force, rigid_force
 
     def predict(press_force: V3):
         """Predict v,x then rho over predicted positions with the
-        step-initial neighbor list (pcisph_solver.py:72-101,135-154)."""
+        step-initial windows (pcisph_solver.py:72-101,135-154)."""
         vel_p = vel + (ext_force + press_force) * (dt / st.particle_m)
         pos_p = pos + vel_p * dt
         if not st.akinci:
             pos_p, vel_p = base.clamp_to_box(st, pos_p, vel_p,
                                              margin=st.particle_radius,
                                              decay_mul=-base.V_DECAY)
-        # Fluid neighbors at predicted positions; solid at current positions.
-        d_f = (pos_p.expand(1) - pos_p.take(jf)).norm()
-        rho_p = st.particle_m * base.msum(sm.cubic_w(d_f, st.h), mask_f)
-        if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-            d_s = (pos_p.expand(1) - nh.pos_all.take(j)).norm()
-            rho_p = rho_p + RHO_0 * base.msum(
-                vol_j * sm.cubic_w(d_s, st.h), mask_s)
-        if st.akinci:
-            d_b = (pos_p.expand(1) - arrays.boundary_pos.take(bj)).norm()
-            rho_p = rho_p + RHO_0 * base.msum(
-                bvol * sm.cubic_w(d_b, st.h), bm)
+        nblk, B = ctx.q_valid.shape
+        # Pair validity stays pinned to the step-initial positions (the
+        # reference reuses the start-of-step grid, solver_base.py:139-141).
+        _, _, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+        q_p = pw.blockify_v3(pos_p, nblk, B)
+        w_p = pw.window_v3(ctx.f.eng, pos_p)
+        d_f = (q_p.expand(2) - w_p.expand(1)).norm()
+        rho_p = st.particle_m * base.sweep_sum(sm.cubic_w(d_f, st.h), mask_f, n)
+        if has_rigid:
+            # Solid neighbors keep their current positions (py:143-147).
+            _, _, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
+            d_s = (q_p.expand(2) - ctx.r.pos_w.expand(1)).norm()
+            rho_p = rho_p + RHO_0 * base.sweep_sum(
+                ctx.rigid_vol_w[:, None, :] * sm.cubic_w(d_s, st.h), mask_r, n)
+        if ctx.b is not None:
+            _, _, mask_b = base.pair_geom(st, ctx, ctx.b, exclude_self=False)
+            d_b = (q_p.expand(2) - ctx.b.pos_w.expand(1)).norm()
+            rho_p = rho_p + RHO_0 * base.sweep_sum(
+                ctx.bvol_w[:, None, :] * sm.cubic_w(d_b, st.h), mask_b, n)
         return rho_p - RHO_0
 
     # --- predictive-corrective loop (pcisph_solver.py:47-70) ----------------
-    press0 = jnp.zeros(st.n_fluid, jnp.float32)
-    force0 = V3.zeros((st.n_fluid,))
+    press0 = jnp.zeros(n, jnp.float32)
+    force0 = V3.zeros((n,))
     rho_err0 = predict(force0)
     res0 = _positive_avg(rho_err0)
     err_thresh = RHO_0 * RHO_MAX_ERR_PERCENT * 0.01
@@ -171,7 +188,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=fluid.acc),
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(perm)),
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,

@@ -42,43 +42,47 @@ def tait_pressure(rho: jnp.ndarray) -> jnp.ndarray:
 
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
-    pos, vel = fluid.pos, fluid.vel
 
-    nh = base.build_neighborhood(st, arrays, pos, rigid.pos)
+    # Sort fluid by cell; all per-fluid math below runs in sorted order and
+    # the returned state stays sorted (order is physically irrelevant).
+    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
+    perm = ctx.fluid.perm
+    pos = ctx.fluid.pos
+    vel = fluid.vel.take(perm)
 
     # --- pressure phase (reference wcsph_solver.py:32-38) -------------------
-    rho = base.compute_rho(st, arrays, nh, pos)
+    rho = base.ctx_rho(st, ctx)
     p = tait_pressure(rho)
+    p_over_rho2 = p / (rho * rho)
 
-    j = nh.nbr.idx
-    x_ij = base.pair_disp(pos, nh.pos_all, j)
-    gcoef = sm.cubic_grad_coeff(x_ij.norm(), st.h)
-    mask_f, mask_s = base.fluid_solid_masks(st, nh)
-
-    p_over_rho2 = p / (rho * rho)                         # (Nf,)
-    p_over_rho2_j = p_over_rho2[jnp.clip(j, 0, st.n_fluid - 1)]
-    sym = p_over_rho2[:, None] + p_over_rho2_j            # (Nf, K)
-    scale = jnp.where(mask_f, -st.particle_m * sym * gcoef, 0.0)
+    x_ij, r, mask = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
+    gcoef = sm.cubic_grad_coeff(r, st.h)
+    sym = base.q_form(ctx, p_over_rho2) + base.w_form_fluid(ctx, p_over_rho2)
+    scale = jnp.where(mask, -st.particle_m * sym * gcoef, 0.0)
+    pressure_acc = base.sweep_sum_vec(x_ij, scale, st.n_fluid)
 
     force = rigid.force
-    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-        vol_j = base.gather_rigid_volume(st, arrays, j)
-        s_scale = jnp.where(mask_s,
-                            -vol_j * p_over_rho2[:, None] * RHO_0 * gcoef, 0.0)
+    if ctx.r is not None and st.fs_couple:
+        x_r, rr, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
+        gc_r = sm.cubic_grad_coeff(rr, st.h)
+        s_scale = jnp.where(
+            mask_r,
+            -ctx.rigid_vol_w[:, None, :] * base.q_form(ctx, p_over_rho2)
+            * RHO_0 * gc_r, 0.0)
+        pressure_acc = pressure_acc + base.sweep_sum_vec(x_r, s_scale,
+                                                         st.n_fluid)
         # Reaction on the rigid body: += -term * m (wcsph_solver.py:126).
-        force = base.scatter_rigid_force(
-            st, nh, x_ij * (-s_scale * st.particle_m), mask_s, force)
-        scale = scale + s_scale
-    pressure_acc = (x_ij * scale).sum(axis=1)
+        force = base.ctx_scatter_rigid_force(
+            st, ctx, x_r * (-s_scale * st.particle_m), mask_r, force)
 
-    viscosity = base.compute_viscosity(st, arrays, nh, pos, vel, rho, rigid,
-                                       c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
-    tension = base.compute_tension(st, nh, pos, TENSION_K)
+    viscosity = base.ctx_viscosity(st, ctx, vel, rho, rigid,
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    tension = base.ctx_tension(st, ctx, TENSION_K)
 
     # --- kinematic phase (reference wcsph_solver.py:40-63) ------------------
     acc = base.gravity_acc(st) + pressure_acc + viscosity + tension
     if st.akinci:
-        acc = acc + RHO_0 * base.boundary_pressure_acc(st, arrays, nh, pos, p, rho)
+        acc = acc + RHO_0 * base.ctx_boundary_pressure_acc(st, ctx, p, rho)
     new_vel = (vel + acc * dt) * WCSPH_DAMPING
     new_pos = pos + new_vel * dt
     if not st.akinci:
@@ -96,6 +100,6 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
 def density_error(st: SceneStatic, arrays: SceneArrays, state: base.SimState):
     """Average |rho - rho0| / rho0 telemetry (parity metric, SURVEY.md §6)."""
-    nh = base.build_neighborhood(st, arrays, state.fluid.pos, state.rigid.pos)
-    rho = base.compute_rho(st, arrays, nh, state.fluid.pos)
+    ctx = base.build_ctx(st, arrays, state.fluid.pos, state.rigid.pos)
+    rho = base.ctx_rho(st, ctx)
     return jnp.mean(jnp.abs(rho - RHO_0)) / RHO_0

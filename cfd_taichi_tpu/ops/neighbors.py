@@ -37,20 +37,41 @@ from cfd_taichi_tpu.ops.vec import V3
 
 
 class GridSpec(NamedTuple):
-    """Static uniform-grid metadata (hashable; safe to close over in jit)."""
-    dims: tuple[int, int, int]   # cells per axis (reference grid_num)
-    cell: float                  # cell edge = support radius h
+    """Static uniform-grid metadata (hashable; safe to close over in jit).
+
+    `strides` define the linearization id = cx*sx + cy*sy + cz*sz. The axis
+    with the most cells gets the largest stride (slowest axis), which
+    minimizes the worst-case particle count inside one stencil-deep band of
+    consecutive cell ids — the quantity that sizes the windowed pair-sweep
+    (ops/pairwise.py). The reference's fixed y-major layout
+    (ParticleSystem.py:102) is an internal detail with no observable effect.
+    """
+    dims: tuple[int, int, int]      # cells per axis (reference grid_num)
+    cell: float                     # cell edge = support radius h
+    strides: tuple[int, int, int]   # linearization strides per axis
 
     @property
     def num_cells(self) -> int:
         return self.dims[0] * self.dims[1] * self.dims[2]
+
+    @property
+    def major_axis(self) -> int:
+        return int(np.argmax(self.strides))
 
 
 def grid_for_box(box_min, box_max, support_radius: float) -> GridSpec:
     """Grid dims = ceil(extent / h) + 1 per axis (reference ParticleSystem.py:100-101)."""
     ext = np.asarray(box_max, np.float64) - np.asarray(box_min, np.float64)
     dims = tuple(int(d) + 1 for d in np.ceil(ext / support_radius).astype(np.int64))
-    return GridSpec(dims=dims, cell=float(support_radius))
+    # Slowest axis = most cells; fastest = fewest.
+    order = list(np.argsort(dims))  # ascending cell count
+    strides = [0, 0, 0]
+    s = 1
+    for ax in order:
+        strides[ax] = s
+        s *= dims[ax]
+    return GridSpec(dims=dims, cell=float(support_radius),
+                    strides=tuple(strides))
 
 
 class CellTable(NamedTuple):
@@ -66,15 +87,16 @@ class NeighborList(NamedTuple):
 
 
 def cell_id(pos: V3, grid: GridSpec) -> jnp.ndarray:
-    """Linearized cell id with the reference's y-major layout
-    (id = x + gx*z + gx*gz*y, ParticleSystem.py:102,487-488). Out-of-domain
-    positions clamp into edge cells instead of erroring."""
+    """Linearized cell id = floor(pos/h) dotted with the grid strides
+    (cf. reference ParticleSystem.py:102,487-488 — same mapping, adaptive
+    axis order). Out-of-domain positions clamp into edge cells."""
     gx, gy, gz = grid.dims
+    sx, sy, sz = grid.strides
     inv = 1.0 / grid.cell
     cx = jnp.clip(jnp.floor(pos.x * inv).astype(jnp.int32), 0, gx - 1)
     cy = jnp.clip(jnp.floor(pos.y * inv).astype(jnp.int32), 0, gy - 1)
     cz = jnp.clip(jnp.floor(pos.z * inv).astype(jnp.int32), 0, gz - 1)
-    return cx + gx * cz + gx * gz * cy
+    return cx * sx + cy * sy + cz * sz
 
 
 def build_cell_table(pos: V3, grid: GridSpec,
@@ -108,6 +130,7 @@ def _query_block(pos_q: V3, qid, pos_src: V3, table: CellTable, grid: GridSpec,
     """
     Ns = table.order.shape[0]
     gx, gy, gz = grid.dims
+    sx, sy, sz = grid.strides
     inv = 1.0 / grid.cell
 
     ccx = jnp.floor(pos_q.x * inv).astype(jnp.int32)
@@ -121,7 +144,7 @@ def _query_block(pos_q: V3, qid, pos_src: V3, table: CellTable, grid: GridSpec,
         cx, cy, cz = ccx + off[0], ccy + off[1], ccz + off[2]
         in_bounds = ((cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy)
                      & (cz >= 0) & (cz < gz))
-        cid = cx + gx * cz + gx * gz * cy
+        cid = cx * sx + cy * sy + cz * sz
         cid = jnp.clip(cid, 0, grid.num_cells - 1)
         start = table.starts[cid]                        # (B,)
         length = table.starts[cid + 1] - start           # (B,)

@@ -79,9 +79,10 @@ class Simulation:
 
     def density(self):
         st, arrays = self.scene.static, self.scene.arrays
-        nh = mbase.build_neighborhood(st, arrays, self.state.fluid.pos,
-                                      self.state.rigid.pos)
-        return mbase.compute_rho(st, arrays, nh, self.state.fluid.pos)
+        ctx = mbase.build_ctx(st, arrays, self.state.fluid.pos,
+                              self.state.rigid.pos)
+        self._last_overflow = int(ctx.overflow)
+        return mbase.ctx_rho(st, ctx)
 
     def telemetry(self) -> dict:
         out = dict(self.timer.summary())
@@ -90,6 +91,9 @@ class Simulation:
         out["t"] = self.t
         out["nan_particles"] = int(telemetry.check_valid(
             self.state.fluid.pos, self.state.fluid.vel, self.state.fluid.acc))
+        # Window overflow: candidates dropped because a pair-sweep window was
+        # full (the analogue of the reference's 512-entry cell capacity).
+        out["window_overflow"] = getattr(self, "_last_overflow", 0)
         return out
 
 

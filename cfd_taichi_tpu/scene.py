@@ -49,10 +49,15 @@ class SceneStatic:
     rigid_rho: float
     dt0: float
     solver_name: str
-    # Neighbor-list capacities (fixed shapes).
+    # Neighbor-list capacities (fixed shapes) — legacy compact-list path.
     K: int = 96               # max neighbors per fluid particle (dynamic set)
     bK: int = 64              # max boundary neighbors per fluid particle
     cell_cap: int = 32        # max particles per grid cell considered
+    # Windowed pair-sweep parameters (ops/pairwise.py — the fast path).
+    B: int = 256              # query block size
+    Wf: int = 1024            # fluid->fluid window capacity
+    Wr: int = 0               # fluid->rigid window capacity
+    Wb: int = 0               # fluid->boundary window capacity
 
     @property
     def diameter(self) -> float:
@@ -196,6 +201,29 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_mass = jnp.zeros((0,), jnp.float32)
         rigid_mass_total = jnp.zeros((), jnp.float32)
 
+    # --- windowed pair-sweep capacities (ops/pairwise.py) --------------------
+    # Windows are 3 per-major-plane sub-ranges; each spans a contiguous
+    # linear-cell band of (block cell span + 2*(s_mid + s_min + 1)) cells.
+    B = 256
+    s_major = max(grid.strides)
+    span_sub = sum(grid.strides) - s_major
+    band_cells = 2 * (span_sub + 1) + 64  # 64 ~ cells one query block spans
+    # Fluid bound: hard-packed cells hold (h/d)^3 = 8 particles; 1.5x slack
+    # for compression spikes. Overflow is tracked in telemetry either way.
+    wsub_f = int(min(12.0 * band_cells, float(n_fluid)))
+    Wf = 3 * max(_round_up(wsub_f, 128), 128)
+    Wb = 0
+    if sv.boundary_handle:
+        occ_b = _band_occupancy(
+            np.asarray(nb.cell_id(bpos, grid)), grid.num_cells, band_cells)
+        Wb = 3 * max(_round_up(int(occ_b * 1.3), 128), 128)
+    Wr = 0
+    if rigid_active and n_rigid > 0:
+        occ_r = _band_occupancy(
+            np.asarray(nb.cell_id(rigid_init.pos, grid)), grid.num_cells,
+            band_cells)
+        Wr = 3 * max(_round_up(int(min(occ_r * 1.5, n_rigid)), 128), 128)
+
     static = SceneStatic(
         n_fluid=n_fluid, n_boundary=n_boundary, n_rigid=n_rigid,
         particle_radius=r, h=h, particle_m=cfg.particle_mass,
@@ -203,6 +231,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         grid=grid, akinci=sv.boundary_handle, fs_couple=sv.fs_couple,
         has_rigid=so is not None, rigid_active=rigid_active,
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
+        B=B, Wf=Wf, Wr=Wr, Wb=Wb,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,
@@ -211,6 +240,20 @@ def build_scene(cfg: SimConfig) -> Scene:
     )
     return Scene(static=static, arrays=arrays,
                  fluid_pos0=V3.from_rows(fluid_pos), rigid=rigid_init)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _band_occupancy(cells: np.ndarray, num_cells: int, band: int) -> int:
+    """Max number of particles inside any contiguous linear-cell-id band —
+    the exact worst-case window occupancy for a static particle set."""
+    counts = np.bincount(cells, minlength=num_cells + 1)
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    if csum.shape[0] <= band:
+        return int(csum[-1])
+    return int((csum[band:] - csum[:-band]).max())
 
 
 def _kernel_sum(pos_q: V3, qid, pos_src: V3, table, grid, h, K):
