@@ -46,6 +46,38 @@ def _collision_response(v: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return a * v_t - MU_N * v_n
 
 
+def body_bbox(rigid: RigidBodyState, particle_radius: float):
+    """Rigid AABB relative to the centroid (reference init_boundary,
+    rigid_solver.py:194-210 — including its quirk: the intended one-diameter
+    shrink of max_boundary subtracts then re-adds the same vector, i.e. is a
+    no-op; reproduced faithfully)."""
+    rel_x = rigid.pos.x - rigid.centroid[0]
+    rel_y = rigid.pos.y - rigid.centroid[1]
+    rel_z = rigid.pos.z - rigid.centroid[2]
+    hi = jnp.stack([rel_x.max(), rel_y.max(), rel_z.max()])
+    lo = jnp.stack([rel_x.min(), rel_y.min(), rel_z.min()])
+    d = 2.0 * particle_radius
+    hi = hi - d + d  # rigid_solver.py:207-208 (intended shrink; net no-op)
+    return lo, hi
+
+
+def check_penetration(st: SceneStatic, rigid: RigidBodyState,
+                      fluid_pos, bbox=None) -> jnp.ndarray:
+    """Count fluid particles inside the rigid AABB — the reference's debug
+    penetration detector (check_penetrate, rigid_solver.py:164-192, disabled
+    at rigid_solver.py:234). Returns the offending count for telemetry."""
+    if st.n_rigid == 0:
+        return jnp.zeros((), jnp.int32)
+    lo, hi = bbox if bbox is not None else body_bbox(rigid, st.particle_radius)
+    rel_x = fluid_pos.x - rigid.centroid[0]
+    rel_y = fluid_pos.y - rigid.centroid[1]
+    rel_z = fluid_pos.z - rigid.centroid[2]
+    inside = ((rel_x > lo[0]) & (rel_x < hi[0])
+              & (rel_y > lo[1]) & (rel_y < hi[1])
+              & (rel_z > lo[2]) & (rel_z < hi[2]))
+    return jnp.sum(inside).astype(jnp.int32)
+
+
 def step(st: SceneStatic, arrays: SceneArrays, rigid: RigidBodyState,
          dt: jnp.ndarray) -> RigidBodyState:
     if st.n_rigid == 0:

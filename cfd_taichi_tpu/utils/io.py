@@ -8,18 +8,67 @@ state checkpointing — a capability the reference lacks entirely
 
 from __future__ import annotations
 
+import ctypes
 import json
 import os
+import subprocess
 
 import jax
 import numpy as np
 
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB = None
+
+
+def _native_lib():
+    """Load (building on first use) the C++ fast-IO runtime (csrc/fastio.cpp).
+    Returns None when unavailable; callers fall back to pure Python."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB if _LIB != "unavailable" else None
+    so_path = os.path.join(_CSRC, "libfastio.so")
+    src_path = os.path.join(_CSRC, "fastio.cpp")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src_path)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", so_path, src_path],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so_path)
+        lib.write_ply_ascii.restype = ctypes.c_int
+        lib.write_ply_ascii.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.write_obj.restype = ctypes.c_int
+        lib.write_obj.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        _LIB = lib
+        return lib
+    except Exception:  # noqa: BLE001 — any failure -> python fallback
+        _LIB = "unavailable"
+        return None
+
 
 def write_ply_ascii(path: str, pos: np.ndarray, rgba: np.ndarray | None = None):
     """Ascii PLY with vertex positions and optional uchar RGBA, matching the
-    layout the reference emits via ti.tools.PLYWriter (main.py:189-195)."""
-    pos = np.asarray(pos, np.float32)
+    layout the reference emits via ti.tools.PLYWriter (main.py:189-195).
+    Uses the native C++ writer when available."""
+    pos = np.ascontiguousarray(pos, np.float32)
     n = pos.shape[0]
+    lib = _native_lib()
+    if lib is not None:
+        rgba_u8 = None
+        rgba_ptr = None
+        if rgba is not None:
+            rgba_u8 = np.ascontiguousarray(
+                (np.clip(np.asarray(rgba), 0.0, 1.0) * 255), np.uint8)
+            rgba_ptr = rgba_u8.ctypes.data_as(ctypes.c_void_p)
+        rc = lib.write_ply_ascii(
+            path.encode(), pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rgba_ptr, n)
+        if rc == 0:
+            return
     lines = [
         "ply",
         "format ascii 1.0",
@@ -48,7 +97,20 @@ def write_ply_ascii(path: str, pos: np.ndarray, rgba: np.ndarray | None = None):
 
 
 def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
-    """Minimal OBJ export of the rigid mesh (reference main.py:196-200)."""
+    """Minimal OBJ export of the rigid mesh (reference main.py:196-200).
+    Uses the native C++ writer when available."""
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    faces_i32 = np.ascontiguousarray(faces, np.int32)
+    lib = _native_lib()
+    if lib is not None:
+        rc = lib.write_obj(
+            path.encode(),
+            vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            vertices.shape[0],
+            faces_i32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            faces_i32.shape[0])
+        if rc == 0:
+            return
     with open(path, "w") as f:
         for v in np.asarray(vertices, np.float32):
             f.write(f"v {v[0]} {v[1]} {v[2]}\n")
