@@ -1,0 +1,120 @@
+"""Windowed pair-sweep engine tests: sweeps must reproduce brute-force pair
+sums exactly (same pair sets — no dropped and no double-counted pairs, incl.
+the disjoint-sub-window edge cases on small grids)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_taichi_tpu.ops import neighbors as nb
+from cfd_taichi_tpu.ops import pairwise as pw
+from cfd_taichi_tpu.ops import smoothing as sm
+from cfd_taichi_tpu.ops.vec import V3
+
+H = 0.1
+
+
+def _cloud(n, box, seed=0):
+    rng = np.random.default_rng(seed)
+    return V3.from_rows(
+        (rng.uniform(0, 1, (n, 3)) * np.asarray(box)).astype(np.float32))
+
+
+def _engine_for(pos, box, B=64, W=None, n_src=None, src=None):
+    grid = nb.grid_for_box((0, 0, 0), box, H)
+    src = pos if src is None else src
+    sset = pw.sort_set(src, grid)
+    n = pos.x.shape[0]
+    qset = pw.sort_set(pos, grid)
+    nq = pw.pad_to_blocks(n, B)
+    pad = nq - n
+    q_cells = jnp.concatenate(
+        [qset.cells, jnp.full((pad,), 1, jnp.int32) * qset.cells[-1]])
+    if W is None:
+        W = 3 * (-(-(src.x.shape[0]) // 128) * 128)  # generous
+    eng = pw.build_engine(q_cells, sset.starts, src.x.shape[0], grid, B, W)
+    return grid, qset, sset, eng
+
+
+def _sweep_density(grid, qset, sset, eng, B, exclude_self):
+    n = qset.pos.x.shape[0]
+    nblk = eng.nblk
+    q_pos = pw.blockify_v3(qset.pos, nblk, B)
+    q_valid = pw.blockify(jnp.ones((n,), bool), nblk, B, fill=False)
+    pos_w = pw.window_v3(eng, sset.pos)
+    x_ij = q_pos.expand(2) - pos_w.expand(1)
+    r2 = x_ij.norm2()
+    mask = eng.win_valid[:, None, :] & q_valid[:, :, None] & (r2 <= H * H)
+    if exclude_self:
+        gid_w = jnp.where(eng.win_valid, eng.win_idx, -2)
+        q_gid = pw.blockify(jnp.arange(n, dtype=jnp.int32), nblk, B, fill=-1)
+        mask &= gid_w[:, None, :] != q_gid[:, :, None]
+    w = sm.cubic_w(jnp.sqrt(r2), H)
+    rho_sorted = pw.unblock(jnp.sum(jnp.where(mask, w, 0.0), axis=2), n)
+    # un-sort to original order for comparison
+    out = np.zeros(n, np.float32)
+    out[np.asarray(qset.perm)] = np.asarray(rho_sorted)
+    return out
+
+
+def _brute_density(pos_q, pos_s, exclude_self):
+    q = pos_q.to_numpy()
+    s = pos_s.to_numpy()
+    d = np.linalg.norm(q[:, None, :] - s[None, :, :], axis=-1)
+    w = np.asarray(sm.cubic_w(jnp.asarray(d), H))
+    m = d <= H
+    if exclude_self:
+        np.fill_diagonal(m, False)
+    return (w * m).sum(axis=1)
+
+
+@pytest.mark.parametrize("box", [(1.0, 1.0, 1.0), (2.0, 0.4, 0.4),
+                                 (0.35, 0.35, 0.35)])
+def test_sweep_matches_brute_force_self(box):
+    """Including tiny grids where the 3 sub-windows would overlap without the
+    disjointness clamp (double-counting regression test)."""
+    pos = _cloud(400, box, seed=1)
+    grid, qset, sset, eng = _engine_for(pos, box)
+    assert int(eng.overflow) == 0
+    got = _sweep_density(grid, qset, sset, eng, 64, exclude_self=True)
+    want = _brute_density(pos, pos, exclude_self=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def test_sweep_matches_brute_force_cross():
+    box = (1.0, 0.6, 0.8)
+    q = _cloud(300, box, seed=2)
+    s = _cloud(500, box, seed=3)
+    grid, qset, sset, eng = _engine_for(q, box, src=s)
+    got = _sweep_density(grid, qset, sset, eng, 64, exclude_self=False)
+    want = _brute_density(q, s, exclude_self=False)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def test_overflow_reported_when_window_too_small():
+    box = (0.5, 0.5, 0.5)
+    pos = _cloud(600, box, seed=4)
+    grid, qset, sset, eng = _engine_for(pos, box, W=3 * 128)
+    # 600 particles in a tiny box: 128-wide sub-windows must overflow.
+    assert int(eng.overflow) > 0
+
+
+def test_scatter_window_sum_matches_direct():
+    box = (1.0, 1.0, 1.0)
+    q = _cloud(200, box, seed=5)
+    s = _cloud(100, box, seed=6)
+    grid, qset, sset, eng = _engine_for(q, box, src=s)
+    n_src = 100
+    nblk, B = eng.nblk, 64
+    q_pos = pw.blockify_v3(qset.pos, nblk, B)
+    pos_w = pw.window_v3(eng, sset.pos)
+    x_ij = q_pos.expand(2) - pos_w.expand(1)
+    mask = eng.win_valid[:, None, :] & (x_ij.norm2() <= H * H)
+    mask &= pw.blockify(jnp.ones((200,), bool), nblk, B, fill=False)[:, :, None]
+    w = sm.cubic_w(x_ij.norm(), H)
+    got_sorted = pw.scatter_window_sum(eng, w, w, w, mask, n_src)
+    got = np.zeros(n_src, np.float32)
+    got[np.asarray(sset.perm)] = np.asarray(got_sorted.x)
+    # Direct: for each source j, sum of W over query neighbors.
+    want = _brute_density(s, q, exclude_self=False)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
