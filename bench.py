@@ -19,6 +19,11 @@ import jax
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Persistent compilation cache: solver while-loops are expensive to compile;
+# repeat bench runs become near-instant to start.
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from cfd_taichi_tpu.config import read_config  # noqa: E402
 from cfd_taichi_tpu.runner import Simulation  # noqa: E402
 

@@ -65,6 +65,11 @@ class SimState(NamedTuple):
     t: jnp.ndarray               # () f32 simulated time
     step_count: jnp.ndarray      # () int32
     extra: tuple                 # per-solver scratch/warm-start state
+    # Convergence telemetry of the last step — the on-device analogue of the
+    # reference's per-step residual prints (pcisph_solver.py:70,
+    # iisph_solver.py:96, dfsph_solver.py:233,416):
+    # [iters_a, residual_a, iters_b, residual_b] (meaning per solver).
+    diag: jnp.ndarray = jnp.zeros((4,), jnp.float32)
 
 
 def empty_rigid() -> RigidBodyState:
@@ -333,10 +338,11 @@ from cfd_taichi_tpu.ops import pairwise as pw  # noqa: E402
 
 class Sweep(NamedTuple):
     """One sorted source set + its per-block windows, with cached windowed
-    positions. Pair tensors (x_ij, masks) are recomputed per pass so they
-    fuse into each pass's reduction instead of being materialized."""
+    positions/validity. Pair tensors (x_ij, masks) are recomputed per pass so
+    they fuse into each pass's reduction instead of being materialized."""
     eng: pw.PairEngine
     pos_w: V3               # (nblk, W) windowed source positions
+    valid_w: jnp.ndarray    # (nblk, W) slot validity
     gid_w: Optional[jnp.ndarray]  # (nblk, W) sorted-global ids (self-exclusion)
 
 
@@ -377,9 +383,13 @@ def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     q_valid = pw.blockify(jnp.ones((n,), bool), nblk, st.B, fill=False)
     q_gid = pw.blockify(jnp.arange(n, dtype=jnp.int32), nblk, st.B, fill=-1)
 
-    eng_f = pw.build_engine(q_cells, fluid.starts, n, st.grid, st.B, st.Wf)
-    f_sweep = Sweep(eng=eng_f, pos_w=pw.window_v3(eng_f, fluid.pos),
-                    gid_w=jnp.where(eng_f.win_valid, eng_f.win_idx, -2))
+    align = 1024 if st.banded else 1
+    eng_f = pw.build_engine(q_cells, fluid.starts, n, st.grid, st.B, st.Wf,
+                            align=align)
+    f_sweep = Sweep(eng=eng_f,
+                    pos_w=pw.window_v3(eng_f, fluid.pos, st.Wf, st.banded),
+                    valid_w=pw.win_valid(eng_f, st.Wf),
+                    gid_w=pw.win_gid(eng_f, st.Wf))
     overflow = eng_f.overflow
 
     r_sweep = None
@@ -389,22 +399,29 @@ def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     if st.rigid_active and rigid_pos is not None and st.n_rigid > 0:
         rigid_set = pw.sort_set(rigid_pos, st.grid)
         eng_r = pw.build_engine(q_cells, rigid_set.starts, st.n_rigid,
-                                st.grid, st.B, st.Wr)
-        r_sweep = Sweep(eng=eng_r, pos_w=pw.window_v3(eng_r, rigid_set.pos),
-                        gid_w=None)
-        rigid_vol_w = pw.window(eng_r, arrays.rigid_volume[rigid_set.perm])
-        rigid_lid_w = pw.window(eng_r, rigid_set.perm, fill=0).astype(jnp.int32)
+                                st.grid, st.B, st.Wr, align=align)
+        r_sweep = Sweep(eng=eng_r,
+                        pos_w=pw.window_v3(eng_r, rigid_set.pos, st.Wr,
+                                           st.banded),
+                        valid_w=pw.win_valid(eng_r, st.Wr), gid_w=None)
+        rigid_vol_w = pw.window(eng_r, arrays.rigid_volume[rigid_set.perm],
+                                st.Wr, banded=st.banded)
+        rigid_lid_w = pw.window(eng_r, rigid_set.perm.astype(jnp.float32),
+                                st.Wr, banded=st.banded).astype(jnp.int32)
         overflow = jnp.maximum(overflow, eng_r.overflow)
 
     b_sweep = None
     bvol_w = None
     if st.akinci:
         eng_b = pw.build_engine(q_cells, arrays.boundary_table.starts,
-                                st.n_boundary, st.grid, st.B, st.Wb)
+                                st.n_boundary, st.grid, st.B, st.Wb,
+                                align=align)
         bpos_s = arrays.boundary_pos.take(arrays.boundary_table.order)
         bvol_s = arrays.boundary_volume[arrays.boundary_table.order]
-        b_sweep = Sweep(eng=eng_b, pos_w=pw.window_v3(eng_b, bpos_s), gid_w=None)
-        bvol_w = pw.window(eng_b, bvol_s)
+        b_sweep = Sweep(eng=eng_b,
+                        pos_w=pw.window_v3(eng_b, bpos_s, st.Wb, st.banded),
+                        valid_w=pw.win_valid(eng_b, st.Wb), gid_w=None)
+        bvol_w = pw.window(eng_b, bvol_s, st.Wb, banded=st.banded)
         overflow = jnp.maximum(overflow, eng_b.overflow)
 
     return Ctx(fluid=fluid, q_pos=q_pos, q_valid=q_valid, q_gid=q_gid,
@@ -418,7 +435,7 @@ def pair_geom(st: SceneStatic, ctx: Ctx, sweep: Sweep, exclude_self: bool):
     Recomputed per pass; fuses into the pass reduction."""
     x_ij = ctx.q_pos.expand(2) - sweep.pos_w.expand(1)
     r2 = x_ij.norm2()
-    mask = (sweep.eng.win_valid[:, None, :] & ctx.q_valid[:, :, None]
+    mask = (sweep.valid_w[:, None, :] & ctx.q_valid[:, :, None]
             & (r2 <= jnp.float32(st.h) ** 2))
     if exclude_self and sweep.gid_w is not None:
         mask &= sweep.gid_w[:, None, :] != ctx.q_gid[:, :, None]
@@ -444,9 +461,14 @@ def q_form(ctx: Ctx, arr: jnp.ndarray) -> jnp.ndarray:
     return pw.blockify(arr, nblk, B)[:, :, None]
 
 
-def w_form_fluid(ctx: Ctx, arr: jnp.ndarray) -> jnp.ndarray:
+def w_form_fluid(st: SceneStatic, ctx: Ctx, arr: jnp.ndarray) -> jnp.ndarray:
     """(N,) sorted per-fluid array -> (nblk, 1, W) broadcastable window form."""
-    return pw.window(ctx.f.eng, arr)[:, None, :]
+    return pw.window(ctx.f.eng, arr, st.Wf, banded=st.banded)[:, None, :]
+
+
+def window_fluid_v3(st: SceneStatic, ctx: Ctx, v: V3) -> V3:
+    """V3 of (N,) sorted per-fluid arrays -> (nblk, W) window form."""
+    return pw.window_v3(ctx.f.eng, v, st.Wf, banded=st.banded)
 
 
 def neighbor_counts(st: SceneStatic, ctx: Ctx) -> jnp.ndarray:
@@ -489,14 +511,14 @@ def ctx_viscosity(st: SceneStatic, ctx: Ctx, vel_s: V3, rho: jnp.ndarray,
     import cfd_taichi_tpu.ops.smoothing as sm_
 
     x_ij, r, mask = pair_geom(st, ctx, ctx.f, exclude_self=True)
-    v_w = pw.window_v3(ctx.f.eng, vel_s)
+    v_w = pw.window_v3(ctx.f.eng, vel_s, st.Wf, banded=st.banded)
     v_ij = V3(q_form(ctx, vel_s.x) - v_w.x[:, None, :],
               q_form(ctx, vel_s.y) - v_w.y[:, None, :],
               q_form(ctx, vel_s.z) - v_w.z[:, None, :])
     shear = v_ij.dot(x_ij)
     q2 = r * r
     rho_q = q_form(ctx, rho)
-    rho_w = w_form_fluid(ctx, rho)
+    rho_w = w_form_fluid(st, ctx, rho)
     nu = (2.0 * alpha * st.h * c_s) / (rho_q + rho_w)
     pi = -nu * shear / (q2 + eps * st.h * st.h)
     gcoef = sm_.cubic_grad_coeff(r, st.h)
@@ -551,7 +573,8 @@ def ctx_scatter_rigid_force(st: SceneStatic, ctx: Ctx, contrib: V3,
     if ctx.r is None or not st.fs_couple:
         return force
     sums_sorted = pw.scatter_window_sum(
-        ctx.r.eng, contrib.x, contrib.y, contrib.z, pair_mask, st.n_rigid)
+        ctx.r.eng, contrib.x, contrib.y, contrib.z, pair_mask, st.n_rigid,
+        st.Wr)
     perm = ctx.rigid_set.perm
     return V3(force.x.at[perm].add(sums_sorted.x),
               force.y.at[perm].add(sums_sorted.y),

@@ -129,7 +129,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
         gc_f = sm.cubic_grad_coeff(r_f, st.h)
         kq = base.q_form(ctx, k_over_rho)
-        kij = kq + base.w_form_fluid(ctx, k_over_rho)
+        kij = kq + base.w_form_fluid(st, ctx, k_over_rho)
         mf = mask_f & (kij > 1e-5) if extra_fluid_guard else mask_f
         scale = jnp.where(mf, st.particle_m * kij * gc_f, 0.0)
         out = base.sweep_sum_vec(x_f, scale, n)
@@ -165,7 +165,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
         gc_f = sm.cubic_grad_coeff(r_f, st.h)
         vq = pw.blockify_v3(v, nblk, B)
-        vw = pw.window_v3(ctx.f.eng, v)
+        vw = base.window_fluid_v3(st, ctx, v)
         dots = ((vq.x[:, :, None] - vw.x[:, None, :]) * x_f.x
                 + (vq.y[:, :, None] - vw.y[:, None, :]) * x_f.y
                 + (vq.z[:, :, None] - vw.z[:, None, :]) * x_f.z) * gc_f
@@ -302,4 +302,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         t=state.t + dt,
         step_count=state.step_count + 1,
         extra=(warm_k,),
+        # [divergence iters, divergence residual, density iters,
+        #  density error] — the reference's per-step prints
+        # (dfsph_solver.py:233,416).
+        diag=jnp.stack([div_iters.astype(jnp.float32), div_avg,
+                        den_iters.astype(jnp.float32), den_avg - RHO_0]),
     )

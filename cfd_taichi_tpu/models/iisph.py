@@ -98,7 +98,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     # rho_adv (iisph_solver.py:57-66, 316-340): rigid neighbor velocity uses
     # omega + alpha dt about the centroid.
     vq = pw.blockify_v3(v_adv, nblk, B)
-    vw = pw.window_v3(ctx.f.eng, v_adv)
+    vw = base.window_fluid_v3(st, ctx, v_adv)
     dots = ((vq.x[:, :, None] - vw.x[:, None, :]) * x_f.x
             + (vq.y[:, :, None] - vw.y[:, None, :]) * x_f.y
             + (vq.z[:, :, None] - vw.z[:, None, :]) * x_f.z) * gc_f
@@ -160,7 +160,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         # d_ij = -dt^2 sum_f m p_j/rho_j^2 gradW (fluid-only, py:306-314).
         x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
         gc_f = sm.cubic_grad_coeff(r_f, st.h)
-        pj_term = base.w_form_fluid(ctx, p / (rho * rho))
+        pj_term = base.w_form_fluid(st, ctx, p / (rho * rho))
         scale = jnp.where(mask_f, -st.particle_m * pj_term * gc_f, 0.0)
         return base.sweep_sum_vec(x_f, scale, n) * dt2
 
@@ -170,9 +170,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
         gc_f = sm.cubic_grad_coeff(r_f, st.h)
         dij_q = pw.blockify_v3(d_ij, nblk, B)
-        dij_w = pw.window_v3(ctx.f.eng, d_ij)
-        dii_w = pw.window_v3(ctx.f.eng, d_ii)
-        p_w = base.w_form_fluid(ctx, p)[:, 0, :]         # (nblk, W)
+        dij_w = base.window_fluid_v3(st, ctx, d_ij)
+        dii_w = base.window_fluid_v3(st, ctx, d_ii)
+        p_w = base.w_form_fluid(st, ctx, p)[:, 0, :]         # (nblk, W)
         p_q = base.q_form(ctx, p)
         # e . gradW, with e = dij_i - dii_j p_j - dij_j + d_ji p_i and
         # d_ji p_i = dt^2 m/rho_i^2 p_i * gc * x_ij.
@@ -266,4 +266,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         t=state.t + dt,
         step_count=state.step_count + 1,
         extra=(p_iter,),
+        # [iters, residual, 0, 0] (iisph_solver.py:96).
+        diag=jnp.stack([iters.astype(jnp.float32), res,
+                        jnp.zeros(()), jnp.zeros(())]),
     )

@@ -94,7 +94,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     s_corr = -TENSION_K * s2 * s2                        # quartic
     lam_q = base.q_form(ctx, lam)
     pair_scale = jnp.where(
-        mask_f, (lam_q + base.w_form_fluid(ctx, lam) + s_corr) * spiky_c, 0.0)
+        mask_f, (lam_q + base.w_form_fluid(st, ctx, lam) + s_corr) * spiky_c, 0.0)
     delta_pos = base.sweep_sum_vec(x_f, pair_scale, n)
     if ctx.b is not None:
         bs = bpoly_w / w_ref
@@ -116,11 +116,11 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     # XSPH over updated positions/velocities (deterministic resolution of
     # the reference's in-kernel race, see module docstring).
     q_np = pw.blockify_v3(new_pos, nblk, B)
-    w_np = pw.window_v3(ctx.f.eng, new_pos)
+    w_np = base.window_fluid_v3(st, ctx, new_pos)
     d_new = (q_np.expand(2) - w_np.expand(1)).norm()
     w_x = sm.poly6_w(d_new, st.h)
     q_nv = pw.blockify_v3(new_vel, nblk, B)
-    w_nv = pw.window_v3(ctx.f.eng, new_vel)
+    w_nv = base.window_fluid_v3(st, ctx, new_vel)
     dvx = jnp.where(mask_f, (w_nv.x[:, None, :] - q_nv.x[:, :, None]) * w_x, 0.0)
     dvy = jnp.where(mask_f, (w_nv.y[:, None, :] - q_nv.y[:, :, None]) * w_x, 0.0)
     dvz = jnp.where(mask_f, (w_nv.z[:, None, :] - q_nv.z[:, :, None]) * w_x, 0.0)

@@ -96,7 +96,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         169-198); also scatters the rigid reaction."""
         x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
         gc_f = sm.cubic_grad_coeff(r_f, st.h)
-        sym = base.q_form(ctx, p_iter) + base.w_form_fluid(ctx, p_iter)
+        sym = base.q_form(ctx, p_iter) + base.w_form_fluid(st, ctx, p_iter)
         scale = jnp.where(mask_f,
                           sym / RHO_0**2 * st.particle_m**2 * gc_f, 0.0)
         raw = base.sweep_sum_vec(x_f, scale, n)
@@ -139,7 +139,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         # reference reuses the start-of-step grid, solver_base.py:139-141).
         _, _, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
         q_p = pw.blockify_v3(pos_p, nblk, B)
-        w_p = pw.window_v3(ctx.f.eng, pos_p)
+        w_p = base.window_fluid_v3(st, ctx, pos_p)
         d_f = (q_p.expand(2) - w_p.expand(1)).norm()
         rho_p = st.particle_m * base.sweep_sum(sm.cubic_w(d_f, st.h), mask_f, n)
         if has_rigid:
@@ -193,4 +193,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,
+        # [iters, avg positive density error, 0, 0] (pcisph_solver.py:70).
+        diag=jnp.stack([iters.astype(jnp.float32), res,
+                        jnp.zeros(()), jnp.zeros(())]),
     )

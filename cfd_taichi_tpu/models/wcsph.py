@@ -57,7 +57,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     x_ij, r, mask = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
     gcoef = sm.cubic_grad_coeff(r, st.h)
-    sym = base.q_form(ctx, p_over_rho2) + base.w_form_fluid(ctx, p_over_rho2)
+    sym = base.q_form(ctx, p_over_rho2) + base.w_form_fluid(st, ctx, p_over_rho2)
     scale = jnp.where(mask, -st.particle_m * sym * gcoef, 0.0)
     pressure_acc = base.sweep_sum_vec(x_ij, scale, st.n_fluid)
 

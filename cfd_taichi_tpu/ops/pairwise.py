@@ -8,22 +8,23 @@ the gathers:
   1. Sort each particle set by linearized cell id (counting sort — the same
      `CellTable` as ops/neighbors).
   2. Partition the sorted *queries* into blocks of B. A block spans a
-     contiguous run of cells [c_first, c_last]; every neighbor of every
-     particle in the block lives in cells [c_first - S, c_last + S], where
-     S = gx*gz + gx + 1 is the largest linearized stencil offset. Since the
-     *source* set is also cell-sorted, those candidates form ONE contiguous
-     index range per block.
+     contiguous run of cells; its 27-cell stencil covers 3 slabs of the
+     slowest grid axis, and within each slab the candidates form ONE
+     contiguous index range of the cell-sorted source set. The engine stores
+     just (start, len) per block per slab; windows are fetched with a
+     banded DMA gather (ops/banded.py) at HBM bandwidth and window
+     index/validity masks are recomputed from iota on the fly.
   3. Each pairwise pass broadcasts the (nblk, B) query block against its
      (nblk, W) window — a dense (nblk, B, W) VPU computation with a distance
      mask, fused by XLA into the reduction. Measured: 183M pair-ops in
      ~0.1 ms where the gather formulation took 70 ms.
 
-Windows are fixed-size (static W); occupancy overflow (window longer than W)
-is reported per engine for telemetry — the analogue of the reference's
-512-entry dynamic-list capacity (ParticleSystem.py:103).
+Windows are fixed-size (static W = 3 * Wsub); occupancy overflow (a slab
+range longer than Wsub) is reported per engine for telemetry — the analogue
+of the reference's 512-entry dynamic-list capacity (ParticleSystem.py:103).
 
-This realizes the "cell-based relative coordinates" idea of the
-GPU mixed-precision SPH literature (PAPERS.md) in XLA terms.
+This realizes the "cell-based relative coordinates" idea of the GPU
+mixed-precision SPH literature (PAPERS.md) in XLA terms.
 """
 
 from __future__ import annotations
@@ -32,8 +33,11 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from cfd_taichi_tpu.ops.banded import ALIGN, banded_gather
 from cfd_taichi_tpu.ops.neighbors import CellTable, GridSpec, cell_id
 from cfd_taichi_tpu.ops.vec import V3
+
+NSUB = 3  # sub-windows per block (one per major-axis slab of the stencil)
 
 
 def stencil_span(grid: GridSpec) -> int:
@@ -43,18 +47,18 @@ def stencil_span(grid: GridSpec) -> int:
 
 
 class PairEngine(NamedTuple):
-    """Windows of one sorted source set for each sorted query block."""
-    win_idx: jnp.ndarray    # (nblk, W) int32 — indices into the sorted source
-    win_valid: jnp.ndarray  # (nblk, W) bool
-    overflow: jnp.ndarray   # () int32 — max candidates dropped by any block
+    """Per-block contiguous window ranges into one sorted source set.
+
+    `starts` are ALIGN-aligned (banded-DMA requirement); the true range
+    begins `skips` elements into the fetched window and is `lens` long."""
+    starts: jnp.ndarray     # (nblk, NSUB) int32 — aligned fetch starts
+    skips: jnp.ndarray      # (nblk, NSUB) int32 — leading slots to ignore
+    lens: jnp.ndarray       # (nblk, NSUB) int32 — valid range lengths
+    overflow: jnp.ndarray   # () int32 — max candidates dropped by any range
 
     @property
     def nblk(self) -> int:
-        return self.win_idx.shape[0]
-
-    @property
-    def W(self) -> int:
-        return self.win_idx.shape[1]
+        return self.starts.shape[0]
 
 
 def pad_to_blocks(n: int, B: int) -> int:
@@ -62,58 +66,54 @@ def pad_to_blocks(n: int, B: int) -> int:
 
 
 def build_engine(q_cells: jnp.ndarray, src_starts: jnp.ndarray, n_src: int,
-                 grid: GridSpec, B: int, W: int) -> PairEngine:
-    """Build per-block windows as THREE per-major-plane sub-ranges.
+                 grid: GridSpec, B: int, W: int,
+                 align: int = ALIGN) -> PairEngine:
+    """Build per-block windows as NSUB per-major-slab sub-ranges.
 
-    The 27-cell stencil spans 3 slabs of the slowest (major) grid axis. One
-    contiguous range covering all of them would include every cell of the
-    two whole major-planes in between (~s_major cells); instead we take one
-    contiguous sub-range per slab, each spanning only
+    One contiguous range covering the whole stencil would include every cell
+    of the two whole major-planes in between; one range per slab spans only
     (block cell span + 2*(s_mid + s_min + 1)) cells — a ~3-4x reduction in
-    window occupancy for typical grids.
+    window occupancy for typical grids. Ranges are clamped disjoint (they
+    can overlap when the major stride is small; the overlap is always
+    covered by the later range, so no pair is dropped or double-counted).
 
     q_cells: (Nq_pad,) cell id of each sorted query (pad rows must carry the
     id of the last real query so block ranges stay tight).
     src_starts: CSR starts of the sorted source set ((num_cells+1,)).
-    W must be divisible by 3 (W//3 per sub-range).
+    W must be divisible by NSUB.
     """
-    nq = q_cells.shape[0]
-    nblk = nq // B
     s_major = max(grid.strides)
-    span_sub = sum(grid.strides) - s_major  # s_mid + s_min (+1 below)
-    Wsub = W // 3
+    span_sub = sum(grid.strides) - s_major  # s_mid + s_min
+    Wsub = W // NSUB
     first = q_cells[0::B].astype(jnp.int32)          # (nblk,)
     last = q_cells[B - 1::B].astype(jnp.int32)
 
-    los = []
-    his = []
+    los, his = [], []
     for d in (-1, 0, 1):
         los.append(jnp.clip(first + d * s_major - (span_sub + 1), 0,
                             grid.num_cells - 1))
         his.append(jnp.clip(last + d * s_major + (span_sub + 1), 0,
                             grid.num_cells - 1))
-    # Make the cell ranges disjoint (they can overlap when the major stride
-    # is small); the overlap is always covered by the later range, so the
-    # union is unchanged and no pair is counted twice.
     his[0] = jnp.minimum(his[0], los[1] - 1)
     his[1] = jnp.minimum(his[1], los[2] - 1)
 
-    parts_idx = []
-    parts_valid = []
+    starts_l, skips_l, lens_l = [], [], []
     overflow = jnp.zeros((), jnp.int32)
-    ar = jnp.arange(Wsub, dtype=jnp.int32)[None, :]
     for lo, hi in zip(los, his):
         start = src_starts[lo]
         end = jnp.maximum(src_starts[jnp.maximum(hi, lo - 1) + 1], start)
         end = jnp.where(hi < lo, start, end)  # empty range
-        overflow = jnp.maximum(overflow, jnp.max(
-            jnp.maximum(end - start - Wsub, 0)))
-        idx = start[:, None] + ar
-        parts_valid.append(idx < end[:, None])
-        parts_idx.append(jnp.clip(idx, 0, max(n_src - 1, 0)))
-    win_idx = jnp.concatenate(parts_idx, axis=1)
-    win_valid = jnp.concatenate(parts_valid, axis=1)
-    return PairEngine(win_idx=win_idx, win_valid=win_valid, overflow=overflow)
+        astart = (start // align) * align     # banded-DMA alignment
+        skip = start - astart
+        need = end - astart
+        overflow = jnp.maximum(overflow, jnp.max(jnp.maximum(need - Wsub, 0)))
+        starts_l.append(astart)
+        skips_l.append(skip)
+        lens_l.append(jnp.maximum(jnp.minimum(need, Wsub) - skip, 0))
+    return PairEngine(starts=jnp.stack(starts_l, axis=1),
+                      skips=jnp.stack(skips_l, axis=1),
+                      lens=jnp.stack(lens_l, axis=1),
+                      overflow=overflow)
 
 
 class SortedSet(NamedTuple):
@@ -159,25 +159,65 @@ def unblock_v3(v: V3, n: int) -> V3:
     return V3(unblock(v.x, n), unblock(v.y, n), unblock(v.z, n))
 
 
-def window(engine: PairEngine, arr: jnp.ndarray, fill=0.0) -> jnp.ndarray:
-    """Window a per-source sorted array: (Ns,) -> (nblk, W)."""
-    out = arr[engine.win_idx]
-    return jnp.where(engine.win_valid, out, fill)
+def _wsub(engine: PairEngine, W: int) -> int:
+    assert W % NSUB == 0
+    return W // NSUB
 
 
-def window_v3(engine: PairEngine, v: V3) -> V3:
-    return V3(v.x[engine.win_idx], v.y[engine.win_idx], v.z[engine.win_idx])
+def win_valid(engine: PairEngine, W: int) -> jnp.ndarray:
+    """(nblk, W) slot validity, recomputed from iota (never stored big)."""
+    Wsub = _wsub(engine, W)
+    ar = jnp.arange(Wsub, dtype=jnp.int32)[None, None, :]
+    skip = engine.skips[:, :, None]
+    v = (ar >= skip) & (ar < skip + engine.lens[:, :, None])
+    return v.reshape(engine.nblk, W)
+
+
+def win_gid(engine: PairEngine, W: int) -> jnp.ndarray:
+    """(nblk, W) sorted-source index of each slot; -2 where invalid."""
+    Wsub = _wsub(engine, W)
+    ar = jnp.arange(Wsub, dtype=jnp.int32)[None, None, :]
+    idx = engine.starts[:, :, None] + ar
+    skip = engine.skips[:, :, None]
+    valid = (ar >= skip) & (ar < skip + engine.lens[:, :, None])
+    return jnp.where(valid, idx, -2).reshape(engine.nblk, W)
+
+
+def window(engine: PairEngine, arr: jnp.ndarray, W: int, fill=0.0,
+           banded: bool = True) -> jnp.ndarray:
+    """Window a per-source sorted array: (Ns,) -> (nblk, W) via banded DMA
+    (engine built with align=ALIGN) or an XLA gather (align=1).
+    Out-of-range slots carry padding values; mask with `win_valid` downstream
+    (all consumers do)."""
+    Wsub = _wsub(engine, W)
+    src = jnp.pad(arr, (0, Wsub), constant_values=fill)
+    if banded:
+        out = banded_gather(src, engine.starts.reshape(-1), Wsub)
+        return out.reshape(engine.nblk, W)
+    idx = (engine.starts[:, :, None]
+           + jnp.arange(Wsub, dtype=jnp.int32)[None, None, :])
+    return src[jnp.clip(idx, 0, src.shape[0] - 1)].reshape(engine.nblk, W)
+
+
+def window_v3(engine: PairEngine, v: V3, W: int, banded: bool = True) -> V3:
+    return V3(window(engine, v.x, W, banded=banded),
+              window(engine, v.y, W, banded=banded),
+              window(engine, v.z, W, banded=banded))
 
 
 def scatter_window_sum(engine: PairEngine, contrib_x, contrib_y, contrib_z,
-                       pair_mask, n_src: int) -> V3:
+                       pair_mask, n_src: int, W: int) -> V3:
     """Reduce per-pair contributions over the query axis and scatter-add them
     onto source particles: returns (Ns,) component sums. Used for the rigid
     force back-coupling (replaces the reference's atomic += on neighbors,
     e.g. wcsph_solver.py:126)."""
+    idx = win_gid(engine, W)
+    valid = idx >= 0
+    flat_idx = jnp.clip(idx, 0, max(n_src - 1, 0)).reshape(-1)
+
     def one(c):
         per_win = jnp.sum(jnp.where(pair_mask, c, 0.0), axis=1)  # (nblk, W)
         out = jnp.zeros((n_src,), jnp.float32)
-        return out.at[engine.win_idx.reshape(-1)].add(
-            jnp.where(engine.win_valid, per_win, 0.0).reshape(-1))
+        return out.at[flat_idx].add(
+            jnp.where(valid, per_win, 0.0).reshape(-1))
     return V3(one(contrib_x), one(contrib_y), one(contrib_z))

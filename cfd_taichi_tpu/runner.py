@@ -77,12 +77,51 @@ class Simulation:
     def t(self) -> float:
         return float(self.state.t)
 
+    def particle_colors(self, mode: str) -> np.ndarray:
+        """False-color particles by normalized density or neighbor count —
+        the reference's visualize_rho / visualize_neighbour debug views
+        (solver_base.py:219-245). mode: 'rho' | 'neighbors' | 'none'."""
+        if mode == "rho":
+            scalar = np.asarray(self.density())
+        elif mode == "neighbors":
+            if not hasattr(self, "_counts_fn"):
+                def _counts(st, arrays, fluid_pos, rigid_pos):
+                    ctx = mbase.build_ctx(st, arrays, fluid_pos, rigid_pos)
+                    c = mbase.neighbor_counts(st, ctx)
+                    import jax.numpy as jnp
+
+                    return jnp.zeros_like(c).at[ctx.fluid.perm].set(c)
+
+                self._counts_fn = jax.jit(_counts, static_argnums=0)
+            scalar = np.asarray(self._counts_fn(
+                self.scene.static, self.scene.arrays,
+                self.state.fluid.pos, self.state.rigid.pos))
+        else:
+            n = self.scene.static.n_fluid
+            rgb = np.zeros((n, 3), np.float32)
+            rgb[:, 1] = 0.28
+            rgb[:, 2] = 1.0  # default fluid blue (ParticleSystem.py:117)
+            return rgb
+        return telemetry.rgb_by_scalar(scalar)
+
     def density(self):
-        st, arrays = self.scene.static, self.scene.arrays
-        ctx = mbase.build_ctx(st, arrays, self.state.fluid.pos,
-                              self.state.rigid.pos)
-        self._last_overflow = int(ctx.overflow)
-        return mbase.ctx_rho(st, ctx)
+        # Must run jitted: the windowed sweeps only stay memory-bounded when
+        # XLA fuses the (nblk, B, W) pair tensors into the reduction.
+        if not hasattr(self, "_density_fn"):
+            def _density(st, arrays, fluid_pos, rigid_pos):
+                ctx = mbase.build_ctx(st, arrays, fluid_pos, rigid_pos)
+                rho_sorted = mbase.ctx_rho(st, ctx)
+                import jax.numpy as jnp
+
+                rho = jnp.zeros_like(rho_sorted).at[ctx.fluid.perm].set(rho_sorted)
+                return rho, ctx.overflow
+
+            self._density_fn = jax.jit(_density, static_argnums=0)
+        rho, overflow = self._density_fn(self.scene.static, self.scene.arrays,
+                                         self.state.fluid.pos,
+                                         self.state.rigid.pos)
+        self._last_overflow = int(overflow)
+        return rho
 
     def telemetry(self) -> dict:
         out = dict(self.timer.summary())
@@ -94,13 +133,21 @@ class Simulation:
         # Window overflow: candidates dropped because a pair-sweep window was
         # full (the analogue of the reference's 512-entry cell capacity).
         out["window_overflow"] = getattr(self, "_last_overflow", 0)
+        # Solver convergence telemetry (iteration counts + residuals) — the
+        # reference's per-step prints (pcisph_solver.py:70, iisph_solver.py:96,
+        # dfsph_solver.py:233,416).
+        import numpy as _np
+
+        diag = _np.asarray(self.state.diag)
+        out["solver_iters"] = [round(float(diag[0]), 1), round(float(diag[2]), 1)]
+        out["solver_residuals"] = [round(float(diag[1]), 4), round(float(diag[3]), 4)]
         return out
 
 
 def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
         profile_dir: str | None = None, checkpoint_every: int = 0,
         resume: str | None = None, quiet: bool = False,
-        max_sim_time: float = MAX_SIM_TIME) -> Simulation:
+        max_sim_time: float = MAX_SIM_TIME, color_by: str = "none") -> Simulation:
     sim = Simulation(cfg)
     if resume:
         sim.state = io_utils.load_checkpoint(resume, sim.state)
@@ -145,7 +192,9 @@ def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
             if sc.is_output_gif and (t / frame_time) > output_frame_cnt:
                 from cfd_taichi_tpu.utils import render
 
-                clouds = [(sim.state.fluid.pos.to_numpy(), (0.0, 0.28, 1.0),
+                fluid_color = (0.0, 0.28, 1.0) if color_by == "none" \
+                    else sim.particle_colors(color_by)
+                clouds = [(sim.state.fluid.pos.to_numpy(), fluid_color,
                            sim.scene.static.particle_radius)]
                 if sim.rigid_enabled:
                     clouds.append((sim.state.rigid.pos.to_numpy(),
@@ -177,6 +226,17 @@ def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
 
 
 def main(argv=None):
+    # Persistent compilation cache for interactive runs.
+    cache_dir = os.environ.get(
+        "CFD_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
     parser = argparse.ArgumentParser(description="SPH on TPU (JAX)")
     parser.add_argument("--config", type=str, default="default.json",
                         help="scene config json file")  # main.py:13-15 parity
@@ -186,13 +246,17 @@ def main(argv=None):
     parser.add_argument("--checkpoint-every", type=int, default=0)
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--color-by", type=str, default="none",
+                        choices=["none", "rho", "neighbors"],
+                        help="false-color exported frames (visualize_rho / "
+                             "visualize_neighbour parity)")
     args = parser.parse_args(argv)
 
     cfg = read_config(args.config)
     t0 = time.time()
     run(cfg, frames=args.frames, output_dir=args.output_dir,
         profile_dir=args.profile_dir, checkpoint_every=args.checkpoint_every,
-        resume=args.resume, quiet=args.quiet)
+        resume=args.resume, quiet=args.quiet, color_by=args.color_by)
     print(f"Simulation time: {time.time() - t0}")  # main.py:211 parity
 
 

@@ -58,6 +58,9 @@ class SceneStatic:
     Wf: int = 1024            # fluid->fluid window capacity
     Wr: int = 0               # fluid->rigid window capacity
     Wb: int = 0               # fluid->boundary window capacity
+    # Fetch windows with banded DMA (requires 1024-aligned, wider windows;
+    # pays off when windows are large) vs plain XLA gathers (tight windows).
+    banded: bool = False
 
     @property
     def diameter(self) -> float:
@@ -210,19 +213,30 @@ def build_scene(cfg: SimConfig) -> Scene:
     band_cells = 2 * (span_sub + 1) + 64  # 64 ~ cells one query block spans
     # Fluid bound: hard-packed cells hold (h/d)^3 = 8 particles; 1.5x slack
     # for compression spikes. Overflow is tracked in telemetry either way.
-    wsub_f = int(min(12.0 * band_cells, float(n_fluid)))
-    Wf = 3 * max(_round_up(wsub_f, 128), 128)
+    from cfd_taichi_tpu.ops.banded import ALIGN
+
+    wsub_f_raw = int(min(12.0 * band_cells, float(n_fluid)))
+    # Banded DMA fetch pays off once windows are large; it needs 1024-aligned
+    # (and hence wider) windows, so small scenes keep tight XLA-gather windows.
+    banded = wsub_f_raw >= 2048
+
+    def _wsub(raw: int) -> int:
+        if banded:
+            return max(_round_up(raw + ALIGN, ALIGN), ALIGN)
+        return max(_round_up(raw, 128), 128)
+
+    Wf = 3 * _wsub(wsub_f_raw)
     Wb = 0
     if sv.boundary_handle:
         occ_b = _band_occupancy(
             np.asarray(nb.cell_id(bpos, grid)), grid.num_cells, band_cells)
-        Wb = 3 * max(_round_up(int(occ_b * 1.3), 128), 128)
+        Wb = 3 * _wsub(int(occ_b * 1.3))
     Wr = 0
     if rigid_active and n_rigid > 0:
         occ_r = _band_occupancy(
             np.asarray(nb.cell_id(rigid_init.pos, grid)), grid.num_cells,
             band_cells)
-        Wr = 3 * max(_round_up(int(min(occ_r * 1.5, n_rigid)), 128), 128)
+        Wr = 3 * _wsub(int(min(occ_r * 1.5, n_rigid)))
 
     static = SceneStatic(
         n_fluid=n_fluid, n_boundary=n_boundary, n_rigid=n_rigid,
@@ -231,7 +245,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         grid=grid, akinci=sv.boundary_handle, fs_couple=sv.fs_couple,
         has_rigid=so is not None, rigid_active=rigid_active,
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
-        B=B, Wf=Wf, Wr=Wr, Wb=Wb,
+        B=B, Wf=Wf, Wr=Wr, Wb=Wb, banded=banded,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,

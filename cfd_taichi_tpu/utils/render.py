@@ -69,7 +69,9 @@ def render_frame(path, clouds, cam_pos, look_at, up, box_min=None,
         xy, depth = project_points(pos, cam_pos, look_at, up)
         order = np.argsort(-depth)  # painter's order, far first
         size = np.clip((radius / depth[order]) * 4e4, 0.2, 50.0)
-        ax.scatter(xy[order, 0], xy[order, 1], s=size, c=[color],
+        color = np.asarray(color, np.float32)
+        c = color[order] if color.ndim == 2 else [color]
+        ax.scatter(xy[order, 0], xy[order, 1], s=size, c=c,
                    linewidths=0, alpha=0.9)
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -33,20 +33,21 @@ def _engine_for(pos, box, B=64, W=None, n_src=None, src=None):
     if W is None:
         W = 3 * (-(-(src.x.shape[0]) // 128) * 128)  # generous
     eng = pw.build_engine(q_cells, sset.starts, src.x.shape[0], grid, B, W)
-    return grid, qset, sset, eng
+    return grid, qset, sset, eng, W
 
 
-def _sweep_density(grid, qset, sset, eng, B, exclude_self):
+def _sweep_density(grid, qset, sset, eng, W, B, exclude_self):
     n = qset.pos.x.shape[0]
     nblk = eng.nblk
     q_pos = pw.blockify_v3(qset.pos, nblk, B)
     q_valid = pw.blockify(jnp.ones((n,), bool), nblk, B, fill=False)
-    pos_w = pw.window_v3(eng, sset.pos)
+    pos_w = pw.window_v3(eng, sset.pos, W)
     x_ij = q_pos.expand(2) - pos_w.expand(1)
     r2 = x_ij.norm2()
-    mask = eng.win_valid[:, None, :] & q_valid[:, :, None] & (r2 <= H * H)
+    valid_w = pw.win_valid(eng, W)
+    mask = valid_w[:, None, :] & q_valid[:, :, None] & (r2 <= H * H)
     if exclude_self:
-        gid_w = jnp.where(eng.win_valid, eng.win_idx, -2)
+        gid_w = pw.win_gid(eng, W)
         q_gid = pw.blockify(jnp.arange(n, dtype=jnp.int32), nblk, B, fill=-1)
         mask &= gid_w[:, None, :] != q_gid[:, :, None]
     w = sm.cubic_w(jnp.sqrt(r2), H)
@@ -74,9 +75,9 @@ def test_sweep_matches_brute_force_self(box):
     """Including tiny grids where the 3 sub-windows would overlap without the
     disjointness clamp (double-counting regression test)."""
     pos = _cloud(400, box, seed=1)
-    grid, qset, sset, eng = _engine_for(pos, box)
+    grid, qset, sset, eng, W = _engine_for(pos, box)
     assert int(eng.overflow) == 0
-    got = _sweep_density(grid, qset, sset, eng, 64, exclude_self=True)
+    got = _sweep_density(grid, qset, sset, eng, W, 64, exclude_self=True)
     want = _brute_density(pos, pos, exclude_self=True)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
 
@@ -85,8 +86,8 @@ def test_sweep_matches_brute_force_cross():
     box = (1.0, 0.6, 0.8)
     q = _cloud(300, box, seed=2)
     s = _cloud(500, box, seed=3)
-    grid, qset, sset, eng = _engine_for(q, box, src=s)
-    got = _sweep_density(grid, qset, sset, eng, 64, exclude_self=False)
+    grid, qset, sset, eng, W = _engine_for(q, box, src=s)
+    got = _sweep_density(grid, qset, sset, eng, W, 64, exclude_self=False)
     want = _brute_density(q, s, exclude_self=False)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
 
@@ -94,7 +95,7 @@ def test_sweep_matches_brute_force_cross():
 def test_overflow_reported_when_window_too_small():
     box = (0.5, 0.5, 0.5)
     pos = _cloud(600, box, seed=4)
-    grid, qset, sset, eng = _engine_for(pos, box, W=3 * 128)
+    grid, qset, sset, eng, W = _engine_for(pos, box, W=3 * 128)
     # 600 particles in a tiny box: 128-wide sub-windows must overflow.
     assert int(eng.overflow) > 0
 
@@ -103,16 +104,16 @@ def test_scatter_window_sum_matches_direct():
     box = (1.0, 1.0, 1.0)
     q = _cloud(200, box, seed=5)
     s = _cloud(100, box, seed=6)
-    grid, qset, sset, eng = _engine_for(q, box, src=s)
+    grid, qset, sset, eng, W = _engine_for(q, box, src=s)
     n_src = 100
     nblk, B = eng.nblk, 64
     q_pos = pw.blockify_v3(qset.pos, nblk, B)
-    pos_w = pw.window_v3(eng, sset.pos)
+    pos_w = pw.window_v3(eng, sset.pos, W)
     x_ij = q_pos.expand(2) - pos_w.expand(1)
-    mask = eng.win_valid[:, None, :] & (x_ij.norm2() <= H * H)
+    mask = pw.win_valid(eng, W)[:, None, :] & (x_ij.norm2() <= H * H)
     mask &= pw.blockify(jnp.ones((200,), bool), nblk, B, fill=False)[:, :, None]
     w = sm.cubic_w(x_ij.norm(), H)
-    got_sorted = pw.scatter_window_sum(eng, w, w, w, mask, n_src)
+    got_sorted = pw.scatter_window_sum(eng, w, w, w, mask, n_src, W)
     got = np.zeros(n_src, np.float32)
     got[np.asarray(sset.perm)] = np.asarray(got_sorted.x)
     # Direct: for each source j, sum of W over query neighbors.
