@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.ops import neighbors as nb
@@ -347,11 +348,21 @@ class Sweep(NamedTuple):
 
 
 class Ctx(NamedTuple):
-    """Per-step sorted-fluid solver context."""
-    fluid: pw.SortedSet          # sorted fluid set; .pos is THE sorted position
-    q_pos: V3                    # (nblk, B) blockified sorted fluid positions
+    """Per-step sorted-fluid solver context.
+
+    Fluid state lives in a *slab-aligned padded layout* of static size
+    NQ = st.nq: particles are cell-sorted, then each major-axis slab's run is
+    padded to a multiple of B so no query block straddles a slab boundary
+    (straddling blocks would span ~a whole slab of cells and blow up window
+    occupancy). Pads are neutral: position 1e9 (distance-masked), zero for
+    every lifted field — all solver residual definitions self-exclude zeros.
+    """
+    pos: V3                      # (NQ,) padded fluid positions
+    perm: jnp.ndarray            # (N,) prev-state index of each sorted particle
+    slot: jnp.ndarray            # (N,) padded slot of each sorted particle
+    q_pos: V3                    # (nblk, B) blockified padded positions
     q_valid: jnp.ndarray         # (nblk, B)
-    q_gid: jnp.ndarray           # (nblk, B) sorted fluid index of each query
+    q_gid: jnp.ndarray           # (nblk, B) padded slot id of each query
     f: Sweep                     # fluid -> fluid
     r: Optional[Sweep]           # fluid -> rigid (when active & coupled)
     b: Optional[Sweep]           # fluid -> boundary (Akinci mode)
@@ -362,32 +373,84 @@ class Ctx(NamedTuple):
     overflow: jnp.ndarray        # () int32 — max window overflow this step
 
 
+def lift(ctx: Ctx, arr: jnp.ndarray, fill=0.0) -> jnp.ndarray:
+    """Prev-state-order per-fluid array (N,) -> padded layout (NQ,)."""
+    nq = ctx.pos.x.shape[0]
+    return jnp.full((nq,), fill, arr.dtype).at[ctx.slot].set(arr[ctx.perm])
+
+
+def lift_v3(ctx: Ctx, v: V3, fill=0.0) -> V3:
+    return V3(lift(ctx, v.x, fill), lift(ctx, v.y, fill), lift(ctx, v.z, fill))
+
+
+def compact(ctx: Ctx, arr: jnp.ndarray) -> jnp.ndarray:
+    """Padded layout (NQ,) -> compact (N,) in this step's sorted order."""
+    return arr[ctx.slot]
+
+
+def compact_v3(ctx: Ctx, v: V3) -> V3:
+    return V3(compact(ctx, v.x), compact(ctx, v.y), compact(ctx, v.z))
+
+
+PAD_POS = 1e9  # pad-slot position: farther than any support radius
+
+
 def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
               rigid_pos: Optional[V3]) -> Ctx:
     """Sort the fluid (and rigid) sets by cell and build pair windows.
 
     This replaces the reference's per-step grid rebuild
-    (solver_base.py:139-141) in the windowed formulation. Callers must
-    permute all their per-fluid state by `ctx.fluid.perm`.
+    (solver_base.py:139-141) in the windowed formulation. Callers lift their
+    per-fluid state into the padded layout via `lift`/`lift_v3` and compact
+    results back via `compact`/`compact_v3`.
     """
     n = st.n_fluid
+    B = st.B
+    NQ = st.nq
+    nblk = NQ // B
     fluid = pw.sort_set(fluid_pos, st.grid)
-    nq = pw.pad_to_blocks(n, st.B)
-    nblk = nq // st.B
-    # Pad query cells with the last real cell so block ranges stay tight.
-    pad = nq - n
-    last_cell = fluid.cells[-1]
-    q_cells = jnp.concatenate([fluid.cells,
-                               jnp.full((pad,), 1, jnp.int32) * last_cell])
-    q_pos = pw.blockify_v3(fluid.pos, nblk, st.B)
-    q_valid = pw.blockify(jnp.ones((n,), bool), nblk, st.B, fill=False)
-    q_gid = pw.blockify(jnp.arange(n, dtype=jnp.int32), nblk, st.B, fill=-1)
+
+    # --- slab-aligned padded layout -----------------------------------------
+    s_major = max(st.grid.strides)
+    n_slabs = st.grid.dims[st.grid.major_axis]
+    slab_bounds = jnp.arange(n_slabs + 1, dtype=jnp.int32) * s_major
+    slab_pstart = jnp.searchsorted(fluid.cells, slab_bounds).astype(jnp.int32)
+    counts = jnp.diff(slab_pstart)
+    padded_counts = ((counts + B - 1) // B) * B
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(padded_counts).astype(jnp.int32)])
+    slab_idx = (fluid.cells // s_major).astype(jnp.int32)
+    slot = offsets[slab_idx] + (jnp.arange(n, dtype=jnp.int32)
+                                - slab_pstart[slab_idx])
+
+    def _lift(arr, fill):
+        return jnp.full((NQ,), fill, arr.dtype).at[slot].set(arr)
+
+    pos_p = V3(_lift(fluid.pos.x, PAD_POS), _lift(fluid.pos.y, PAD_POS),
+               _lift(fluid.pos.z, PAD_POS))
+    valid_p = _lift(jnp.ones((n,), bool), False)
+    # Pad cells get the previous particle's cell (cells are nondecreasing in
+    # slot order) so block ranges stay tight.
+    cells_p = jax.lax.cummax(_lift(fluid.cells, 0))
+
+    # Padded-space CSR for the fluid source: shift each cell's compact offset
+    # by its slab's padding.
+    cell_slab = jnp.minimum(
+        jnp.arange(st.grid.num_cells + 1, dtype=jnp.int32) // s_major,
+        n_slabs - 1)
+    starts_p = (offsets[cell_slab]
+                + (fluid.starts - slab_pstart[cell_slab])).astype(jnp.int32)
+
+    q_pos = pw.blockify_v3(pos_p, nblk, B)
+    q_valid = valid_p.reshape(nblk, B)
+    q_gid = jnp.arange(NQ, dtype=jnp.int32).reshape(nblk, B)
+    q_cells = cells_p
 
     align = 1024 if st.banded else 1
-    eng_f = pw.build_engine(q_cells, fluid.starts, n, st.grid, st.B, st.Wf,
+    eng_f = pw.build_engine(q_cells, starts_p, NQ, st.grid, st.B, st.Wf,
                             align=align)
     f_sweep = Sweep(eng=eng_f,
-                    pos_w=pw.window_v3(eng_f, fluid.pos, st.Wf, st.banded),
+                    pos_w=pw.window_v3(eng_f, pos_p, st.Wf, st.banded),
                     valid_w=pw.win_valid(eng_f, st.Wf),
                     gid_w=pw.win_gid(eng_f, st.Wf))
     overflow = eng_f.overflow
@@ -424,7 +487,8 @@ def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
         bvol_w = pw.window(eng_b, bvol_s, st.Wb, banded=st.banded)
         overflow = jnp.maximum(overflow, eng_b.overflow)
 
-    return Ctx(fluid=fluid, q_pos=q_pos, q_valid=q_valid, q_gid=q_gid,
+    return Ctx(pos=pos_p, perm=fluid.perm, slot=slot,
+               q_pos=q_pos, q_valid=q_valid, q_gid=q_gid,
                f=f_sweep, r=r_sweep, b=b_sweep, rigid_set=rigid_set,
                rigid_vol_w=rigid_vol_w, rigid_lid_w=rigid_lid_w,
                bvol_w=bvol_w, overflow=overflow)
@@ -479,7 +543,7 @@ def neighbor_counts(st: SceneStatic, ctx: Ctx) -> jnp.ndarray:
     if ctx.r is not None and st.fs_couple:
         _, _, mask_r = pair_geom(st, ctx, ctx.r, exclude_self=False)
         count = count + jnp.sum(mask_r, axis=2)
-    return pw.unblock(count, st.n_fluid)
+    return pw.unblock(count, st.nq)
 
 
 # --- shared physics ops in windowed form -----------------------------------
@@ -490,17 +554,17 @@ def ctx_rho(st: SceneStatic, ctx: Ctx) -> jnp.ndarray:
 
     _, r, mask = pair_geom(st, ctx, ctx.f, exclude_self=True)
     rho = DENSITY_EPS + st.particle_m * sweep_sum(
-        sm_.cubic_w(r, st.h), mask, st.n_fluid)
+        sm_.cubic_w(r, st.h), mask, st.nq)
     if ctx.r is not None and st.fs_couple:
         _, rr, mask_r = pair_geom(st, ctx, ctx.r, exclude_self=False)
         rho = rho + RHO_0 * sweep_sum(
             ctx.rigid_vol_w[:, None, :] * sm_.cubic_w(rr, st.h), mask_r,
-            st.n_fluid)
+            st.nq)
     if ctx.b is not None:
         _, rb, mask_b = pair_geom(st, ctx, ctx.b, exclude_self=False)
         rho = rho + RHO_0 * sweep_sum(
             ctx.bvol_w[:, None, :] * sm_.cubic_w(rb, st.h), mask_b,
-            st.n_fluid)
+            st.nq)
     return rho
 
 
@@ -523,7 +587,7 @@ def ctx_viscosity(st: SceneStatic, ctx: Ctx, vel_s: V3, rho: jnp.ndarray,
     pi = -nu * shear / (q2 + eps * st.h * st.h)
     gcoef = sm_.cubic_grad_coeff(r, st.h)
     scale = jnp.where(mask & (shear < 0.0), -st.particle_m * pi * gcoef, 0.0)
-    out = sweep_sum_vec(x_ij, scale, st.n_fluid)
+    out = sweep_sum_vec(x_ij, scale, st.nq)
     if ctx.r is not None and st.fs_couple:
         x_r, rr, mask_r = pair_geom(st, ctx, ctx.r, exclude_self=False)
         # Rigid neighbors carry the body linear velocity (rigid_solver.py:97).
@@ -534,14 +598,14 @@ def ctx_viscosity(st: SceneStatic, ctx: Ctx, vel_s: V3, rho: jnp.ndarray,
         q2r = rr * rr
         # Reference quirk: rho of a solid neighbor is read from the fluid
         # rho field at the rigid-local index (solver_base.py:199).
-        rho_quirk = rho[jnp.clip(ctx.rigid_lid_w, 0, st.n_fluid - 1)]
+        rho_quirk = rho[jnp.clip(ctx.rigid_lid_w, 0, st.nq - 1)]
         nu_r = (2.0 * alpha * st.h * c_s) / (rho_q + rho_quirk[:, None, :])
         pi_r = -nu_r * shear_r / (q2r + eps * st.h * st.h)
         gc_r = sm_.cubic_grad_coeff(rr, st.h)
         scale_r = jnp.where(mask_r & (shear_r < 0.0),
                             -RHO_0 * ctx.rigid_vol_w[:, None, :] * pi_r * gc_r,
                             0.0)
-        out = out + sweep_sum_vec(x_r, scale_r, st.n_fluid)
+        out = out + sweep_sum_vec(x_r, scale_r, st.nq)
     return st.particle_m * out
 
 
@@ -551,7 +615,7 @@ def ctx_tension(st: SceneStatic, ctx: Ctx, tension_k: float) -> V3:
 
     x_ij, r, mask = pair_geom(st, ctx, ctx.f, exclude_self=True)
     scale = jnp.where(mask, -tension_k * sm_.cubic_w(r, st.h), 0.0)
-    return st.particle_m * sweep_sum_vec(x_ij, scale, st.n_fluid)
+    return st.particle_m * sweep_sum_vec(x_ij, scale, st.nq)
 
 
 def ctx_boundary_pressure_acc(st: SceneStatic, ctx: Ctx, p_i, rho_i) -> V3:
@@ -563,7 +627,7 @@ def ctx_boundary_pressure_acc(st: SceneStatic, ctx: Ctx, p_i, rho_i) -> V3:
     gcoef = sm_.cubic_grad_coeff(rb, st.h)
     coeff = q_form(ctx, p_i / (rho_i * rho_i))
     scale = jnp.where(mask_b, -ctx.bvol_w[:, None, :] * coeff * gcoef, 0.0)
-    return sweep_sum_vec(xb, scale, st.n_fluid)
+    return sweep_sum_vec(xb, scale, st.nq)
 
 
 def ctx_scatter_rigid_force(st: SceneStatic, ctx: Ctx, contrib: V3,

@@ -62,11 +62,10 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     (warm_k,) = state.extra
 
     ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    perm = ctx.fluid.perm
-    pos = ctx.fluid.pos
-    vel = fluid.vel.take(perm)
-    warm_k = warm_k[perm]
-    n = st.n_fluid
+    pos = ctx.pos
+    vel = base.lift_v3(ctx, fluid.vel)
+    warm_k = base.lift(ctx, warm_k)
+    n = st.nq
     nblk, B = ctx.q_valid.shape
 
     # NOTE: pair geometry (x_ij, r, masks — (nblk, B, W) tensors) is
@@ -295,13 +294,14 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(perm)),
+        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
+                              vel=base.compact_v3(ctx, new_vel),
+                              acc=fluid.acc.take(ctx.perm)),
         rigid=rigid._replace(force=rigid_force),
         dt=dt,
         t=state.t + dt,
         step_count=state.step_count + 1,
-        extra=(warm_k,),
+        extra=(base.compact(ctx, warm_k),),
         # [divergence iters, divergence residual, density iters,
         #  density error] — the reference's per-step prints
         # (dfsph_solver.py:233,416).

@@ -50,11 +50,10 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     dt2 = dt * dt
 
     ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    perm = ctx.fluid.perm
-    pos = ctx.fluid.pos
-    vel = fluid.vel.take(perm)
-    p_past = p_past[perm]
-    n = st.n_fluid
+    pos = ctx.pos
+    vel = base.lift_v3(ctx, fluid.vel)
+    p_past = base.lift(ctx, p_past)
+    n = st.nq
     nblk, B = ctx.q_valid.shape
 
     # Step-level pair geometry for the predict-advection section. The solve
@@ -260,12 +259,13 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(perm)),
+        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
+                              vel=base.compact_v3(ctx, new_vel),
+                              acc=fluid.acc.take(ctx.perm)),
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,
-        extra=(p_iter,),
+        extra=(base.compact(ctx, p_iter),),
         # [iters, residual, 0, 0] (iisph_solver.py:96).
         diag=jnp.stack([iters.astype(jnp.float32), res,
                         jnp.zeros(()), jnp.zeros(())]),

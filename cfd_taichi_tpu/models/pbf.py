@@ -49,9 +49,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
 
     ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    perm = ctx.fluid.perm
-    pos = ctx.fluid.pos
-    n = st.n_fluid
+    pos = ctx.pos
+    n = st.nq
     nblk, B = ctx.q_valid.shape
 
     # PBF is fluid-fluid (+ Akinci boundary) only.
@@ -65,7 +64,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         bvol = ctx.bvol_w[:, None, :]
 
     # --- external force + predicted positions (pbf_solver.py:26-30) ---------
-    vel = fluid.vel.take(perm) + base.gravity_acc(st) * dt
+    vel = base.lift_v3(ctx, fluid.vel) + base.gravity_acc(st) * dt
     pos_predict = pos + vel * dt
 
     # --- density (poly6) + constraint (pbf_solver.py:127-130,166-174) -------
@@ -131,8 +130,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     new_vel = new_vel + XSPH_C * xsph
 
     return state._replace(
-        fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(perm)),
+        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
+                              vel=base.compact_v3(ctx, new_vel),
+                              acc=fluid.acc.take(ctx.perm)),
         t=state.t + dt,
         step_count=state.step_count + 1,
     )

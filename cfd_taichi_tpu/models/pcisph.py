@@ -73,10 +73,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     (delta,) = state.extra
 
     ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    perm = ctx.fluid.perm
-    pos = ctx.fluid.pos
-    vel = fluid.vel.take(perm)
-    n = st.n_fluid
+    pos = ctx.pos
+    vel = base.lift_v3(ctx, fluid.vel)
+    n = st.nq
 
     # --- external forces (pcisph_solver.py:220-226) -------------------------
     rho = base.ctx_rho(st, ctx)
@@ -188,8 +187,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(perm)),
+        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
+                              vel=base.compact_v3(ctx, new_vel),
+                              acc=fluid.acc.take(ctx.perm)),
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,

@@ -46,9 +46,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     # Sort fluid by cell; all per-fluid math below runs in sorted order and
     # the returned state stays sorted (order is physically irrelevant).
     ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    perm = ctx.fluid.perm
-    pos = ctx.fluid.pos
-    vel = fluid.vel.take(perm)
+    pos = ctx.pos
+    vel = base.lift_v3(ctx, fluid.vel)
 
     # --- pressure phase (reference wcsph_solver.py:32-38) -------------------
     rho = base.ctx_rho(st, ctx)
@@ -59,7 +58,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     gcoef = sm.cubic_grad_coeff(r, st.h)
     sym = base.q_form(ctx, p_over_rho2) + base.w_form_fluid(st, ctx, p_over_rho2)
     scale = jnp.where(mask, -st.particle_m * sym * gcoef, 0.0)
-    pressure_acc = base.sweep_sum_vec(x_ij, scale, st.n_fluid)
+    pressure_acc = base.sweep_sum_vec(x_ij, scale, st.nq)
 
     force = rigid.force
     if ctx.r is not None and st.fs_couple:
@@ -70,7 +69,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
             -ctx.rigid_vol_w[:, None, :] * base.q_form(ctx, p_over_rho2)
             * RHO_0 * gc_r, 0.0)
         pressure_acc = pressure_acc + base.sweep_sum_vec(x_r, s_scale,
-                                                         st.n_fluid)
+                                                         st.nq)
         # Reaction on the rigid body: += -term * m (wcsph_solver.py:126).
         force = base.ctx_scatter_rigid_force(
             st, ctx, x_r * (-s_scale * st.particle_m), mask_r, force)
@@ -91,7 +90,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
             decay_mul=-base.V_DECAY)
 
     return state._replace(
-        fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=acc),
+        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
+                              vel=base.compact_v3(ctx, new_vel),
+                              acc=base.compact_v3(ctx, acc)),
         rigid=rigid._replace(force=force),
         t=state.t + dt,
         step_count=state.step_count + 1,
@@ -101,5 +102,5 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 def density_error(st: SceneStatic, arrays: SceneArrays, state: base.SimState):
     """Average |rho - rho0| / rho0 telemetry (parity metric, SURVEY.md §6)."""
     ctx = base.build_ctx(st, arrays, state.fluid.pos, state.rigid.pos)
-    rho = base.ctx_rho(st, ctx)
+    rho = base.compact(ctx, base.ctx_rho(st, ctx))
     return jnp.mean(jnp.abs(rho - RHO_0)) / RHO_0

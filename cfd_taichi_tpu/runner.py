@@ -86,11 +86,11 @@ class Simulation:
         elif mode == "neighbors":
             if not hasattr(self, "_counts_fn"):
                 def _counts(st, arrays, fluid_pos, rigid_pos):
-                    ctx = mbase.build_ctx(st, arrays, fluid_pos, rigid_pos)
-                    c = mbase.neighbor_counts(st, ctx)
                     import jax.numpy as jnp
 
-                    return jnp.zeros_like(c).at[ctx.fluid.perm].set(c)
+                    ctx = mbase.build_ctx(st, arrays, fluid_pos, rigid_pos)
+                    c = mbase.compact(ctx, mbase.neighbor_counts(st, ctx))
+                    return jnp.zeros_like(c).at[ctx.perm].set(c)
 
                 self._counts_fn = jax.jit(_counts, static_argnums=0)
             scalar = np.asarray(self._counts_fn(
@@ -109,11 +109,11 @@ class Simulation:
         # XLA fuses the (nblk, B, W) pair tensors into the reduction.
         if not hasattr(self, "_density_fn"):
             def _density(st, arrays, fluid_pos, rigid_pos):
-                ctx = mbase.build_ctx(st, arrays, fluid_pos, rigid_pos)
-                rho_sorted = mbase.ctx_rho(st, ctx)
                 import jax.numpy as jnp
 
-                rho = jnp.zeros_like(rho_sorted).at[ctx.fluid.perm].set(rho_sorted)
+                ctx = mbase.build_ctx(st, arrays, fluid_pos, rigid_pos)
+                rho_sorted = mbase.compact(ctx, mbase.ctx_rho(st, ctx))
+                rho = jnp.zeros_like(rho_sorted).at[ctx.perm].set(rho_sorted)
                 return rho, ctx.overflow
 
             self._density_fn = jax.jit(_density, static_argnums=0)

@@ -61,6 +61,9 @@ class SceneStatic:
     # Fetch windows with banded DMA (requires 1024-aligned, wider windows;
     # pays off when windows are large) vs plain XLA gathers (tight windows).
     banded: bool = False
+    # Static size of the slab-aligned padded fluid query layout (models/base
+    # build_ctx): pad_to_blocks(n_fluid) + one block per major-axis slab.
+    nq: int = 0
 
     @property
     def diameter(self) -> float:
@@ -215,17 +218,25 @@ def build_scene(cfg: SimConfig) -> Scene:
     # for compression spikes. Overflow is tracked in telemetry either way.
     from cfd_taichi_tpu.ops.banded import ALIGN
 
+    # Static padded query layout size (slab-aligned blocks, models/base
+    # build_ctx): one extra block per major-axis slab.
+    nq = _round_up(n_fluid, B) + grid.dims[grid.major_axis] * B
+
     wsub_f_raw = int(min(12.0 * band_cells, float(n_fluid)))
     # Banded DMA fetch pays off once windows are large; it needs 1024-aligned
     # (and hence wider) windows, so small scenes keep tight XLA-gather windows.
     banded = wsub_f_raw >= 2048
 
-    def _wsub(raw: int) -> int:
+    def _wsub(raw: int, padded_src: bool = False) -> int:
+        # Sub-ranges into the padded fluid layout can cross up to two slab
+        # junctions, each contributing up to B-1 pad slots.
+        if padded_src:
+            raw = min(raw + 2 * B, nq)
         if banded:
             return max(_round_up(raw + ALIGN, ALIGN), ALIGN)
         return max(_round_up(raw, 128), 128)
 
-    Wf = 3 * _wsub(wsub_f_raw)
+    Wf = 3 * _wsub(wsub_f_raw, padded_src=True)
     Wb = 0
     if sv.boundary_handle:
         occ_b = _band_occupancy(
@@ -245,7 +256,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         grid=grid, akinci=sv.boundary_handle, fs_couple=sv.fs_couple,
         has_rigid=so is not None, rigid_active=rigid_active,
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
-        B=B, Wf=Wf, Wr=Wr, Wb=Wb, banded=banded,
+        B=B, Wf=Wf, Wr=Wr, Wb=Wb, banded=banded, nq=nq,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,
