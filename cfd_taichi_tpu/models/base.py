@@ -350,12 +350,14 @@ class Sweep(NamedTuple):
 class Ctx(NamedTuple):
     """Per-step sorted-fluid solver context.
 
-    Fluid state lives in a *slab-aligned padded layout* of static size
-    NQ = st.nq: particles are cell-sorted, then each major-axis slab's run is
-    padded to a multiple of B so no query block straddles a slab boundary
-    (straddling blocks would span ~a whole slab of cells and blow up window
-    occupancy). Pads are neutral: position 1e9 (distance-masked), zero for
-    every lifted field — all solver residual definitions self-exclude zeros.
+    Fluid state lives in a *chunk-padded layout* of static size NQ = st.nq:
+    particles are cell-sorted, then partitioned into groups at occupied
+    C-cell chunk transitions of the linearized grid; each group's run is
+    padded to a multiple of B so no query block mixes groups. This bounds
+    every block's cell span to < C = st.chunk and hence its window occupancy
+    (unbounded spans blow up window occupancy and truncate pairs). Pads are
+    neutral: position 1e9 (distance-masked), zero for every lifted field —
+    all solver residual definitions self-exclude zeros.
     """
     pos: V3                      # (NQ,) padded fluid positions
     perm: jnp.ndarray            # (N,) prev-state index of each sorted particle
@@ -410,18 +412,32 @@ def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     nblk = NQ // B
     fluid = pw.sort_set(fluid_pos, st.grid)
 
-    # --- slab-aligned padded layout -----------------------------------------
-    s_major = max(st.grid.strides)
-    n_slabs = st.grid.dims[st.grid.major_axis]
-    slab_bounds = jnp.arange(n_slabs + 1, dtype=jnp.int32) * s_major
-    slab_pstart = jnp.searchsorted(fluid.cells, slab_bounds).astype(jnp.int32)
-    counts = jnp.diff(slab_pstart)
-    padded_counts = ((counts + B - 1) // B) * B
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(padded_counts).astype(jnp.int32)])
-    slab_idx = (fluid.cells // s_major).astype(jnp.int32)
-    slot = offsets[slab_idx] + (jnp.arange(n, dtype=jnp.int32)
-                                - slab_pstart[slab_idx])
+    # --- chunk-padded layout --------------------------------------------------
+    # Sorted particles are partitioned into GROUPS at every transition between
+    # occupied C-cell chunks of the linearized grid, and each group is padded
+    # to a multiple of B so no query block mixes two groups. This hard-bounds
+    # every block's cell span to < C, which bounds its window occupancy to the
+    # band (C + 2*(span_sub+1)) regardless of how particles scatter —
+    # unbounded spans (stragglers/splash droplets sharing a block across a
+    # sparse region) were the measured cause of window-overflow pair
+    # truncation and solver blow-up at dam-break floor impact. The group
+    # count is statically bounded by num_cells // C + 1, so the padded layout
+    # size NQ is exact — overflow from the layout itself is impossible.
+    C = st.chunk
+    cells = fluid.cells
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+    chunk_ids = (cells // C).astype(jnp.int32)
+    prev_chunk = jnp.concatenate([chunk_ids[:1], chunk_ids[:-1]])
+    brk = (chunk_ids != prev_chunk).at[0].set(False)
+    gid = jnp.cumsum(brk.astype(jnp.int32))          # (n,) group id, ascending
+    MAXG = st.grid.num_cells // C + 1
+    counts_g = jnp.zeros((MAXG,), jnp.int32).at[gid].add(1)
+    padded_g = ((counts_g + B - 1) // B) * B
+    offsets_g = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(padded_g).astype(jnp.int32)])
+    pstart_g = jnp.searchsorted(gid, jnp.arange(MAXG, dtype=jnp.int32)
+                                ).astype(jnp.int32)  # first particle of group
+    slot = offsets_g[gid] + (idx_n - pstart_g[gid])
 
     def _lift(arr, fill):
         return jnp.full((NQ,), fill, arr.dtype).at[slot].set(arr)
@@ -433,13 +449,18 @@ def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     # slot order) so block ranges stay tight.
     cells_p = jax.lax.cummax(_lift(fluid.cells, 0))
 
-    # Padded-space CSR for the fluid source: shift each cell's compact offset
-    # by its slab's padding.
-    cell_slab = jnp.minimum(
-        jnp.arange(st.grid.num_cells + 1, dtype=jnp.int32) // s_major,
-        n_slabs - 1)
-    starts_p = (offsets[cell_slab]
-                + (fluid.starts - slab_pstart[cell_slab])).astype(jnp.int32)
+    # Padded-space CSR for the fluid source: each cell's compact offset shifted
+    # by the padding of all groups before it. g_of_cell = last group whose
+    # first cell id is <= the cell (unused trailing groups sit at num_cells).
+    first_cell_g = jnp.where(pstart_g < n,
+                             cells[jnp.minimum(pstart_g, n - 1)],
+                             st.grid.num_cells)
+    cell_ids = jnp.arange(st.grid.num_cells + 1, dtype=jnp.int32)
+    g_of_cell = jnp.clip(
+        jnp.searchsorted(first_cell_g, cell_ids, side="right").astype(jnp.int32)
+        - 1, 0, MAXG - 1)
+    starts_p = (offsets_g[g_of_cell]
+                + (fluid.starts - pstart_g[g_of_cell])).astype(jnp.int32)
 
     q_pos = pw.blockify_v3(pos_p, nblk, B)
     q_valid = valid_p.reshape(nblk, B)

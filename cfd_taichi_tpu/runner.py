@@ -48,10 +48,11 @@ class Simulation:
                               and self.scene.static.rigid_active)
 
     def step(self):
-        """One fluid solver step."""
-        dt_before = float(self.state.dt)
+        """One fluid solver step. (No per-step device->host syncs: fetching
+        even one scalar through a remote-TPU tunnel costs seconds; simulated
+        time is read from state.t only when telemetry is requested.)"""
         self.state = self._step(self.scene.static, self.scene.arrays, self.state)
-        self.timer.tick(1, dt_before)
+        self.timer.tick(1)
 
     def rigid_step(self):
         if self.rigid_enabled:
@@ -124,6 +125,7 @@ class Simulation:
         return rho
 
     def telemetry(self) -> dict:
+        self.timer.sim_time = self.t
         out = dict(self.timer.summary())
         out.update(telemetry.density_stats(self.density(), RHO_0))
         out["dt"] = float(self.state.dt)

@@ -54,15 +54,20 @@ class SceneStatic:
     bK: int = 64              # max boundary neighbors per fluid particle
     cell_cap: int = 32        # max particles per grid cell considered
     # Windowed pair-sweep parameters (ops/pairwise.py — the fast path).
-    B: int = 256              # query block size
+    B: int = 128              # query block size
     Wf: int = 1024            # fluid->fluid window capacity
     Wr: int = 0               # fluid->rigid window capacity
     Wb: int = 0               # fluid->boundary window capacity
+    # Chunk width (linear cells) of the chunk-padded query layout (models/base
+    # build_ctx): blocks never mix occupied C-cell chunks, hard-bounding every
+    # block's cell span (and hence window occupancy) regardless of how
+    # particles scatter.
+    chunk: int = 64
     # Fetch windows with banded DMA (requires 1024-aligned, wider windows;
     # pays off when windows are large) vs plain XLA gathers (tight windows).
     banded: bool = False
-    # Static size of the slab-aligned padded fluid query layout (models/base
-    # build_ctx): pad_to_blocks(n_fluid) + one block per major-axis slab.
+    # Static size of the chunk-padded fluid query layout (models/base
+    # build_ctx): pad_to_blocks(n_fluid) + one block per possible chunk group.
     nq: int = 0
 
     @property
@@ -208,45 +213,30 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_mass_total = jnp.zeros((), jnp.float32)
 
     # --- windowed pair-sweep capacities (ops/pairwise.py) --------------------
-    # Windows are 3 per-major-plane sub-ranges; each spans a contiguous
-    # linear-cell band of (block cell span + 2*(s_mid + s_min + 1)) cells.
-    B = 256
+    lay = fluid_layout_params(np.asarray(fluid_pos), grid)
+    B, chunk, nq, Wf, banded = (lay["B"], lay["chunk"], lay["nq"],
+                                lay["Wf"], lay["banded"])
     s_major = max(grid.strides)
     span_sub = sum(grid.strides) - s_major
-    band_cells = 2 * (span_sub + 1) + 64  # 64 ~ cells one query block spans
-    # Fluid bound: hard-packed cells hold (h/d)^3 = 8 particles; 1.5x slack
-    # for compression spikes. Overflow is tracked in telemetry either way.
     from cfd_taichi_tpu.ops.banded import ALIGN
 
-    # Static padded query layout size (slab-aligned blocks, models/base
-    # build_ctx): one extra block per major-axis slab.
-    nq = _round_up(n_fluid, B) + grid.dims[grid.major_axis] * B
-
-    wsub_f_raw = int(min(12.0 * band_cells, float(n_fluid)))
-    # Banded DMA fetch pays off once windows are large; it needs 1024-aligned
-    # (and hence wider) windows, so small scenes keep tight XLA-gather windows.
-    banded = wsub_f_raw >= 2048
-
-    def _wsub(raw: int, padded_src: bool = False) -> int:
-        # Sub-ranges into the padded fluid layout can cross up to two slab
-        # junctions, each contributing up to B-1 pad slots.
-        if padded_src:
-            raw = min(raw + 2 * B, nq)
+    def _wsub(raw: int) -> int:
         if banded:
             return max(_round_up(raw + ALIGN, ALIGN), ALIGN)
         return max(_round_up(raw, 128), 128)
-
-    Wf = 3 * _wsub(wsub_f_raw, padded_src=True)
+    # Static sources measure exact band occupancy, with a wider assumed
+    # block span (blocks in sparse slabs can span many more than B/2 cells).
+    band_static = 2 * (span_sub + 1) + 256
     Wb = 0
     if sv.boundary_handle:
         occ_b = _band_occupancy(
-            np.asarray(nb.cell_id(bpos, grid)), grid.num_cells, band_cells)
-        Wb = 3 * _wsub(int(occ_b * 1.3))
+            np.asarray(nb.cell_id(bpos, grid)), grid.num_cells, band_static)
+        Wb = 3 * _wsub(int(min(occ_b * 1.3, n_boundary)))
     Wr = 0
     if rigid_active and n_rigid > 0:
         occ_r = _band_occupancy(
             np.asarray(nb.cell_id(rigid_init.pos, grid)), grid.num_cells,
-            band_cells)
+            band_static)
         Wr = 3 * _wsub(int(min(occ_r * 1.5, n_rigid)))
 
     static = SceneStatic(
@@ -256,7 +246,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         grid=grid, akinci=sv.boundary_handle, fs_couple=sv.fs_couple,
         has_rigid=so is not None, rigid_active=rigid_active,
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
-        B=B, Wf=Wf, Wr=Wr, Wb=Wb, banded=banded, nq=nq,
+        B=B, Wf=Wf, Wr=Wr, Wb=Wb, banded=banded, nq=nq, chunk=chunk,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,
@@ -269,6 +259,57 @@ def build_scene(cfg: SimConfig) -> Scene:
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def fluid_layout_params(fluid_pos_rows: np.ndarray, grid: nb.GridSpec) -> dict:
+    """Static parameters of the chunk-padded fluid query layout + fluid window
+    (see models/base.build_ctx): block size B, chunk width C, padded layout
+    size nq, fluid->fluid window capacity Wf, banded-DMA flag.
+
+    The chunk width is chosen by minimizing the measured sweep-cost proxy
+    nq(C) * Wsub(C): wider chunks mean fewer pad blocks but wider window
+    bands. Window sizing = measured worst-case band occupancy of the initial
+    particle set x2 compression headroom (the density solvers cap sustained
+    compression — measured dam-break floor impact peaks at ~1.13x). Chunking
+    hard-bounds every block's cell span to < C, so the measured band stays
+    representative no matter how particles scatter. Runtime overflow is still
+    counted and surfaced in telemetry (the analogue of the reference's
+    512-entry cell capacity, ParticleSystem.py:103)."""
+    n_fluid = fluid_pos_rows.shape[0]
+    # B=128 measured best on TPU (B=64 halves pad waste but doubles
+    # window-fetch rows: 2.99 s/step vs 2.35 s/step on dam30k DFSPH).
+    B = 128
+    s_major = max(grid.strides)
+    span_sub = sum(grid.strides) - s_major
+    cells_np = np.asarray(nb.cell_id(V3.from_rows(fluid_pos_rows), grid))
+
+    def params_for(C: int):
+        band = (C - 1) + 2 * (span_sub + 1)
+        occ = _band_occupancy(cells_np, grid.num_cells, band)
+        maxg = grid.num_cells // C + 1
+        nq = _round_up(n_fluid, B) + maxg * B
+        # x2 compression headroom + group-pad slack (a window can cross a few
+        # group junctions, each contributing up to B-1 pad slots).
+        raw = int(min(occ * 2.0 + 4 * B, nq))
+        return nq, raw, occ
+
+    best = None
+    for C in (128, 192, 256, 384, 512):
+        nq, raw, occ = params_for(C)
+        cost = nq * raw
+        if best is None or cost < best[0]:
+            best = (cost, C, nq, raw)
+    _, C, nq, raw = best
+    # Banded DMA fetch pays off once windows are large; it needs 1024-aligned
+    # (and hence wider) windows, so small scenes keep tight XLA-gather windows.
+    banded = raw >= 2048
+    if banded:
+        from cfd_taichi_tpu.ops.banded import ALIGN
+
+        wsub = max(_round_up(raw + ALIGN, ALIGN), ALIGN)
+    else:
+        wsub = max(_round_up(raw, 128), 128)
+    return {"B": B, "chunk": C, "nq": nq, "Wf": 3 * wsub, "banded": banded}
 
 
 def _band_occupancy(cells: np.ndarray, num_cells: int, band: int) -> int:

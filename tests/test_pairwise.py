@@ -119,3 +119,65 @@ def test_scatter_window_sum_matches_direct():
     # Direct: for each source j, sum of W over query neighbors.
     want = _brute_density(s, q, exclude_self=False)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def test_straggler_blocks_no_overflow_and_exact_density():
+    """Regression: a handful of particles scattered across a sparse slab
+    adjacent to a dense wall must not form a query block spanning the whole
+    slab (whose windows would have to cover the dense wall and overflow).
+    Chunk breaks (models/base.build_ctx) + measured window sizing
+    (scene.fluid_layout_params) must give zero overflow and exact density."""
+    import dataclasses
+
+    import jax.numpy as jnp_
+
+    from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.scene import SceneStatic, SceneArrays, fluid_layout_params
+
+    rng = np.random.default_rng(7)
+    r = 0.025
+    # Dense wall filling slab x in [0.1, 0.2) of a 5 x 3 x 1.5 box.
+    xs = np.arange(0.1 + r, 0.2, 2 * r)
+    ys = np.arange(0.1, 2.8, 2 * r)
+    zs = np.arange(0.1, 1.3, 2 * r)
+    wall = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1).reshape(-1, 3)
+    # Stragglers scattered over the sparse slab x in [0, 0.1).
+    strag = np.stack([rng.uniform(0.0, 0.09, 24),
+                      rng.uniform(0.0, 2.9, 24),
+                      rng.uniform(0.0, 1.4, 24)], 1)
+    pos_rows = np.concatenate([wall, strag]).astype(np.float32)
+    n = pos_rows.shape[0]
+    grid = nb.grid_for_box((0, 0, 0), (5.0, 3.0, 1.5), H)
+    lay = fluid_layout_params(pos_rows, grid)
+
+    st = SceneStatic(
+        n_fluid=n, n_boundary=0, n_rigid=0, particle_radius=r, h=H,
+        particle_m=1000 * (2 * r) ** 3, gravity=9.8,
+        box_min=(0, 0, 0), box_max=(5.0, 3.0, 1.5), grid=grid,
+        akinci=False, fs_couple=False, has_rigid=False, rigid_active=False,
+        rigid_rho=0.0, dt0=1e-3, solver_name="wcsph",
+        B=lay["B"], Wf=lay["Wf"], banded=lay["banded"], nq=lay["nq"],
+        chunk=lay["chunk"])
+    arrays = SceneArrays(
+        boundary_pos=V3.zeros((0,)), boundary_volume=jnp_.zeros((0,)),
+        boundary_table=nb.build_cell_table(V3.zeros((0,)), grid),
+        rigid_volume=jnp_.zeros((0,)), rigid_mass=jnp_.zeros((0,)),
+        rigid_mass_total=jnp_.zeros(()))
+
+    pos = V3.from_rows(pos_rows)
+    ctx = mbase.build_ctx(st, arrays, pos, None)
+    assert int(np.asarray(ctx.overflow)) == 0
+
+    rho_sorted = np.asarray(mbase.compact(ctx, mbase.ctx_rho(st, ctx)))
+    rho = np.zeros(n, np.float32)
+    rho[np.asarray(ctx.perm)] = rho_sorted
+
+    d = pos_rows[:, None, :] - pos_rows[None, :, :]
+    rr = np.linalg.norm(d, axis=2)
+    mask = (rr <= H) & ~np.eye(n, dtype=bool)
+    k = 8.0 / (np.pi * H**3)
+    q = rr / H
+    w = np.where(q <= 0.5, k * (6 * (q**3 - q**2) + 1), 2 * k * (1 - q) ** 3)
+    w = np.where(q <= 1.0, w, 0.0)
+    rho_ref = 0.001 + st.particle_m * (w * mask).sum(1)
+    np.testing.assert_allclose(rho, rho_ref, rtol=2e-4, atol=2e-3)
