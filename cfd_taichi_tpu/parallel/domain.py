@@ -41,9 +41,12 @@ from cfd_taichi_tpu.scene import RHO_0, SceneArrays, SceneStatic
 AXIS = "shard"
 
 
-def make_mesh(n_devices: int) -> Mesh:
-    devices = np.array(jax.devices()[:n_devices])
-    return Mesh(devices, (AXIS,))
+def make_mesh(n_devices: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_devices:
+        raise ValueError(f"need {n_devices} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n_devices]), (AXIS,))
 
 
 @dataclasses.dataclass(frozen=True)
