@@ -339,12 +339,15 @@ from cfd_taichi_tpu.ops import pairwise as pw  # noqa: E402
 
 class Sweep(NamedTuple):
     """One sorted source set + its per-block windows, with cached windowed
-    positions/validity. Pair tensors (x_ij, masks) are recomputed per pass so
-    they fuse into each pass's reduction instead of being materialized."""
+    positions. Pair tensors (x_ij, masks) are recomputed per pass so they
+    fuse into each pass's reduction instead of being materialized; slot
+    validity and sorted-global ids are pure iota math over the engine's
+    (nblk, NSUB) ranges and are likewise recomputed per pass (materializing
+    them costs ~1.2 GB at 1M particles for zero gain)."""
     eng: pw.PairEngine
     pos_w: V3               # (nblk, W) windowed source positions
-    valid_w: jnp.ndarray    # (nblk, W) slot validity
-    gid_w: Optional[jnp.ndarray]  # (nblk, W) sorted-global ids (self-exclusion)
+    W: int                  # window width (static)
+    exclude_self: bool      # queries are members of this source set
 
 
 class Ctx(NamedTuple):
@@ -472,8 +475,7 @@ def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
                             align=align)
     f_sweep = Sweep(eng=eng_f,
                     pos_w=pw.window_v3(eng_f, pos_p, st.Wf, st.banded),
-                    valid_w=pw.win_valid(eng_f, st.Wf),
-                    gid_w=pw.win_gid(eng_f, st.Wf))
+                    W=st.Wf, exclude_self=True)
     overflow = eng_f.overflow
 
     r_sweep = None
@@ -487,7 +489,7 @@ def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
         r_sweep = Sweep(eng=eng_r,
                         pos_w=pw.window_v3(eng_r, rigid_set.pos, st.Wr,
                                            st.banded),
-                        valid_w=pw.win_valid(eng_r, st.Wr), gid_w=None)
+                        W=st.Wr, exclude_self=False)
         rigid_vol_w = pw.window(eng_r, arrays.rigid_volume[rigid_set.perm],
                                 st.Wr, banded=st.banded)
         rigid_lid_w = pw.window(eng_r, rigid_set.perm.astype(jnp.float32),
@@ -504,7 +506,7 @@ def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
         bvol_s = arrays.boundary_volume[arrays.boundary_table.order]
         b_sweep = Sweep(eng=eng_b,
                         pos_w=pw.window_v3(eng_b, bpos_s, st.Wb, st.banded),
-                        valid_w=pw.win_valid(eng_b, st.Wb), gid_w=None)
+                        W=st.Wb, exclude_self=False)
         bvol_w = pw.window(eng_b, bvol_s, st.Wb, banded=st.banded)
         overflow = jnp.maximum(overflow, eng_b.overflow)
 
@@ -517,13 +519,16 @@ def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
 
 def pair_geom(st: SceneStatic, ctx: Ctx, sweep: Sweep, exclude_self: bool):
     """x_ij (nblk,B,W), r, and the pair validity mask for one sweep.
-    Recomputed per pass; fuses into the pass reduction."""
+    Recomputed per pass (incl. slot validity / self-exclusion ids, which are
+    pure iota math over the engine ranges); fuses into the pass reduction."""
     x_ij = ctx.q_pos.expand(2) - sweep.pos_w.expand(1)
     r2 = x_ij.norm2()
-    mask = (sweep.valid_w[:, None, :] & ctx.q_valid[:, :, None]
+    valid_w = pw.win_valid(sweep.eng, sweep.W)
+    mask = (valid_w[:, None, :] & ctx.q_valid[:, :, None]
             & (r2 <= jnp.float32(st.h) ** 2))
-    if exclude_self and sweep.gid_w is not None:
-        mask &= sweep.gid_w[:, None, :] != ctx.q_gid[:, :, None]
+    if exclude_self and sweep.exclude_self:
+        gid_w = pw.win_gid(sweep.eng, sweep.W)
+        mask &= gid_w[:, None, :] != ctx.q_gid[:, :, None]
     return x_ij, jnp.sqrt(r2), mask
 
 
