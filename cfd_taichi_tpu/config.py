@@ -138,6 +138,8 @@ def resolve_mesh_path(path: str, base_dir: Optional[str]) -> str:
     """
     import os
 
+    if path.startswith("builtin:"):  # procedural mesh (geometry.builtin_mesh)
+        return path
     candidates = [path]
     if base_dir is not None:
         candidates.append(os.path.join(base_dir, path))

@@ -132,7 +132,14 @@ def seed_boundary_shell(box_min, box_max, particle_radius: float) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def load_mesh(path: str, scale: float = 1.0):
-    """Load a triangle mesh. Returns (vertices (V,3) f32, faces (F,3) i32)."""
+    """Load a triangle mesh. Returns (vertices (V,3) f32, faces (F,3) i32).
+
+    `builtin:<name>` paths resolve to procedural meshes (see builtin_mesh) so
+    scenes need no mesh files on disk — the self-contained counterpart of the
+    reference's obj/ assets (ParticleSystem.py:42-50)."""
+    if path.startswith("builtin:"):
+        verts, faces = builtin_mesh(path[len("builtin:"):])
+        return (verts * np.float32(scale)).astype(np.float32), faces
     lower = path.lower()
     if lower.endswith(".stl"):
         verts, faces = _load_stl(path)
@@ -141,6 +148,85 @@ def load_mesh(path: str, scale: float = 1.0):
     else:
         raise ValueError(f"Unsupported mesh format: {path}")
     verts = verts * np.float32(scale)  # trimesh.apply_scale parity (ParticleSystem.py:43)
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def builtin_mesh(name: str):
+    """Procedural meshes bundled with the framework.
+
+    These replace the reference's shipped assets (obj/cube1.STL etc.) so
+    every bundled config and test runs without external files:
+      * ``cube``              — unit cube [0,1]^3 (like obj/cube2.STL)
+      * ``cube1``             — 0.8 x 0.5 x 1.0 box (obj/cube1.STL extents)
+      * ``box:<x>x<y>x<z>``   — axis-aligned box of the given extents
+      * ``ball``              — sphere of diameter 0.5 in [0,0.5]^3
+                                (obj/ball.STL extents)
+    """
+    if name == "cube":
+        return _box_mesh(1.0, 1.0, 1.0)
+    if name == "cube1":
+        return _box_mesh(0.8, 0.5, 1.0)
+    if name.startswith("box:"):
+        dims = [float(t) for t in name[4:].split("x")]
+        if len(dims) != 3:
+            raise ValueError(f"builtin box needs 3 extents: {name}")
+        return _box_mesh(*dims)
+    if name == "ball":
+        verts, faces = _icosphere(subdiv=3)
+        return (verts * 0.25 + 0.25).astype(np.float32), faces
+    raise ValueError(f"Unknown builtin mesh: {name!r}")
+
+
+def _box_mesh(ex: float, ey: float, ez: float):
+    """Axis-aligned box [0,ex]x[0,ey]x[0,ez] as 8 vertices / 12 triangles."""
+    corners = np.array([[x, y, z] for x in (0, ex) for y in (0, ey)
+                        for z in (0, ez)], np.float32)
+    # Vertex index = 4*ix + 2*iy + iz. Two triangles per face, outward CCW.
+    faces = np.array([
+        [0, 1, 3], [0, 3, 2],   # x = 0
+        [4, 7, 5], [4, 6, 7],   # x = ex
+        [0, 4, 5], [0, 5, 1],   # y = 0
+        [2, 3, 7], [2, 7, 6],   # y = ey
+        [0, 2, 6], [0, 6, 4],   # z = 0
+        [1, 5, 7], [1, 7, 3],   # z = ez
+    ], np.int32)
+    return corners, faces
+
+
+def _icosphere(subdiv: int = 3):
+    """Unit icosphere (radius 1, centered at the origin)."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+        [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+        [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+    ], np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], np.int64)
+    for _ in range(subdiv):
+        edge_mid: dict = {}
+        verts_l = list(verts)
+        new_faces = []
+
+        def midpoint(a: int, b: int) -> int:
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = verts_l[a] + verts_l[b]
+                m /= np.linalg.norm(m)
+                edge_mid[key] = len(verts_l)
+                verts_l.append(m)
+            return edge_mid[key]
+
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(verts_l)
+        faces = np.asarray(new_faces, np.int64)
     return verts.astype(np.float32), faces.astype(np.int32)
 
 

@@ -71,6 +71,12 @@ class SimState(NamedTuple):
     # iisph_solver.py:96, dfsph_solver.py:233,416):
     # [iters_a, residual_a, iters_b, residual_b] (meaning per solver).
     diag: jnp.ndarray = jnp.zeros((4,), jnp.float32)
+    # Max pair-window overflow observed by the step's own sweeps (candidates
+    # dropped because a window was full — the analogue of the reference's
+    # 512-entry cell capacity, ParticleSystem.py:103). A mid-step overflow
+    # (e.g. during PCISPH's predicted-position pass) surfaces here even when
+    # telemetry's separate density recomputation sees none.
+    overflow: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def empty_rigid() -> RigidBodyState:
@@ -622,9 +628,15 @@ def ctx_viscosity(st: SceneStatic, ctx: Ctx, vel_s: V3, rho: jnp.ndarray,
                     q_form(ctx, vel_s.z) - rigid.vel[2])
         shear_r = v_ij_r.dot(x_r)
         q2r = rr * rr
-        # Reference quirk: rho of a solid neighbor is read from the fluid
-        # rho field at the rigid-local index (solver_base.py:199).
-        rho_quirk = rho[jnp.clip(ctx.rigid_lid_w, 0, st.nq - 1)]
+        # Reference quirk: rho of a solid neighbor is read from the *fluid*
+        # rho field at the rigid-local index (solver_base.py:199) — i.e. an
+        # unrelated fluid particle's density. `rho` here lives in the
+        # cell-sorted padded layout, so restore original fluid order first;
+        # indexing the padded layout directly would read a different
+        # arbitrary particle each step as the sort changes.
+        rho_fluid = jnp.zeros((st.n_fluid,), rho.dtype).at[ctx.perm].set(
+            rho[ctx.slot])
+        rho_quirk = rho_fluid[jnp.clip(ctx.rigid_lid_w, 0, st.n_fluid - 1)]
         nu_r = (2.0 * alpha * st.h * c_s) / (rho_q + rho_quirk[:, None, :])
         pi_r = -nu_r * shear_r / (q2r + eps * st.h * st.h)
         gc_r = sm_.cubic_grad_coeff(rr, st.h)

@@ -187,6 +187,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
+        overflow=ctx.overflow,
         fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
                               vel=base.compact_v3(ctx, new_vel),
                               acc=fluid.acc.take(ctx.perm)),

@@ -134,7 +134,11 @@ class Simulation:
             self.state.fluid.pos, self.state.fluid.vel, self.state.fluid.acc))
         # Window overflow: candidates dropped because a pair-sweep window was
         # full (the analogue of the reference's 512-entry cell capacity).
-        out["window_overflow"] = getattr(self, "_last_overflow", 0)
+        # Max of the last solver step's own in-step sweeps (state.overflow —
+        # catches mid-step overflows, e.g. PCISPH's predicted-position pass)
+        # and the density recomputation just above.
+        out["window_overflow"] = max(int(self.state.overflow),
+                                     getattr(self, "_last_overflow", 0))
         # Solver convergence telemetry (iteration counts + residuals) — the
         # reference's per-step prints (pcisph_solver.py:70, iisph_solver.py:96,
         # dfsph_solver.py:233,416).
@@ -169,7 +173,11 @@ def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
     with telemetry.profile_trace(profile_dir):
         frame_cnt = 0
         while frame_cnt < frame_limit:
-            sim.frame()
+            # is_simulate=False renders/exports without stepping (the
+            # reference's pause mode, main.py:83,151-153); without advancing
+            # t the run ends at the frame limit.
+            if sc.is_simulate:
+                sim.frame()
             frame_cnt += 1
 
             if not quiet and frame_cnt % 20 == 0:
@@ -219,7 +227,11 @@ def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
     if sc.is_output_gif and gif_frames:
         from cfd_taichi_tpu.utils import render
 
+        # The reference emits both video.gif and video.mp4 at exit
+        # (main.py:208-209, VideoManager.make_video(gif=True, mp4=True)).
         render.assemble_gif(gif_frames, os.path.join(output_dir, "video.gif"),
+                            fps=sc.output_fps)
+        render.assemble_mp4(gif_frames, os.path.join(output_dir, "video.mp4"),
                             fps=sc.output_fps)
 
     if not quiet:

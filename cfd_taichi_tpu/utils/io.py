@@ -118,6 +118,25 @@ def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
             f.write(f"f {face[0]} {face[1]} {face[2]}\n")
 
 
+def write_stl_binary(path: str, vertices: np.ndarray, faces: np.ndarray):
+    """Binary STL export (80-byte header + u32 count + 50 bytes/triangle) —
+    the inverse of geometry._load_stl; normals are recomputed per facet."""
+    import struct
+
+    verts = np.asarray(vertices, np.float32)
+    tri = verts[np.asarray(faces, np.int64)]          # (F, 3, 3)
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    n = (n / np.where(norm > 0, norm, 1.0)).astype(np.float32)
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", tri.shape[0]))
+        rec = np.zeros((tri.shape[0], 50), np.uint8)
+        rec[:, 0:12] = n.astype("<f4").view(np.uint8).reshape(-1, 12)
+        rec[:, 12:48] = tri.astype("<f4").reshape(-1, 9).view(np.uint8)
+        f.write(rec.tobytes())
+
+
 def save_checkpoint(path: str, state, meta: dict | None = None):
     """Dump the full solver state pytree to an .npz (all particle arrays,
     rigid state, dt, counters) — new capability over the reference."""

@@ -52,22 +52,66 @@ def test_boundary_shell_counts_and_structure():
     assert len(np.unique(key, axis=0)) == pos.shape[0]
 
 
-def test_load_stl_cube():
-    verts, faces = geo.load_mesh("/root/reference/obj/cube1.STL")
+def test_builtin_meshes():
+    for name, ext_expect in [("builtin:cube", (1, 1, 1)),
+                             ("builtin:cube1", (0.8, 0.5, 1.0)),
+                             ("builtin:box:2x0.5x1", (2.0, 0.5, 1.0))]:
+        verts, faces = geo.load_mesh(name)
+        assert faces.shape[0] == 12 and verts.shape[0] == 8
+        np.testing.assert_allclose(verts.max(0) - verts.min(0), ext_expect,
+                                   atol=1e-6)
+    verts, faces = geo.load_mesh("builtin:ball")
+    ext = verts.max(0) - verts.min(0)
+    np.testing.assert_allclose(ext, 0.5, atol=1e-3)
+    r = np.linalg.norm(verts - 0.25, axis=1)
+    np.testing.assert_allclose(r, 0.25, atol=1e-6)  # all on the sphere
+    # Scale applies to builtin meshes (trimesh.apply_scale parity).
+    v2, _ = geo.load_mesh("builtin:cube", scale=0.18)
+    np.testing.assert_allclose(v2.max(0), 0.18, atol=1e-6)
+
+
+def test_load_stl_roundtrip(tmp_path):
+    from cfd_taichi_tpu.utils import io as io_utils
+
+    verts0, faces0 = geo.builtin_mesh("cube1")
+    path = str(tmp_path / "cube.stl")
+    io_utils.write_stl_binary(path, verts0, faces0)
+    verts, faces = geo.load_mesh(path)
     assert faces.shape[0] == 12  # cube = 12 triangles
     assert verts.shape[0] == 8
-    ext = verts.max(0) - verts.min(0)
-    assert np.all(ext > 0)
+    np.testing.assert_allclose(np.sort(verts.ravel()), np.sort(verts0.ravel()),
+                               atol=1e-6)
 
 
-def test_load_obj():
-    verts, faces = geo.load_mesh("/root/reference/obj/spot.obj")
-    assert verts.shape[0] > 100 and faces.shape[0] > 100
+def test_load_obj_roundtrip(tmp_path):
+    from cfd_taichi_tpu.utils import io as io_utils
+
+    verts0, faces0 = geo.builtin_mesh("ball")
+    path = str(tmp_path / "ball.obj")
+    io_utils.write_obj(path, verts0, faces0)
+    verts, faces = geo.load_mesh(path)
+    assert verts.shape[0] == verts0.shape[0]
+    assert faces.shape[0] == faces0.shape[0]
     assert faces.max() < verts.shape[0]
 
 
+@pytest.mark.skipif(not __import__("os").path.exists("/root/reference/obj"),
+                    reason="reference assets not mounted")
+def test_reference_asset_parity():
+    """builtin:cube1 / builtin:ball reproduce the reference assets' extents
+    (obj/cube1.STL, obj/ball.STL) so repointed configs voxelize identically."""
+    rv, _ = geo.load_mesh("/root/reference/obj/cube1.STL")
+    bv, _ = geo.load_mesh("builtin:cube1")
+    np.testing.assert_allclose(rv.max(0) - rv.min(0), bv.max(0) - bv.min(0),
+                               atol=1e-6)
+    rv, _ = geo.load_mesh("/root/reference/obj/ball.STL")
+    bv, _ = geo.load_mesh("builtin:ball")
+    np.testing.assert_allclose(rv.max(0) - rv.min(0), bv.max(0) - bv.min(0),
+                               atol=2e-3)
+
+
 def test_voxelize_cube_fill():
-    verts, faces = geo.load_mesh("/root/reference/obj/cube1.STL")
+    verts, faces = geo.load_mesh("builtin:cube1")
     ext = verts.max(0) - verts.min(0)
     pitch = float(ext.min()) / 8.0
     pts_fill = geo.voxelize_mesh(verts, faces, pitch, fill=True)
@@ -82,7 +126,7 @@ def test_voxelize_cube_fill():
 
 
 def test_voxelize_ball_volume():
-    verts, faces = geo.load_mesh("/root/reference/obj/ball.STL")
+    verts, faces = geo.load_mesh("builtin:ball")
     ext = verts.max(0) - verts.min(0)
     radius = float(ext[0]) / 2
     pitch = radius / 6

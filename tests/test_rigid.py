@@ -15,7 +15,7 @@ RIGID_CFG = {
     "solver": {"name": "wcsph", "delta_time": 4e-4, "iter_cnt": 1,
                "boundary_handle": True, "fs_couple": True},
     "fluid": {"start_pos": [0.1, 0.05, 0.1], "water_size": [0.6, 0.25, 0.6]},
-    "solid": {"mesh": "/root/reference/obj/cube1.STL", "voxel_radius": 0.025,
+    "solid": {"mesh": "builtin:cube1", "voxel_radius": 0.025,
               "rho_0": 500, "scale": 0.18, "pos_offset": [0.4, 0.65, 0.4],
               "attitude_offset": [0.0, 0.0, 0.0], "fill": True, "active": True},
 }
