@@ -25,5 +25,23 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: solver steps compile in tens of seconds on a
+# tunneled TPU; cache them across processes (runs, tests, benchmarks).
+# Opt out with CFD_TPU_JAX_CACHE=off.
+_cache = _os.environ.get(
+    "CFD_TPU_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                  ".jax_cache"))
+if _cache != "off":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
 from cfd_taichi_tpu.config import SimConfig, read_config  # noqa: F401
 from cfd_taichi_tpu.scene import Scene, build_scene  # noqa: F401

@@ -1,18 +1,32 @@
-"""Shared solver infrastructure: state pytrees, per-step neighborhoods, and
-the common SPH operators (density, artificial viscosity, cohesion tension,
-Akinci boundary terms, rigid-coupling scatter).
+"""Shared solver infrastructure: state pytrees, the per-step neighborhood,
+and the common SPH operators (density, artificial viscosity, cohesion
+tension, Akinci boundary terms, rigid-coupling scatter).
 
 Functional counterpart of the reference's `solver_base` class
 (solver_base.py:7-245). Where the reference accumulates through Taichi's
 `for_all_neighbor(task)` higher-order iterator with atomics, every operator
-here is a masked gather over the fixed-K neighbor list followed by a sum over
-the K axis — race-free and fully fusable by XLA. Scatters into rigid bodies
-use deterministic `.at[].add` (segment-sum) instead of atomic `+=`
-(cf. wcsph_solver.py:126).
+here is a masked gather over a fixed-K compact neighbor list followed by a
+sum over the K axis — race-free and fully fusable by XLA. Scatters into
+rigid bodies use deterministic `.at[].add` (segment-sum) instead of atomic
+`+=` (cf. wcsph_solver.py:126).
 
-All vectors are component-separated `V3`s (ops/vec.py): every pairwise
-intermediate is a 2-D (N, K) buffer that tiles cleanly on TPU. A trailing-3
-layout would be lane-padded 3 -> 128 on materialization (measured 42x).
+Layout: the neighborhood (`Nbh`) is built ONCE per step (the reference's
+reset_grid/update_grid, solver_base.py:139-141) and reused by every pairwise
+pass. Fluid state is kept in cell-sorted order (order is physically
+irrelevant; sorting keeps every per-pass gather near-diagonal). All vectors
+are component-separated `V3`s (ops/vec.py): every pairwise intermediate is a
+2-D (N, K) buffer that tiles cleanly on TPU. A trailing-3 layout would be
+lane-padded 3 -> 128 on materialization (measured 42x).
+
+Why compact (N, K) lists and not dense masked windows: on this TPU, XLA
+gathers of component-separated arrays measure 75-97 G elem/s at 29k rows
+(2.6+ T elem/s at 1M) and lax.top_k compaction of (N, 27*cap) candidate
+masks costs ~0.03 ms — so a full per-pass pipeline of [gather fields at
+(N, K), ~50 VPU flops per slot, masked reduce] runs at worst-case K=~100
+slots per query. A dense windowed sweep over contiguous sorted-cell bands
+(this repo's round-1 design) costs 23k-31k masked slots per query on the
+same scenes — ~99.6% dead work — because a contiguous linear-cell-id band
+covering a 27-cell stencil necessarily spans two whole grid planes.
 """
 
 from __future__ import annotations
@@ -71,11 +85,10 @@ class SimState(NamedTuple):
     # iisph_solver.py:96, dfsph_solver.py:233,416):
     # [iters_a, residual_a, iters_b, residual_b] (meaning per solver).
     diag: jnp.ndarray = jnp.zeros((4,), jnp.float32)
-    # Max pair-window overflow observed by the step's own sweeps (candidates
-    # dropped because a window was full — the analogue of the reference's
-    # 512-entry cell capacity, ParticleSystem.py:103). A mid-step overflow
-    # (e.g. during PCISPH's predicted-position pass) surfaces here even when
-    # telemetry's separate density recomputation sees none.
+    # Max neighbor-capacity overflow observed by the step's own neighborhood:
+    # true neighbors beyond the K-list capacity, or cell occupancy beyond
+    # cell_cap — the analogue of the reference's 512-entry dynamic-list
+    # capacity (ParticleSystem.py:103). Nonzero means pairs were dropped.
     overflow: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
@@ -117,196 +130,273 @@ def init_sim_state(scene: Scene, extra: tuple = ()) -> SimState:
     )
 
 
-# ---------------------------------------------------------------------------
-# Per-step neighborhood
-# ---------------------------------------------------------------------------
+# ===========================================================================
+# Per-step neighborhood (compact fixed-K lists)
+# ===========================================================================
 
-class Neighborhood(NamedTuple):
-    nbr: nb.NeighborList              # fluid -> dynamic (fluid [+ rigid])
-    bnbr: Optional[nb.NeighborList]   # fluid -> boundary (Akinci mode only)
-    pos_all: V3                       # dynamic positions, components (Nd,)
+class Nbh(NamedTuple):
+    """Per-step neighborhood over the unified dynamic set.
+
+    Built once per step from step-initial positions; all masks (including the
+    dist <= h cutoff) are pinned to those positions, exactly like the
+    reference's start-of-step grid reuse (solver_base.py:139-141) and this
+    repo's PCISPH/PBF predicted-position semantics.
+
+    Index space: [0, N) = fluid in THIS STEP's cell-sorted order;
+    [N, N+Nr) = rigid particles in their original order
+    (cf. the reference's unified indexer, ParticleSystem.py:496-507).
+    """
+    pos: V3                      # (N,) sorted fluid positions
+    perm: jnp.ndarray            # (N,) prev-state index of each sorted slot
+    pos_all: V3                  # (N [+ Nr],) dynamic positions
+    idx: jnp.ndarray             # (N, K) neighbor ids into pos_all
+    mask: jnp.ndarray            # (N, K) slot valid & dist <= h
+    mask_f: jnp.ndarray          # mask & fluid neighbor
+    mask_s: jnp.ndarray          # mask & rigid neighbor & fs_couple
+    count: jnp.ndarray           # (N,) true neighbor count (can exceed K)
+    x: V3                        # (N, K) x_ij = x_i - x_j at build positions
+    r: jnp.ndarray               # (N, K) |x_ij|
+    rigid_vol: Optional[jnp.ndarray]  # (N, K) V_j of rigid neighbors (else 0)
+    # Boundary neighbors (Akinci mode only; indices into the static
+    # boundary arrays in their stored order):
+    bidx: Optional[jnp.ndarray]  # (N, bK)
+    bmask: Optional[jnp.ndarray]
+    bx: Optional[V3]
+    br: Optional[jnp.ndarray]
+    bvol: Optional[jnp.ndarray]  # (N, bK) V_b of boundary neighbors
+    overflow: jnp.ndarray        # () int32 — max dropped-pair indicator
 
 
-def concat_v3(a: V3, b: V3) -> V3:
-    return V3(jnp.concatenate([a.x, b.x]), jnp.concatenate([a.y, b.y]),
-              jnp.concatenate([a.z, b.z]))
+def _cell_overflow(starts: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Max cell occupancy beyond `cap` (candidates silently skipped)."""
+    occ = starts[1:] - starts[:-1]
+    return jnp.maximum(jnp.max(occ) - cap, 0).astype(jnp.int32)
 
 
-def build_neighborhood(st: SceneStatic, arrays: SceneArrays,
-                       fluid_pos: V3,
-                       rigid_pos: Optional[V3]) -> Neighborhood:
-    """Rebuild the dynamic cell list and compact neighbor lists (the
+def build_nbh(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
+              rigid_pos: Optional[V3]) -> Nbh:
+    """Cell-sort the fluid and build the step's compact neighbor lists (the
     per-step reset_grid/update_grid of the reference, solver_base.py:139-141).
 
-    Rigid particles join the same table at global ids [Nf, Nf+Nr) only when
-    the body is active (reference ParticleSystem.py:399-407)."""
-    if st.rigid_active and rigid_pos is not None and st.n_rigid > 0:
-        pos_all = concat_v3(fluid_pos, rigid_pos)
+    Rigid particles join the dynamic set at ids [N, N+Nr) only when the body
+    is active (reference ParticleSystem.py:399-407).
+    """
+    n = st.n_fluid
+    perm = jnp.argsort(nb.cell_id(fluid_pos, st.grid),
+                       stable=True).astype(jnp.int32)
+    pos_s = fluid_pos.take(perm)
+
+    with_rigid = st.rigid_active and rigid_pos is not None and st.n_rigid > 0
+    if with_rigid:
+        pos_all = V3(jnp.concatenate([pos_s.x, rigid_pos.x]),
+                     jnp.concatenate([pos_s.y, rigid_pos.y]),
+                     jnp.concatenate([pos_s.z, rigid_pos.z]))
     else:
-        pos_all = fluid_pos
+        pos_all = pos_s
     table = nb.build_cell_table(pos_all, st.grid)
-    qid = jnp.arange(st.n_fluid, dtype=jnp.int32)
-    nbrs = nb.find_neighbors(fluid_pos, qid, pos_all, table, st.grid,
-                             K=st.K, cell_cap=st.cell_cap, exclude_self=True)
-    bnbr = None
-    if st.akinci:
-        bnbr = nb.find_neighbors(fluid_pos, None, arrays.boundary_pos,
-                                 arrays.boundary_table, st.grid,
-                                 K=st.bK, cell_cap=st.cell_cap)
-    return Neighborhood(nbr=nbrs, bnbr=bnbr, pos_all=pos_all)
+    qid = jnp.arange(n, dtype=jnp.int32)
+    nl = nb.find_neighbors(pos_s, qid, pos_all, table, st.grid,
+                           K=st.K, cell_cap=st.cell_cap, exclude_self=True)
 
-
-def msum(term: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked sum over the neighbor axis (axis=1) for scalar pair terms."""
-    return jnp.sum(jnp.where(mask, term, 0.0), axis=1)
-
-
-def fluid_solid_masks(st: SceneStatic, nh: Neighborhood):
-    """Split the dynamic neighbor list into fluid / coupled-solid partitions
-    (the material branches of every reference pairwise callback,
-    e.g. solver_base.py:59-66)."""
-    j = nh.nbr.idx
-    m = nh.nbr.mask
-    mask_f = m & (j < st.n_fluid)
-    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-        mask_s = m & (j >= st.n_fluid)
+    mask = nl.mask
+    mask_f = mask & (nl.idx < n)
+    if with_rigid and st.fs_couple:
+        mask_s = mask & (nl.idx >= n)
     else:
-        mask_s = jnp.zeros_like(m)
-    return mask_f, mask_s
+        mask_s = jnp.zeros_like(mask)
+    # Neighbor positions come back from the list build (nl.spos) — no
+    # re-gather. Values at masked slots are arbitrary; consumers mask.
+    x = pos_s.expand(1) - nl.spos
+    r = x.norm()
+    rigid_vol = None
+    if with_rigid and st.fs_couple:
+        rigid_vol = arrays.rigid_volume[rigid_lid(st, nl.idx)]
+
+    overflow = jnp.maximum(jnp.max(nl.count) - st.K,
+                           _cell_overflow(table.starts, st.cell_cap)
+                           ).astype(jnp.int32)
+
+    bidx = bmask = bx = br = bvol = None
+    if st.akinci:
+        bl = nb.find_neighbors(pos_s, None, arrays.boundary_pos,
+                               arrays.boundary_table, st.grid,
+                               K=st.bK, cell_cap=st.bcell_cap)
+        bidx, bmask = bl.idx, bl.mask
+        bx = pos_s.expand(1) - bl.spos
+        br = bx.norm()
+        bvol = arrays.boundary_volume[bidx]
+        overflow = jnp.maximum(overflow, jnp.max(bl.count) - st.bK)
+
+    return Nbh(pos=pos_s, perm=perm, pos_all=pos_all, idx=nl.idx, mask=mask,
+               mask_f=mask_f, mask_s=mask_s, count=nl.count, x=x, r=r,
+               rigid_vol=rigid_vol, bidx=bidx, bmask=bmask, bx=bx, br=br,
+               bvol=bvol, overflow=overflow)
 
 
-def rigid_local(st: SceneStatic, j: jnp.ndarray) -> jnp.ndarray:
-    """Map dynamic-space ids to rigid-local ids (clipped safe)."""
+def rigid_lid(st: SceneStatic, j: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic-set ids -> rigid-local ids (clipped safe under masks)."""
     hi = max(st.n_rigid - 1, 0)
     return jnp.clip(j - st.n_fluid, 0, hi)
 
 
-def gather_rigid_volume(st: SceneStatic, arrays: SceneArrays, j):
-    if st.n_rigid == 0:
-        return jnp.zeros(j.shape, jnp.float32)
-    return arrays.rigid_volume[rigid_local(st, j)]
+def jf(st: SceneStatic, nbh: Nbh, arr: jnp.ndarray) -> jnp.ndarray:
+    """Gather a per-fluid (sorted-order) array at the neighbor slots:
+    (N,) -> (N, K). Rigid slots read a clipped junk value — every consumer
+    applies mask_f. Prefer `jf_pack` when a pass needs several fields:
+    single-element gathers measure ~190M indices/s on TPU while short-row
+    gathers do ~1G indices/s."""
+    return arr[jnp.minimum(nbh.idx, st.n_fluid - 1)]
 
 
-def rho_of_neighbor(st: SceneStatic, rho: jnp.ndarray, j: jnp.ndarray):
-    """rho indexed by neighbor id — replicating a reference quirk: for solid
-    neighbors the reference indexes the *fluid-sized* rho field with the
-    rigid-local index (solver_base.py:187,199 use
-    `self.rho[particle_j.index]` where `.index` is rigid-local). We preserve
-    that behavior exactly rather than rationalize it."""
-    jj = jnp.where(j < st.n_fluid, j, rigid_local(st, j))
-    return rho[jnp.clip(jj, 0, st.n_fluid - 1)]
+def jf_pack(st: SceneStatic, nbh: Nbh, *fields: jnp.ndarray):
+    """Gather several per-fluid (sorted-order) scalar fields at the neighbor
+    slots with ONE packed gather: stack (F, N), gather (F, N, K), return
+    per-field (N, K) views. ~5x cheaper per index than F separate gathers
+    (measured on-chip with scalar-synced timing). The (F, N) layout keeps
+    the minormost output dim K on lanes — a (N*K, F) row layout would be
+    lane-padded F -> 128 (32x memory) if materialized."""
+    tbl = jnp.stack(fields, axis=0)
+    rows = tbl[:, jnp.minimum(nbh.idx, st.n_fluid - 1)]
+    return tuple(rows[i] for i in range(len(fields)))
+
+
+def jall_pack(nbh: Nbh, *fields: jnp.ndarray):
+    """Like `jf_pack` for dynamic-set-sized fields ((N+Nr,) arrays indexed
+    directly by nbh.idx)."""
+    tbl = jnp.stack(fields, axis=0)
+    rows = tbl[:, nbh.idx]
+    return tuple(rows[i] for i in range(len(fields)))
+
+
+def jb_pack(nbh: Nbh, *fields: jnp.ndarray):
+    """Like `jf_pack` for boundary-set fields ((Nb,) arrays indexed by
+    nbh.bidx)."""
+    tbl = jnp.stack(fields, axis=0)
+    rows = tbl[:, nbh.bidx]
+    return tuple(rows[i] for i in range(len(fields)))
+
+
+def jf_v3(st: SceneStatic, nbh: Nbh, v: V3) -> V3:
+    return V3(*jf_pack(st, nbh, v.x, v.y, v.z))
+
+
+def msum(term: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked sum over the neighbor axis: (N, K) -> (N,)."""
+    return jnp.sum(jnp.where(mask, term, 0.0), axis=1)
+
+
+def sum_vec(x: V3, scale: jnp.ndarray) -> V3:
+    """Reduce scale * x over the neighbor axis -> V3 of (N,). `scale` must
+    already be masked (zero where invalid)."""
+    return V3(jnp.sum(x.x * scale, axis=1), jnp.sum(x.y * scale, axis=1),
+              jnp.sum(x.z * scale, axis=1))
+
+
+def unsort(nbh: Nbh, arr: jnp.ndarray) -> jnp.ndarray:
+    """Sorted-order per-fluid array -> previous-state order."""
+    return jnp.zeros_like(arr).at[nbh.perm].set(arr)
 
 
 # ---------------------------------------------------------------------------
-# Shared SPH operators
+# Shared SPH operators (all in sorted fluid order)
 # ---------------------------------------------------------------------------
 
-def pair_disp(pos_f: V3, pos_src: V3, j) -> V3:
-    """x_ij = x_i - x_j as (N, K) component tensors."""
-    return pos_f.expand(1) - pos_src.take(j)
-
-
-def compute_rho(st: SceneStatic, arrays: SceneArrays, nh: Neighborhood,
-                pos_f: V3) -> jnp.ndarray:
+def nbh_rho(st: SceneStatic, nbh: Nbh) -> jnp.ndarray:
     """Density: rho_i = 0.001 + sum_f m W + [solid] sum_s V_j rho0 W
     + [Akinci] rho0 * sum_b V_b W  (reference solver_base.py:41-72)."""
-    j = nh.nbr.idx
-    w = sm.cubic_w(pair_disp(pos_f, nh.pos_all, j).norm(), st.h)
-    mask_f, mask_s = fluid_solid_masks(st, nh)
-    rho = DENSITY_EPS + st.particle_m * msum(w, mask_f)
-    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-        vol_j = gather_rigid_volume(st, arrays, j)
-        rho = rho + RHO_0 * msum(vol_j * w, mask_s)
-    if st.akinci:
-        bj, bm = nh.bnbr.idx, nh.bnbr.mask
-        wb = sm.cubic_w(pair_disp(pos_f, arrays.boundary_pos, bj).norm(), st.h)
-        rho = rho + RHO_0 * msum(arrays.boundary_volume[bj] * wb, bm)
+    w = sm.cubic_w(nbh.r, st.h)
+    rho = DENSITY_EPS + st.particle_m * msum(w, nbh.mask_f)
+    if nbh.rigid_vol is not None:
+        rho = rho + RHO_0 * msum(nbh.rigid_vol * w, nbh.mask_s)
+    if nbh.bidx is not None:
+        wb = sm.cubic_w(nbh.br, st.h)
+        rho = rho + RHO_0 * msum(nbh.bvol * wb, nbh.bmask)
     return rho
 
 
-def dynamic_velocities(st: SceneStatic, vel_f: V3,
-                       rigid: RigidBodyState) -> V3:
-    """Velocities of the dynamic set; rigid particles carry the body linear
-    velocity (the reference fills rigid_particles.vel with it,
-    rigid_solver.py:97)."""
-    if st.rigid_active and st.n_rigid > 0:
-        shape = (st.n_rigid,)
-        rv = V3(jnp.full(shape, 0.0) + rigid.vel[0],
-                jnp.full(shape, 0.0) + rigid.vel[1],
-                jnp.full(shape, 0.0) + rigid.vel[2])
-        return concat_v3(vel_f, rv)
-    return vel_f
+def rigid_contact_vel(st: SceneStatic, rigid: RigidBodyState, dt,
+                      include_alpha: bool, include_acc: bool = True) -> V3:
+    """Per-rigid-particle contact velocity v + a dt + (omega [+ alpha dt]) x
+    (x_j - centroid) (reference dfsph_solver.py:163-170, 288-294,
+    iisph_solver.py:325-334). Returns components (Nr,)."""
+    rel = V3(rigid.pos.x - rigid.centroid[0],
+             rigid.pos.y - rigid.centroid[1],
+             rigid.pos.z - rigid.centroid[2])
+    om = rigid.omega + (rigid.alpha * dt if include_alpha else 0.0)
+    lin = rigid.vel + (rigid.acc * dt if include_acc else 0.0)
+    spin = V3(om[0], om[1], om[2]).cross(rel)
+    return V3(lin[0] + spin.x, lin[1] + spin.y, lin[2] + spin.z)
 
 
-def compute_viscosity(st: SceneStatic, arrays: SceneArrays, nh: Neighborhood,
-                      pos_f: V3, vel_f: V3, rho, rigid: RigidBodyState,
-                      c_s: float, alpha: float, eps: float = 0.01) -> V3:
+def nbh_viscosity(st: SceneStatic, nbh: Nbh, vel: V3, rho: jnp.ndarray,
+                  rigid: RigidBodyState, c_s: float, alpha: float,
+                  eps: float = 0.01) -> V3:
     """Monaghan artificial viscosity, applied only under compression
-    (shear < 0), solid neighbors use V_j rho0 in place of m
-    (reference solver_base.py:170-202). Returns the per-particle term
-    already scaled by particle_m (solve_all_viscosity's trailing multiply,
-    solver_base.py:175)."""
-    j = nh.nbr.idx
-    x_ij = pair_disp(pos_f, nh.pos_all, j)
-    vel_all = dynamic_velocities(st, vel_f, rigid)
-    v_ij = vel_f.expand(1) - vel_all.take(j)
-    shear = v_ij.dot(x_ij)
-    q2 = x_ij.norm2()
-    r = jnp.sqrt(q2)
-    rho_j = rho_of_neighbor(st, rho, j)
-    nu = (2.0 * alpha * st.h * c_s) / (rho[:, None] + rho_j)
-    pi = -nu * shear / (q2 + eps * st.h * st.h)
-    gcoef = sm.cubic_grad_coeff(r, st.h)
-    mask_f, mask_s = fluid_solid_masks(st, nh)
-    compressing = shear < 0.0
-    # grad W = gcoef * x_ij; term = -coeff * pi * gradW.
-    scale_f = jnp.where(mask_f & compressing, -st.particle_m * pi * gcoef, 0.0)
-    if st.rigid_active and st.fs_couple and st.n_rigid > 0:
-        vol_j = gather_rigid_volume(st, arrays, j)
-        scale_f = scale_f + jnp.where(mask_s & compressing,
-                                      -RHO_0 * vol_j * pi * gcoef, 0.0)
-    return st.particle_m * (x_ij * scale_f).sum(axis=1)
+    (shear < 0); solid neighbors use V_j rho0 in place of m and the body
+    linear velocity (reference solver_base.py:170-202, rigid_solver.py:97).
+    Returns the per-particle term already scaled by particle_m
+    (solve_all_viscosity's trailing multiply, solver_base.py:175)."""
+    gcoef = sm.cubic_grad_coeff(nbh.r, st.h)
+    q2e = nbh.r * nbh.r + eps * st.h * st.h
+    nu_num = 2.0 * alpha * st.h * c_s
+
+    vjx, vjy, vjz, rho_j = jf_pack(st, nbh, vel.x, vel.y, vel.z, rho)
+    v_ij = vel.expand(1) - V3(vjx, vjy, vjz)
+    shear = v_ij.dot(nbh.x)
+    pi = -(nu_num / (rho[:, None] + rho_j)) * shear / q2e
+    scale = jnp.where(nbh.mask_f & (shear < 0.0),
+                      -st.particle_m * pi * gcoef, 0.0)
+    if nbh.rigid_vol is not None:
+        # Rigid neighbors carry the body linear velocity (rigid_solver.py:97).
+        v_ij_s = V3(vel.x[:, None] - rigid.vel[0],
+                    vel.y[:, None] - rigid.vel[1],
+                    vel.z[:, None] - rigid.vel[2])
+        shear_s = v_ij_s.dot(nbh.x)
+        # Reference quirk: rho of a solid neighbor is read from the *fluid*
+        # rho field at the rigid-local index (solver_base.py:187,199) — an
+        # unrelated fluid particle's density. The reference's rho lives in
+        # fluid order; ours is cell-sorted, so restore original order first
+        # to read the same arbitrary particle every step.
+        rho_orig = unsort(nbh, rho)
+        rho_quirk = rho_orig[jnp.clip(rigid_lid(st, nbh.idx), 0,
+                                      st.n_fluid - 1)]
+        pi_s = -(nu_num / (rho[:, None] + rho_quirk)) * shear_s / q2e
+        scale = scale + jnp.where(nbh.mask_s & (shear_s < 0.0),
+                                  -RHO_0 * nbh.rigid_vol * pi_s * gcoef, 0.0)
+    return st.particle_m * sum_vec(nbh.x, scale)
 
 
-def compute_tension(st: SceneStatic, nh: Neighborhood, pos_f: V3,
-                    tension_k: float) -> V3:
+def nbh_tension(st: SceneStatic, nbh: Nbh, tension_k: float) -> V3:
     """Simple cohesion: -k * m * W * x_ij, fluid-fluid only
     (reference solver_base.py:204-217)."""
-    j = nh.nbr.idx
-    x_ij = pair_disp(pos_f, nh.pos_all, j)
-    w = sm.cubic_w(x_ij.norm(), st.h)
-    mask_f = nh.nbr.mask & (j < st.n_fluid)
-    scale = jnp.where(mask_f, -tension_k * w, 0.0)
-    return st.particle_m * (x_ij * scale).sum(axis=1)
+    w = sm.cubic_w(nbh.r, st.h)
+    scale = jnp.where(nbh.mask & (nbh.idx < st.n_fluid), -tension_k * w, 0.0)
+    return st.particle_m * sum_vec(nbh.x, scale)
 
 
-def boundary_pressure_acc(st: SceneStatic, arrays: SceneArrays,
-                          nh: Neighborhood, pos_f: V3, p_i, rho_i) -> V3:
+def nbh_boundary_pressure_acc(st: SceneStatic, nbh: Nbh, p_i, rho_i) -> V3:
     """Akinci boundary pressure acceleration: -sum_b V_b p_i/rho_i^2 gradW
     (reference wcsph_solver.py:92-100, pcisph_solver.py:190-198). The caller
     scales by rho0 (and particle_m where the reference does)."""
-    bj, bm = nh.bnbr.idx, nh.bnbr.mask
-    q = pair_disp(pos_f, arrays.boundary_pos, bj)
-    gcoef = sm.cubic_grad_coeff(q.norm(), st.h)
-    coeff = -arrays.boundary_volume[bj] * (p_i / (rho_i * rho_i))[:, None] * gcoef
-    return (q * jnp.where(bm, coeff, 0.0)).sum(axis=1)
+    gcoef = sm.cubic_grad_coeff(nbh.br, st.h)
+    coeff = -nbh.bvol * (p_i / (rho_i * rho_i))[:, None] * gcoef
+    return sum_vec(nbh.bx, jnp.where(nbh.bmask, coeff, 0.0))
 
 
-def scatter_rigid_force(st: SceneStatic, nh: Neighborhood,
-                        contrib: V3, mask_s: jnp.ndarray,
-                        force: V3) -> V3:
-    """Accumulate per-pair force contributions onto rigid particles.
-
-    Deterministic segment-sum replacement for the reference's atomic
-    `rigid_particles[j].force += ...` (wcsph_solver.py:126,
-    pcisph_solver.py:186, iisph_solver.py:159, dfsph_solver.py:212)."""
+def nbh_scatter_rigid_force(st: SceneStatic, nbh: Nbh, contrib: V3,
+                            mask_s: jnp.ndarray, force: V3) -> V3:
+    """Accumulate per-pair force contributions onto rigid particles (in
+    their original order). Deterministic segment-sum replacement for the
+    reference's atomic `rigid_particles[j].force += ...`
+    (wcsph_solver.py:126, pcisph_solver.py:186, iisph_solver.py:159,
+    dfsph_solver.py:212)."""
     if not (st.rigid_active and st.fs_couple and st.n_rigid > 0):
         return force
-    j_flat = rigid_local(st, nh.nbr.idx).reshape(-1)
+    lid = rigid_lid(st, nbh.idx).reshape(-1)
     c = contrib.where(mask_s)
-    return V3(force.x.at[j_flat].add(c.x.reshape(-1)),
-              force.y.at[j_flat].add(c.y.reshape(-1)),
-              force.z.at[j_flat].add(c.z.reshape(-1)))
+    return V3(force.x.at[lid].add(c.x.reshape(-1)),
+              force.y.at[lid].add(c.y.reshape(-1)),
+              force.z.at[lid].add(c.z.reshape(-1)))
 
 
 def clamp_to_box(st: SceneStatic, pos: V3, vel: V3, margin: float,
@@ -315,16 +405,15 @@ def clamp_to_box(st: SceneStatic, pos: V3, vel: V3, margin: float,
     scale the offending velocity component (reference wcsph_solver.py:54-63
     with margin=diameter, decay -0.5; other solvers use margin=radius)."""
     out_p = []
-    out_v = []
+    hits = []
     for c, (lo_c, hi_c) in zip(
             (pos.x, pos.y, pos.z),
             zip(st.box_min, st.box_max)):
         lo = jnp.float32(lo_c + margin)
         hi = jnp.float32(hi_c - margin)
         out_p.append(jnp.clip(c, lo, hi))
-        out_v.append(((c <= lo) | (c >= hi), ))
+        hits.append((c <= lo) | (c >= hi))
     new_pos = V3(*out_p)
-    hits = [v[0] for v in out_v]
     new_vel = V3(jnp.where(hits[0], vel.x * decay_mul, vel.x),
                  jnp.where(hits[1], vel.y * decay_mul, vel.y),
                  jnp.where(hits[2], vel.z * decay_mul, vel.z))
@@ -334,350 +423,3 @@ def clamp_to_box(st: SceneStatic, pos: V3, vel: V3, margin: float,
 def gravity_acc(st: SceneStatic) -> V3:
     """a = g * (0, -1, 0) (reference solver_base.py:131-134), broadcastable."""
     return V3(jnp.float32(0.0), jnp.float32(-st.gravity), jnp.float32(0.0))
-
-
-# ===========================================================================
-# Windowed pair-sweep context (the fast path — see ops/pairwise.py)
-# ===========================================================================
-
-from cfd_taichi_tpu.ops import pairwise as pw  # noqa: E402
-
-
-class Sweep(NamedTuple):
-    """One sorted source set + its per-block windows, with cached windowed
-    positions. Pair tensors (x_ij, masks) are recomputed per pass so they
-    fuse into each pass's reduction instead of being materialized; slot
-    validity and sorted-global ids are pure iota math over the engine's
-    (nblk, NSUB) ranges and are likewise recomputed per pass (materializing
-    them costs ~1.2 GB at 1M particles for zero gain)."""
-    eng: pw.PairEngine
-    pos_w: V3               # (nblk, W) windowed source positions
-    W: int                  # window width (static)
-    exclude_self: bool      # queries are members of this source set
-
-
-class Ctx(NamedTuple):
-    """Per-step sorted-fluid solver context.
-
-    Fluid state lives in a *chunk-padded layout* of static size NQ = st.nq:
-    particles are cell-sorted, then partitioned into groups at occupied
-    C-cell chunk transitions of the linearized grid; each group's run is
-    padded to a multiple of B so no query block mixes groups. This bounds
-    every block's cell span to < C = st.chunk and hence its window occupancy
-    (unbounded spans blow up window occupancy and truncate pairs). Pads are
-    neutral: position 1e9 (distance-masked), zero for every lifted field —
-    all solver residual definitions self-exclude zeros.
-    """
-    pos: V3                      # (NQ,) padded fluid positions
-    perm: jnp.ndarray            # (N,) prev-state index of each sorted particle
-    slot: jnp.ndarray            # (N,) padded slot of each sorted particle
-    q_pos: V3                    # (nblk, B) blockified padded positions
-    q_valid: jnp.ndarray         # (nblk, B)
-    q_gid: jnp.ndarray           # (nblk, B) padded slot id of each query
-    f: Sweep                     # fluid -> fluid
-    r: Optional[Sweep]           # fluid -> rigid (when active & coupled)
-    b: Optional[Sweep]           # fluid -> boundary (Akinci mode)
-    rigid_set: Optional[pw.SortedSet]
-    rigid_vol_w: Optional[jnp.ndarray]   # (nblk, Wr) windowed rigid volumes
-    rigid_lid_w: Optional[jnp.ndarray]   # (nblk, Wr) original rigid local ids
-    bvol_w: Optional[jnp.ndarray]        # (nblk, Wb) windowed boundary volumes
-    overflow: jnp.ndarray        # () int32 — max window overflow this step
-
-
-def lift(ctx: Ctx, arr: jnp.ndarray, fill=0.0) -> jnp.ndarray:
-    """Prev-state-order per-fluid array (N,) -> padded layout (NQ,)."""
-    nq = ctx.pos.x.shape[0]
-    return jnp.full((nq,), fill, arr.dtype).at[ctx.slot].set(arr[ctx.perm])
-
-
-def lift_v3(ctx: Ctx, v: V3, fill=0.0) -> V3:
-    return V3(lift(ctx, v.x, fill), lift(ctx, v.y, fill), lift(ctx, v.z, fill))
-
-
-def compact(ctx: Ctx, arr: jnp.ndarray) -> jnp.ndarray:
-    """Padded layout (NQ,) -> compact (N,) in this step's sorted order."""
-    return arr[ctx.slot]
-
-
-def compact_v3(ctx: Ctx, v: V3) -> V3:
-    return V3(compact(ctx, v.x), compact(ctx, v.y), compact(ctx, v.z))
-
-
-PAD_POS = 1e9  # pad-slot position: farther than any support radius
-
-
-def build_ctx(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
-              rigid_pos: Optional[V3]) -> Ctx:
-    """Sort the fluid (and rigid) sets by cell and build pair windows.
-
-    This replaces the reference's per-step grid rebuild
-    (solver_base.py:139-141) in the windowed formulation. Callers lift their
-    per-fluid state into the padded layout via `lift`/`lift_v3` and compact
-    results back via `compact`/`compact_v3`.
-    """
-    n = st.n_fluid
-    B = st.B
-    NQ = st.nq
-    nblk = NQ // B
-    fluid = pw.sort_set(fluid_pos, st.grid)
-
-    # --- chunk-padded layout --------------------------------------------------
-    # Sorted particles are partitioned into GROUPS at every transition between
-    # occupied C-cell chunks of the linearized grid, and each group is padded
-    # to a multiple of B so no query block mixes two groups. This hard-bounds
-    # every block's cell span to < C, which bounds its window occupancy to the
-    # band (C + 2*(span_sub+1)) regardless of how particles scatter —
-    # unbounded spans (stragglers/splash droplets sharing a block across a
-    # sparse region) were the measured cause of window-overflow pair
-    # truncation and solver blow-up at dam-break floor impact. The group
-    # count is statically bounded by num_cells // C + 1, so the padded layout
-    # size NQ is exact — overflow from the layout itself is impossible.
-    C = st.chunk
-    cells = fluid.cells
-    idx_n = jnp.arange(n, dtype=jnp.int32)
-    chunk_ids = (cells // C).astype(jnp.int32)
-    prev_chunk = jnp.concatenate([chunk_ids[:1], chunk_ids[:-1]])
-    brk = (chunk_ids != prev_chunk).at[0].set(False)
-    gid = jnp.cumsum(brk.astype(jnp.int32))          # (n,) group id, ascending
-    MAXG = st.grid.num_cells // C + 1
-    counts_g = jnp.zeros((MAXG,), jnp.int32).at[gid].add(1)
-    padded_g = ((counts_g + B - 1) // B) * B
-    offsets_g = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                 jnp.cumsum(padded_g).astype(jnp.int32)])
-    pstart_g = jnp.searchsorted(gid, jnp.arange(MAXG, dtype=jnp.int32)
-                                ).astype(jnp.int32)  # first particle of group
-    slot = offsets_g[gid] + (idx_n - pstart_g[gid])
-
-    def _lift(arr, fill):
-        return jnp.full((NQ,), fill, arr.dtype).at[slot].set(arr)
-
-    pos_p = V3(_lift(fluid.pos.x, PAD_POS), _lift(fluid.pos.y, PAD_POS),
-               _lift(fluid.pos.z, PAD_POS))
-    valid_p = _lift(jnp.ones((n,), bool), False)
-    # Pad cells get the previous particle's cell (cells are nondecreasing in
-    # slot order) so block ranges stay tight.
-    cells_p = jax.lax.cummax(_lift(fluid.cells, 0))
-
-    # Padded-space CSR for the fluid source: each cell's compact offset shifted
-    # by the padding of all groups before it. g_of_cell = last group whose
-    # first cell id is <= the cell (unused trailing groups sit at num_cells).
-    first_cell_g = jnp.where(pstart_g < n,
-                             cells[jnp.minimum(pstart_g, n - 1)],
-                             st.grid.num_cells)
-    cell_ids = jnp.arange(st.grid.num_cells + 1, dtype=jnp.int32)
-    g_of_cell = jnp.clip(
-        jnp.searchsorted(first_cell_g, cell_ids, side="right").astype(jnp.int32)
-        - 1, 0, MAXG - 1)
-    starts_p = (offsets_g[g_of_cell]
-                + (fluid.starts - pstart_g[g_of_cell])).astype(jnp.int32)
-
-    q_pos = pw.blockify_v3(pos_p, nblk, B)
-    q_valid = valid_p.reshape(nblk, B)
-    q_gid = jnp.arange(NQ, dtype=jnp.int32).reshape(nblk, B)
-    q_cells = cells_p
-
-    align = 1024 if st.banded else 1
-    eng_f = pw.build_engine(q_cells, starts_p, NQ, st.grid, st.B, st.Wf,
-                            align=align)
-    f_sweep = Sweep(eng=eng_f,
-                    pos_w=pw.window_v3(eng_f, pos_p, st.Wf, st.banded),
-                    W=st.Wf, exclude_self=True)
-    overflow = eng_f.overflow
-
-    r_sweep = None
-    rigid_set = None
-    rigid_vol_w = None
-    rigid_lid_w = None
-    if st.rigid_active and rigid_pos is not None and st.n_rigid > 0:
-        rigid_set = pw.sort_set(rigid_pos, st.grid)
-        eng_r = pw.build_engine(q_cells, rigid_set.starts, st.n_rigid,
-                                st.grid, st.B, st.Wr, align=align)
-        r_sweep = Sweep(eng=eng_r,
-                        pos_w=pw.window_v3(eng_r, rigid_set.pos, st.Wr,
-                                           st.banded),
-                        W=st.Wr, exclude_self=False)
-        rigid_vol_w = pw.window(eng_r, arrays.rigid_volume[rigid_set.perm],
-                                st.Wr, banded=st.banded)
-        rigid_lid_w = pw.window(eng_r, rigid_set.perm.astype(jnp.float32),
-                                st.Wr, banded=st.banded).astype(jnp.int32)
-        overflow = jnp.maximum(overflow, eng_r.overflow)
-
-    b_sweep = None
-    bvol_w = None
-    if st.akinci:
-        eng_b = pw.build_engine(q_cells, arrays.boundary_table.starts,
-                                st.n_boundary, st.grid, st.B, st.Wb,
-                                align=align)
-        bpos_s = arrays.boundary_pos.take(arrays.boundary_table.order)
-        bvol_s = arrays.boundary_volume[arrays.boundary_table.order]
-        b_sweep = Sweep(eng=eng_b,
-                        pos_w=pw.window_v3(eng_b, bpos_s, st.Wb, st.banded),
-                        W=st.Wb, exclude_self=False)
-        bvol_w = pw.window(eng_b, bvol_s, st.Wb, banded=st.banded)
-        overflow = jnp.maximum(overflow, eng_b.overflow)
-
-    return Ctx(pos=pos_p, perm=fluid.perm, slot=slot,
-               q_pos=q_pos, q_valid=q_valid, q_gid=q_gid,
-               f=f_sweep, r=r_sweep, b=b_sweep, rigid_set=rigid_set,
-               rigid_vol_w=rigid_vol_w, rigid_lid_w=rigid_lid_w,
-               bvol_w=bvol_w, overflow=overflow)
-
-
-def pair_geom(st: SceneStatic, ctx: Ctx, sweep: Sweep, exclude_self: bool):
-    """x_ij (nblk,B,W), r, and the pair validity mask for one sweep.
-    Recomputed per pass (incl. slot validity / self-exclusion ids, which are
-    pure iota math over the engine ranges); fuses into the pass reduction."""
-    x_ij = ctx.q_pos.expand(2) - sweep.pos_w.expand(1)
-    r2 = x_ij.norm2()
-    valid_w = pw.win_valid(sweep.eng, sweep.W)
-    mask = (valid_w[:, None, :] & ctx.q_valid[:, :, None]
-            & (r2 <= jnp.float32(st.h) ** 2))
-    if exclude_self and sweep.exclude_self:
-        gid_w = pw.win_gid(sweep.eng, sweep.W)
-        mask &= gid_w[:, None, :] != ctx.q_gid[:, :, None]
-    return x_ij, jnp.sqrt(r2), mask
-
-
-def sweep_sum(term: jnp.ndarray, mask: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Masked pair reduction: (nblk,B,W) -> (N,) in sorted-query order."""
-    return pw.unblock(jnp.sum(jnp.where(mask, term, 0.0), axis=2), n)
-
-
-def sweep_sum_vec(x_ij: V3, scale: jnp.ndarray, n: int) -> V3:
-    """Reduce scale*x_ij over the window axis -> V3 of (N,). `scale` must
-    already be masked (zero where invalid)."""
-    return pw.unblock_v3(V3(jnp.sum(x_ij.x * scale, axis=2),
-                            jnp.sum(x_ij.y * scale, axis=2),
-                            jnp.sum(x_ij.z * scale, axis=2)), n)
-
-
-def q_form(ctx: Ctx, arr: jnp.ndarray) -> jnp.ndarray:
-    """(N,) sorted per-fluid array -> (nblk, B, 1) broadcastable query form."""
-    nblk, B = ctx.q_valid.shape
-    return pw.blockify(arr, nblk, B)[:, :, None]
-
-
-def w_form_fluid(st: SceneStatic, ctx: Ctx, arr: jnp.ndarray) -> jnp.ndarray:
-    """(N,) sorted per-fluid array -> (nblk, 1, W) broadcastable window form."""
-    return pw.window(ctx.f.eng, arr, st.Wf, banded=st.banded)[:, None, :]
-
-
-def window_fluid_v3(st: SceneStatic, ctx: Ctx, v: V3) -> V3:
-    """V3 of (N,) sorted per-fluid arrays -> (nblk, W) window form."""
-    return pw.window_v3(ctx.f.eng, v, st.Wf, banded=st.banded)
-
-
-def neighbor_counts(st: SceneStatic, ctx: Ctx) -> jnp.ndarray:
-    """Dynamic-set neighbor count per fluid particle (fluid + active rigid),
-    the reference's get_neighbour_count (ParticleSystem.py:424-445)."""
-    _, _, mask_f = pair_geom(st, ctx, ctx.f, exclude_self=True)
-    count = jnp.sum(mask_f, axis=2)
-    if ctx.r is not None and st.fs_couple:
-        _, _, mask_r = pair_geom(st, ctx, ctx.r, exclude_self=False)
-        count = count + jnp.sum(mask_r, axis=2)
-    return pw.unblock(count, st.nq)
-
-
-# --- shared physics ops in windowed form -----------------------------------
-
-def ctx_rho(st: SceneStatic, ctx: Ctx) -> jnp.ndarray:
-    """Density (reference solver_base.py:41-72) over the sweeps."""
-    import cfd_taichi_tpu.ops.smoothing as sm_
-
-    _, r, mask = pair_geom(st, ctx, ctx.f, exclude_self=True)
-    rho = DENSITY_EPS + st.particle_m * sweep_sum(
-        sm_.cubic_w(r, st.h), mask, st.nq)
-    if ctx.r is not None and st.fs_couple:
-        _, rr, mask_r = pair_geom(st, ctx, ctx.r, exclude_self=False)
-        rho = rho + RHO_0 * sweep_sum(
-            ctx.rigid_vol_w[:, None, :] * sm_.cubic_w(rr, st.h), mask_r,
-            st.nq)
-    if ctx.b is not None:
-        _, rb, mask_b = pair_geom(st, ctx, ctx.b, exclude_self=False)
-        rho = rho + RHO_0 * sweep_sum(
-            ctx.bvol_w[:, None, :] * sm_.cubic_w(rb, st.h), mask_b,
-            st.nq)
-    return rho
-
-
-def ctx_viscosity(st: SceneStatic, ctx: Ctx, vel_s: V3, rho: jnp.ndarray,
-                  rigid: "RigidBodyState", c_s: float, alpha: float,
-                  eps: float = 0.01) -> V3:
-    """Monaghan artificial viscosity (solver_base.py:170-202), sorted order."""
-    import cfd_taichi_tpu.ops.smoothing as sm_
-
-    x_ij, r, mask = pair_geom(st, ctx, ctx.f, exclude_self=True)
-    v_w = pw.window_v3(ctx.f.eng, vel_s, st.Wf, banded=st.banded)
-    v_ij = V3(q_form(ctx, vel_s.x) - v_w.x[:, None, :],
-              q_form(ctx, vel_s.y) - v_w.y[:, None, :],
-              q_form(ctx, vel_s.z) - v_w.z[:, None, :])
-    shear = v_ij.dot(x_ij)
-    q2 = r * r
-    rho_q = q_form(ctx, rho)
-    rho_w = w_form_fluid(st, ctx, rho)
-    nu = (2.0 * alpha * st.h * c_s) / (rho_q + rho_w)
-    pi = -nu * shear / (q2 + eps * st.h * st.h)
-    gcoef = sm_.cubic_grad_coeff(r, st.h)
-    scale = jnp.where(mask & (shear < 0.0), -st.particle_m * pi * gcoef, 0.0)
-    out = sweep_sum_vec(x_ij, scale, st.nq)
-    if ctx.r is not None and st.fs_couple:
-        x_r, rr, mask_r = pair_geom(st, ctx, ctx.r, exclude_self=False)
-        # Rigid neighbors carry the body linear velocity (rigid_solver.py:97).
-        v_ij_r = V3(q_form(ctx, vel_s.x) - rigid.vel[0],
-                    q_form(ctx, vel_s.y) - rigid.vel[1],
-                    q_form(ctx, vel_s.z) - rigid.vel[2])
-        shear_r = v_ij_r.dot(x_r)
-        q2r = rr * rr
-        # Reference quirk: rho of a solid neighbor is read from the *fluid*
-        # rho field at the rigid-local index (solver_base.py:199) — i.e. an
-        # unrelated fluid particle's density. `rho` here lives in the
-        # cell-sorted padded layout, so restore original fluid order first;
-        # indexing the padded layout directly would read a different
-        # arbitrary particle each step as the sort changes.
-        rho_fluid = jnp.zeros((st.n_fluid,), rho.dtype).at[ctx.perm].set(
-            rho[ctx.slot])
-        rho_quirk = rho_fluid[jnp.clip(ctx.rigid_lid_w, 0, st.n_fluid - 1)]
-        nu_r = (2.0 * alpha * st.h * c_s) / (rho_q + rho_quirk[:, None, :])
-        pi_r = -nu_r * shear_r / (q2r + eps * st.h * st.h)
-        gc_r = sm_.cubic_grad_coeff(rr, st.h)
-        scale_r = jnp.where(mask_r & (shear_r < 0.0),
-                            -RHO_0 * ctx.rigid_vol_w[:, None, :] * pi_r * gc_r,
-                            0.0)
-        out = out + sweep_sum_vec(x_r, scale_r, st.nq)
-    return st.particle_m * out
-
-
-def ctx_tension(st: SceneStatic, ctx: Ctx, tension_k: float) -> V3:
-    """Cohesion -k m W x_ij, fluid-fluid only (solver_base.py:204-217)."""
-    import cfd_taichi_tpu.ops.smoothing as sm_
-
-    x_ij, r, mask = pair_geom(st, ctx, ctx.f, exclude_self=True)
-    scale = jnp.where(mask, -tension_k * sm_.cubic_w(r, st.h), 0.0)
-    return st.particle_m * sweep_sum_vec(x_ij, scale, st.nq)
-
-
-def ctx_boundary_pressure_acc(st: SceneStatic, ctx: Ctx, p_i, rho_i) -> V3:
-    """Akinci boundary pressure acc: -sum_b V_b p_i/rho_i^2 gradW
-    (wcsph_solver.py:92-100)."""
-    import cfd_taichi_tpu.ops.smoothing as sm_
-
-    xb, rb, mask_b = pair_geom(st, ctx, ctx.b, exclude_self=False)
-    gcoef = sm_.cubic_grad_coeff(rb, st.h)
-    coeff = q_form(ctx, p_i / (rho_i * rho_i))
-    scale = jnp.where(mask_b, -ctx.bvol_w[:, None, :] * coeff * gcoef, 0.0)
-    return sweep_sum_vec(xb, scale, st.nq)
-
-
-def ctx_scatter_rigid_force(st: SceneStatic, ctx: Ctx, contrib: V3,
-                            pair_mask, force: V3) -> V3:
-    """Scatter per-pair (nblk,B,Wr) contributions onto rigid particles in
-    their ORIGINAL order (deterministic segment-sum; replaces atomic +=)."""
-    if ctx.r is None or not st.fs_couple:
-        return force
-    sums_sorted = pw.scatter_window_sum(
-        ctx.r.eng, contrib.x, contrib.y, contrib.z, pair_mask, st.n_rigid,
-        st.Wr)
-    perm = ctx.rigid_set.perm
-    return V3(force.x.at[perm].add(sums_sorted.x),
-              force.y.at[perm].add(sums_sorted.y),
-              force.z.at[perm].add(sums_sorted.z))

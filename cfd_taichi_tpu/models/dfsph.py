@@ -20,7 +20,10 @@ Functional parity with the reference `dfsph_solver` (dfsph_solver.py:1-445):
 
 All three host loops (reference dfsph_solver.py:221-233, 393-416 with a
 device->host scalar sync per iteration) become on-device `lax.while_loop`s
-over windowed pair sweeps (ops/pairwise.py).
+over the step's compact (N, K) neighbor lists (models/base.Nbh). The pair
+geometry and gradW factors are loop-invariant (positions are fixed during
+both solves) and are computed once outside the loops; each iteration is then
+a handful of (N, K) gathers + fused VPU math.
 """
 
 from __future__ import annotations
@@ -29,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
-from cfd_taichi_tpu.ops import pairwise as pw
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
@@ -61,139 +63,85 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     dt = state.dt
     (warm_k,) = state.extra
 
-    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    pos = ctx.pos
-    vel = base.lift_v3(ctx, fluid.vel)
-    warm_k = base.lift(ctx, warm_k)
-    n = st.nq
-    nblk, B = ctx.q_valid.shape
+    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
+    pos = nbh.pos
+    vel = fluid.vel.take(nbh.perm)
+    warm_k = warm_k[nbh.perm]
+    n = st.n_fluid
+    has_rigid = nbh.rigid_vol is not None
 
-    # NOTE: pair geometry (x_ij, r, masks — (nblk, B, W) tensors) is
-    # recomputed inside every sweep below. Hoisting it out of the while
-    # loops would materialize multi-GB loop invariants in HBM and make every
-    # sweep HBM-bound; recomputation from the small (nblk, W) windows is
-    # nearly free on the VPU and lets XLA fuse it into each reduction.
-    has_rigid = ctx.r is not None and st.fs_couple
-    if has_rigid:
-        # Rigid window particle offsets from the centroid (small: (nblk, Wr)).
-        rel_r = V3(ctx.r.pos_w.x - rigid.centroid[0],
-                   ctx.r.pos_w.y - rigid.centroid[1],
-                   ctx.r.pos_w.z - rigid.centroid[2])
-
-    counts = base.neighbor_counts(st, ctx)
+    # Loop-invariant pair geometry (positions are fixed during both solves):
+    # gradW = gc * x_ij, plus the per-source mass/volume weights.
+    gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
+    gx = V3(nbh.x.x * gc_f, nbh.x.y * gc_f, nbh.x.z * gc_f)  # gradW vectors
+    wf = jnp.where(nbh.mask_f, jnp.float32(st.particle_m), 0.0)  # fluid m
+    ws = (jnp.where(nbh.mask_s, RHO_0 * nbh.rigid_vol, 0.0)
+          if has_rigid else None)                                # V_j rho0
+    if st.akinci:
+        gc_b = sm.cubic_grad_coeff(nbh.br, st.h)
+        gb = V3(nbh.bx.x * gc_b, nbh.bx.y * gc_b, nbh.bx.z * gc_b)
+        wb = jnp.where(nbh.bmask, RHO_0 * nbh.bvol, 0.0)         # V_b rho0
 
     # --- initialize: rho + alpha (dfsph_solver.py:423-426) ------------------
-    rho = base.ctx_rho(st, ctx)
+    rho = base.nbh_rho(st, nbh)
 
     # alpha_i = rho_i / (|S_f+s|^2 + Q_f+s + Q_b + |S_b|^2), guard < 1e-6
     # (dfsph_solver.py:32-51; boundary vector sum squared separately — quirk).
-    x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-    gc_f = sm.cubic_grad_coeff(r_f, st.h)
-    coeff_f = jnp.where(mask_f, st.particle_m * gc_f, 0.0)
-    sx = jnp.sum(x_f.x * coeff_f, axis=2)
-    sy = jnp.sum(x_f.y * coeff_f, axis=2)
-    sz = jnp.sum(x_f.z * coeff_f, axis=2)
-    qsum = jnp.sum(coeff_f * coeff_f * (r_f * r_f), axis=2)
-    if has_rigid:
-        x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
-        gc_r = sm.cubic_grad_coeff(r_r, st.h)
-        coeff_r = jnp.where(mask_r,
-                            ctx.rigid_vol_w[:, None, :] * RHO_0 * gc_r, 0.0)
-        sx = sx + jnp.sum(x_r.x * coeff_r, axis=2)
-        sy = sy + jnp.sum(x_r.y * coeff_r, axis=2)
-        sz = sz + jnp.sum(x_r.z * coeff_r, axis=2)
-        qsum = qsum + jnp.sum(coeff_r * coeff_r * (r_r * r_r), axis=2)
-    denom = sx * sx + sy * sy + sz * sz + qsum
-    if ctx.b is not None:
-        x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b, exclude_self=False)
-        gc_b = sm.cubic_grad_coeff(r_b, st.h)
-        coeff_b = jnp.where(mask_b, ctx.bvol_w[:, None, :] * RHO_0 * gc_b, 0.0)
-        sbx = jnp.sum(x_b.x * coeff_b, axis=2)
-        sby = jnp.sum(x_b.y * coeff_b, axis=2)
-        sbz = jnp.sum(x_b.z * coeff_b, axis=2)
-        qb = jnp.sum(coeff_b * coeff_b * (r_b * r_b), axis=2)
-        denom = denom + qb + sbx * sbx + sby * sby + sbz * sbz
-    del x_f, r_f, mask_f, gc_f, coeff_f  # do not leak into loop closures
-    if has_rigid:
-        del x_r, r_r, mask_r, gc_r, coeff_r
-    if ctx.b is not None:
-        del x_b, r_b, mask_b, gc_b, coeff_b
-    denom = pw.unblock(denom, n)
+    coeff_fs = wf + (ws if has_rigid else 0.0)
+    s_vec = base.sum_vec(gx, coeff_fs)
+    qsum = jnp.sum((coeff_fs * gc_f * nbh.r) ** 2, axis=1)
+    denom = s_vec.dot(s_vec) + qsum
+    if st.akinci:
+        sb_vec = base.sum_vec(gb, wb)
+        qb = jnp.sum((wb * gc_b * nbh.br) ** 2, axis=1)
+        denom = denom + qb + sb_vec.dot(sb_vec)
     alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
 
     def stiff_vel_delta(k_over_rho, extra_fluid_guard=False):
         """Sum_f m (ki/ri + kj/rj) gradW + Sum_s V rho0 ki/ri gradW + rho0 *
-        Sum_b V ki/ri gradW. Returns (delta V3 (N,), (solid scale, x_r,
-        mask_r) or None). Geometry recomputed in-body (see NOTE above)."""
-        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-        gc_f = sm.cubic_grad_coeff(r_f, st.h)
-        kq = base.q_form(ctx, k_over_rho)
-        kij = kq + base.w_form_fluid(st, ctx, k_over_rho)
-        mf = mask_f & (kij > 1e-5) if extra_fluid_guard else mask_f
-        scale = jnp.where(mf, st.particle_m * kij * gc_f, 0.0)
-        out = base.sweep_sum_vec(x_f, scale, n)
-        solid = None
+        Sum_b V_b ki/ri gradW. Returns (delta V3 (N,), solid pair scale or
+        None). One (N, K) gather + fused VPU math per call."""
+        ki = k_over_rho[:, None]
+        kij = ki + base.jf(st, nbh, k_over_rho)
+        w = wf * kij
+        if extra_fluid_guard:
+            w = jnp.where(kij > 1e-5, w, 0.0)
+        s_scale = None
         if has_rigid:
-            x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r,
-                                              exclude_self=False)
-            gc_r = sm.cubic_grad_coeff(r_r, st.h)
-            s_scale = jnp.where(
-                mask_r, ctx.rigid_vol_w[:, None, :] * RHO_0 * kq * gc_r, 0.0)
-            out = out + base.sweep_sum_vec(x_r, s_scale, n)
-            solid = (s_scale, x_r, mask_r)
-        if ctx.b is not None:
-            x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b,
-                                              exclude_self=False)
-            gc_b = sm.cubic_grad_coeff(r_b, st.h)
-            b_scale = jnp.where(mask_b,
-                                ctx.bvol_w[:, None, :] * kq * gc_b, 0.0)
-            out = out + RHO_0 * base.sweep_sum_vec(x_b, b_scale, n)
-        return out, solid
+            s_scale = ws * ki
+            w = w + s_scale
+        if st.akinci:
+            out_b = base.sum_vec(gb, wb * ki)
+        delta = base.sum_vec(gx, w)
+        if st.akinci:
+            delta = delta + out_b
+        return delta, s_scale
 
-    def rigid_vel_w(include_alpha: bool):
-        """Contact velocity of rigid window particles: v + a dt +
-        (omega [+ alpha dt]) x r (dfsph_solver.py:163-170, 288-294)."""
-        om = rigid.omega + (rigid.alpha * dt if include_alpha else 0.0)
-        lin = rigid.vel + rigid.acc * dt
-        spin = V3(om[0], om[1], om[2]).cross(rel_r)
-        return V3(lin[0] + spin.x, lin[1] + spin.y, lin[2] + spin.z)
-
-    def vel_dot_terms(v: V3, v_rw):
-        """sum (v_i - v_j) . gradW with m / V rho0 weights (+ boundary with
-        v_j = 0). Returns (N,) density-rate. Geometry recomputed in-body."""
-        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-        gc_f = sm.cubic_grad_coeff(r_f, st.h)
-        vq = pw.blockify_v3(v, nblk, B)
-        vw = base.window_fluid_v3(st, ctx, v)
-        dots = ((vq.x[:, :, None] - vw.x[:, None, :]) * x_f.x
-                + (vq.y[:, :, None] - vw.y[:, None, :]) * x_f.y
-                + (vq.z[:, :, None] - vw.z[:, None, :]) * x_f.z) * gc_f
-        d = st.particle_m * base.sweep_sum(dots, mask_f, n)
+    def vel_dot_terms(v: V3, v_r: V3 | None):
+        """sum w_j (v_i - v_j) . gradW (+ boundary with v_j = 0) -> (N,)
+        density-rate. v_r: per-rigid-particle contact velocity (Nr,)."""
         if has_rigid:
-            x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r,
-                                              exclude_self=False)
-            gc_r = sm.cubic_grad_coeff(r_r, st.h)
-            dots_r = ((vq.x[:, :, None] - v_rw.x[:, None, :]) * x_r.x
-                      + (vq.y[:, :, None] - v_rw.y[:, None, :]) * x_r.y
-                      + (vq.z[:, :, None] - v_rw.z[:, None, :]) * x_r.z) * gc_r
-            d = d + RHO_0 * base.sweep_sum(
-                ctx.rigid_vol_w[:, None, :] * dots_r, mask_r, n)
-        if ctx.b is not None:
-            x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b,
-                                              exclude_self=False)
-            gc_b = sm.cubic_grad_coeff(r_b, st.h)
-            dots_b = (vq.x[:, :, None] * x_b.x + vq.y[:, :, None] * x_b.y
-                      + vq.z[:, :, None] * x_b.z) * gc_b
-            d = d + RHO_0 * base.sweep_sum(
-                ctx.bvol_w[:, None, :] * dots_b, mask_b, n)
+            v_all = V3(jnp.concatenate([v.x, v_r.x]),
+                       jnp.concatenate([v.y, v_r.y]),
+                       jnp.concatenate([v.z, v_r.z]))
+        else:
+            v_all = v
+        v_ij = v.expand(1) - V3(*base.jall_pack(nbh, v_all.x, v_all.y,
+                                                v_all.z))
+        d = jnp.sum(coeff_fs * v_ij.dot(gx), axis=1)
+        if st.akinci:
+            d = d + jnp.sum(
+                wb * (v.x[:, None] * gb.x + v.y[:, None] * gb.y
+                      + v.z[:, None] * gb.z), axis=1)
         return d
 
-    def rho_derivative(v: V3):
+    def rho_derivative(v: V3, include_alpha: bool):
         """max(drho/dt, 0) with the <20-neighbor skip and positive-average
         residual (dfsph_solver.py:252-300)."""
-        v_rw = rigid_vel_w(include_alpha=False) if has_rigid else None
-        dr = vel_dot_terms(v, v_rw)
-        dr = jnp.where(counts < MIN_NEIGHBORS, 0.0, jnp.maximum(dr, 0.0))
+        v_r = (base.rigid_contact_vel(st, rigid, dt, include_alpha)
+               if has_rigid else None)
+        dr = vel_dot_terms(v, v_r)
+        dr = jnp.where(nbh.count < MIN_NEIGHBORS, 0.0, jnp.maximum(dr, 0.0))
         pos_mask = dr > 0.0
         cnt = jnp.sum(pos_mask)
         avg = jnp.where(cnt > 0,
@@ -206,7 +154,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         vel = vel - delta * dt
         warm_k = jnp.zeros_like(warm_k)
 
-    dr0, avg0 = rho_derivative(vel)
+    dr0, avg0 = rho_derivative(vel, include_alpha=False)
 
     def div_cond(carry):
         _, _, _, avg, _, stop, it = carry
@@ -219,7 +167,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         delta, _ = stiff_vel_delta(k_over_rho, extra_fluid_guard=True)
         v = v - delta * dt
         wk = wk + dr * alpha          # sum_up_stiff (dfsph_solver.py:381-384)
-        new_dr, new_avg = rho_derivative(v)
+        new_dr, new_avg = rho_derivative(v, include_alpha=False)
         stop = jnp.abs(new_avg - avg) < STALL_EPS
         return (v, wk, new_dr, new_avg, avg, stop, it + 1)
 
@@ -229,8 +177,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
          jnp.zeros((), jnp.int32)))
 
     # --- external forces + v_adv + adaptive dt (dfsph_solver.py:91-122) -----
-    tension = base.ctx_tension(st, ctx, TENSION_K)
-    viscosity = base.ctx_viscosity(st, ctx, vel, rho, rigid,
+    tension = base.nbh_tension(st, nbh, TENSION_K)
+    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
                                    c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
     force_ext = base.gravity_acc(st) + tension + viscosity
     vel_adv = vel + force_ext * (dt / st.particle_m)
@@ -249,8 +197,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     # --- density solve (dfsph_solver.py:221-233) ----------------------------
     def rho_adv_of(v_adv: V3):
-        v_rw = rigid_vel_w(include_alpha=True) if has_rigid else None
-        d = vel_dot_terms(v_adv, v_rw)
+        d = vel_dot_terms(
+            v_adv, base.rigid_contact_vel(st, rigid, dt, include_alpha=True)
+            if has_rigid else None)
         rho_adv = jnp.maximum(rho + dt * d, RHO_0)
         unclamped = rho_adv != RHO_0
         cnt = jnp.sum(unclamped)
@@ -270,14 +219,13 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         v_adv, _, rforce, it = carry
         rho_adv, avg = rho_adv_of(v_adv)
         k_over_rho = ((rho_adv - RHO_0) * alpha / dt2) / rho
-        delta, solid = stiff_vel_delta(k_over_rho)
-        if solid is not None:
+        delta, s_scale = stiff_vel_delta(k_over_rho)
+        if s_scale is not None:
             # Rigid reaction accumulates every density iteration
             # (dfsph_solver.py:204-212).
-            s_scale, x_r_, mask_r_ = solid
-            contrib = x_r_ * (s_scale * st.particle_m)
-            rforce = base.ctx_scatter_rigid_force(st, ctx, contrib, mask_r_,
-                                                  rforce)
+            contrib = gx * (s_scale * st.particle_m)
+            rforce = base.nbh_scatter_rigid_force(st, nbh, contrib,
+                                                  nbh.mask_s, rforce)
         v_adv = v_adv - delta * dt
         return (v_adv, avg, rforce, it + 1)
 
@@ -294,15 +242,14 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        overflow=ctx.overflow,
-        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
-                              vel=base.compact_v3(ctx, new_vel),
-                              acc=fluid.acc.take(ctx.perm)),
+        overflow=nbh.overflow,
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(nbh.perm)),
         rigid=rigid._replace(force=rigid_force),
         dt=dt,
         t=state.t + dt,
         step_count=state.step_count + 1,
-        extra=(base.compact(ctx, warm_k),),
+        extra=(warm_k,),
         # [divergence iters, divergence residual, density iters,
         #  density error] — the reference's per-step prints
         # (dfsph_solver.py:233,416).

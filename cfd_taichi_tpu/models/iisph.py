@@ -14,8 +14,9 @@ Functional parity with the reference `iisph_solver` (iisph_solver.py:1-349):
     rigid force scatter once per step          (iisph_solver.py:150-206)
 
 The reference's host loop with per-iteration kernel-scalar residual sync
-(iisph_solver.py:78-99) becomes an on-device `lax.while_loop` over windowed
-pair sweeps (ops/pairwise.py).
+(iisph_solver.py:78-99) becomes an on-device `lax.while_loop` over the
+step's compact (N, K) neighbor lists (models/base.Nbh); positions are fixed
+during the solve, so all pair geometry is hoisted out of the loop.
 """
 
 from __future__ import annotations
@@ -24,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
-from cfd_taichi_tpu.ops import pairwise as pw
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
@@ -49,158 +49,115 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     (p_past,) = state.extra
     dt2 = dt * dt
 
-    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    pos = ctx.pos
-    vel = base.lift_v3(ctx, fluid.vel)
-    p_past = base.lift(ctx, p_past)
-    n = st.nq
-    nblk, B = ctx.q_valid.shape
+    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
+    pos = nbh.pos
+    vel = fluid.vel.take(nbh.perm)
+    p_past = p_past[nbh.perm]
+    has_rigid = nbh.rigid_vol is not None
 
-    # Step-level pair geometry for the predict-advection section. The solve
-    # loop's closures recompute their own geometry in-body so no (nblk,B,W)
-    # tensor becomes a materialized while-loop invariant.
-    x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-    gc_f = sm.cubic_grad_coeff(r_f, st.h)
-    has_rigid = ctx.r is not None and st.fs_couple
-    if has_rigid:
-        x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
-        gc_r = sm.cubic_grad_coeff(r_r, st.h)
-    if ctx.b is not None:
-        x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b, exclude_self=False)
-        gc_b = sm.cubic_grad_coeff(r_b, st.h)
+    # Loop-invariant pair geometry.
+    gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
+    if st.akinci:
+        gc_b = sm.cubic_grad_coeff(nbh.br, st.h)
 
     # --- predict advection (iisph_solver.py:36-75) --------------------------
-    rho = base.ctx_rho(st, ctx)
-    tension = base.ctx_tension(st, ctx, TENSION_K)
-    viscosity = base.ctx_viscosity(st, ctx, vel, rho, rigid,
+    rho = base.nbh_rho(st, nbh)
+    tension = base.nbh_tension(st, nbh, TENSION_K)
+    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
                                    c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
     f_adv = base.gravity_acc(st) + tension + viscosity
     v_adv = vel + f_adv * (dt / st.particle_m)
 
-    inv_rho2_q = base.q_form(ctx, 1.0 / (rho * rho))   # (nblk, B, 1)
+    inv_rho2 = (1.0 / (rho * rho))[:, None]   # (N, 1)
 
     # d_ii = dt^2 [ -sum_f m/rho_i^2 gradW - sum_s V rho0/rho_i^2 gradW
     #               - rho0 sum_b V_b/rho_i^2 gradW ]  (iisph_solver.py:255-273)
-    scale = jnp.where(mask_f, -st.particle_m * inv_rho2_q * gc_f, 0.0)
-    d_ii = base.sweep_sum_vec(x_f, scale, n)
+    scale = jnp.where(nbh.mask_f, -st.particle_m * inv_rho2 * gc_f, 0.0)
     if has_rigid:
-        scale_r = jnp.where(
-            mask_r, -ctx.rigid_vol_w[:, None, :] * RHO_0 * inv_rho2_q * gc_r,
-            0.0)
-        d_ii = d_ii + base.sweep_sum_vec(x_r, scale_r, n)
-    if ctx.b is not None:
-        scale_b = jnp.where(
-            mask_b, -ctx.bvol_w[:, None, :] * inv_rho2_q * gc_b, 0.0)
-        d_ii = d_ii + RHO_0 * base.sweep_sum_vec(x_b, scale_b, n)
+        scale = scale + jnp.where(
+            nbh.mask_s, -nbh.rigid_vol * RHO_0 * inv_rho2 * gc_f, 0.0)
+    d_ii = base.sum_vec(nbh.x, scale)
+    if st.akinci:
+        scale_b = jnp.where(nbh.bmask, -nbh.bvol * inv_rho2 * gc_b, 0.0)
+        d_ii = d_ii + RHO_0 * base.sum_vec(nbh.bx, scale_b)
     d_ii = d_ii * dt2
 
     # rho_adv (iisph_solver.py:57-66, 316-340): rigid neighbor velocity uses
     # omega + alpha dt about the centroid.
-    vq = pw.blockify_v3(v_adv, nblk, B)
-    vw = base.window_fluid_v3(st, ctx, v_adv)
-    dots = ((vq.x[:, :, None] - vw.x[:, None, :]) * x_f.x
-            + (vq.y[:, :, None] - vw.y[:, None, :]) * x_f.y
-            + (vq.z[:, :, None] - vw.z[:, None, :]) * x_f.z) * gc_f
-    drho = st.particle_m * base.sweep_sum(dots, mask_f, n)
     if has_rigid:
-        rel_r = V3(ctx.r.pos_w.x - rigid.centroid[0],
-                   ctx.r.pos_w.y - rigid.centroid[1],
-                   ctx.r.pos_w.z - rigid.centroid[2])
-        om = rigid.omega + rigid.alpha * dt
-        lin = rigid.vel + rigid.acc * dt
-        spin = V3(om[0], om[1], om[2]).cross(rel_r)
-        v_rw = V3(lin[0] + spin.x, lin[1] + spin.y, lin[2] + spin.z)
-        dots_r = ((vq.x[:, :, None] - v_rw.x[:, None, :]) * x_r.x
-                  + (vq.y[:, :, None] - v_rw.y[:, None, :]) * x_r.y
-                  + (vq.z[:, :, None] - v_rw.z[:, None, :]) * x_r.z) * gc_r
-        drho = drho + RHO_0 * base.sweep_sum(
-            ctx.rigid_vol_w[:, None, :] * dots_r, mask_r, n)
-    if ctx.b is not None:
-        dots_b = (vq.x[:, :, None] * x_b.x + vq.y[:, :, None] * x_b.y
-                  + vq.z[:, :, None] * x_b.z) * gc_b
-        drho = drho + RHO_0 * base.sweep_sum(
-            ctx.bvol_w[:, None, :] * dots_b, mask_b, n)
+        v_r = base.rigid_contact_vel(st, rigid, dt, include_alpha=True)
+        v_all = V3(jnp.concatenate([v_adv.x, v_r.x]),
+                   jnp.concatenate([v_adv.y, v_r.y]),
+                   jnp.concatenate([v_adv.z, v_r.z]))
+    else:
+        v_all = v_adv
+    v_ij = v_adv.expand(1) - V3(*base.jall_pack(nbh, v_all.x, v_all.y,
+                                                v_all.z))
+    dots = v_ij.dot(nbh.x) * gc_f
+    drho = st.particle_m * base.msum(dots, nbh.mask_f)
+    if has_rigid:
+        drho = drho + RHO_0 * base.msum(nbh.rigid_vol * dots, nbh.mask_s)
+    if st.akinci:
+        dots_b = (v_adv.x[:, None] * nbh.bx.x + v_adv.y[:, None] * nbh.bx.y
+                  + v_adv.z[:, None] * nbh.bx.z) * gc_b
+        drho = drho + RHO_0 * base.msum(nbh.bvol * dots_b, nbh.bmask)
     rho_adv = drho * dt + rho
 
     # a_ii with the d_ji correction (iisph_solver.py:276-303). d_ji uses the
     # querying particle's own m/rho_i^2 in every branch (reference behavior):
     # d_ji = +dt^2 m/rho_i^2 gradW_ij, so
     # (d_ii_i - d_ji).gradW = d_ii.gradW - dt^2 m/rho_i^2 gc^2 |x|^2.
-    dii_q = pw.blockify_v3(d_ii, nblk, B)
-    dji_f = dt2 * st.particle_m * inv_rho2_q * gc_f      # (nblk, B, W)
-    ddot_f = ((dii_q.x[:, :, None] * x_f.x + dii_q.y[:, :, None] * x_f.y
-               + dii_q.z[:, :, None] * x_f.z) - dji_f * (r_f * r_f)) * gc_f
-    a_ii = st.particle_m * base.sweep_sum(ddot_f, mask_f, n)
+    r2 = nbh.r * nbh.r
+    dii_dot = (d_ii.x[:, None] * nbh.x.x + d_ii.y[:, None] * nbh.x.y
+               + d_ii.z[:, None] * nbh.x.z)
+    dji = dt2 * st.particle_m * inv_rho2 * gc_f
+    ddot = (dii_dot - dji * r2) * gc_f
+    a_ii = st.particle_m * base.msum(ddot, nbh.mask_f)
     if has_rigid:
-        dji_r = dt2 * st.particle_m * inv_rho2_q * gc_r
-        ddot_r = ((dii_q.x[:, :, None] * x_r.x + dii_q.y[:, :, None] * x_r.y
-                   + dii_q.z[:, :, None] * x_r.z) - dji_r * (r_r * r_r)) * gc_r
-        a_ii = a_ii + RHO_0 * base.sweep_sum(
-            ctx.rigid_vol_w[:, None, :] * ddot_r, mask_r, n)
-    if ctx.b is not None:
-        dji_b = dt2 * st.particle_m * inv_rho2_q * gc_b
-        ddot_b = ((dii_q.x[:, :, None] * x_b.x + dii_q.y[:, :, None] * x_b.y
-                   + dii_q.z[:, :, None] * x_b.z) - dji_b * (r_b * r_b)) * gc_b
-        a_ii = a_ii + RHO_0 * base.sweep_sum(
-            ctx.bvol_w[:, None, :] * ddot_b, mask_b, n)
+        a_ii = a_ii + RHO_0 * base.msum(nbh.rigid_vol * ddot, nbh.mask_s)
+    if st.akinci:
+        dii_dot_b = (d_ii.x[:, None] * nbh.bx.x + d_ii.y[:, None] * nbh.bx.y
+                     + d_ii.z[:, None] * nbh.bx.z)
+        dji_b = dt2 * st.particle_m * inv_rho2 * gc_b
+        ddot_b = (dii_dot_b - dji_b * (nbh.br * nbh.br)) * gc_b
+        a_ii = a_ii + RHO_0 * base.msum(nbh.bvol * ddot_b, nbh.bmask)
 
     p0 = 0.5 * p_past  # warm start (iisph_solver.py:67)
 
-    del x_f, r_f, mask_f, gc_f  # keep step-level geometry out of the loop
-    if has_rigid:
-        del x_r, r_r, mask_r, gc_r
-    if ctx.b is not None:
-        del x_b, r_b, mask_b, gc_b
-
     # --- relaxed Jacobi solve (iisph_solver.py:78-147) ----------------------
     err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
+    n = st.n_fluid
 
     def d_ij_of(p):
         # d_ij = -dt^2 sum_f m p_j/rho_j^2 gradW (fluid-only, py:306-314).
-        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-        gc_f = sm.cubic_grad_coeff(r_f, st.h)
-        pj_term = base.w_form_fluid(st, ctx, p / (rho * rho))
-        scale = jnp.where(mask_f, -st.particle_m * pj_term * gc_f, 0.0)
-        return base.sweep_sum_vec(x_f, scale, n) * dt2
+        pj_term = base.jf(st, nbh, p / (rho * rho))
+        scale = jnp.where(nbh.mask_f, -st.particle_m * pj_term * gc_f, 0.0)
+        return base.sum_vec(nbh.x, scale) * dt2
 
     def r_sum_of(p, d_ij: V3):
         # Off-diagonal row sum (iisph_solver.py:229-253):
         # sum_f m (d_ij_i - d_ii_j p_j - (d_ij_j - d_ji p_i)) . gradW
-        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-        gc_f = sm.cubic_grad_coeff(r_f, st.h)
-        dij_q = pw.blockify_v3(d_ij, nblk, B)
-        dij_w = base.window_fluid_v3(st, ctx, d_ij)
-        dii_w = base.window_fluid_v3(st, ctx, d_ii)
-        p_w = base.w_form_fluid(st, ctx, p)[:, 0, :]         # (nblk, W)
-        p_q = base.q_form(ctx, p)
-        # e . gradW, with e = dij_i - dii_j p_j - dij_j + d_ji p_i and
+        djx, djy, djz, p_j = base.jf_pack(st, nbh, d_ij.x, d_ij.y, d_ij.z, p)
+        dij_jx = V3(djx, djy, djz)
+        dii_jx = base.jf_v3(st, nbh, d_ii)
+        # e = dij_i - dii_j p_j - dij_j, and + d_ji p_i with
         # d_ji p_i = dt^2 m/rho_i^2 p_i * gc * x_ij.
-        exf = (dij_q.x[:, :, None] - dii_w.x[:, None, :] * p_w[:, None, :]
-               - dij_w.x[:, None, :])
-        eyf = (dij_q.y[:, :, None] - dii_w.y[:, None, :] * p_w[:, None, :]
-               - dij_w.y[:, None, :])
-        ezf = (dij_q.z[:, :, None] - dii_w.z[:, None, :] * p_w[:, None, :]
-               - dij_w.z[:, None, :])
-        dji_p = dt2 * st.particle_m * inv_rho2_q * p_q * gc_f
-        dot = (exf * x_f.x + eyf * x_f.y + ezf * x_f.z
-               + dji_p * (r_f * r_f)) * gc_f
-        out = st.particle_m * base.sweep_sum(dot, mask_f, n)
+        ex = d_ij.x[:, None] - dii_jx.x * p_j - dij_jx.x
+        ey = d_ij.y[:, None] - dii_jx.y * p_j - dij_jx.y
+        ez = d_ij.z[:, None] - dii_jx.z * p_j - dij_jx.z
+        dji_p = dt2 * st.particle_m * inv_rho2 * p[:, None] * gc_f
+        dot = (ex * nbh.x.x + ey * nbh.x.y + ez * nbh.x.z
+               + dji_p * r2) * gc_f
+        out = st.particle_m * base.msum(dot, nbh.mask_f)
+        dij_dot = (d_ij.x[:, None] * nbh.x.x + d_ij.y[:, None] * nbh.x.y
+                   + d_ij.z[:, None] * nbh.x.z) * gc_f
         if has_rigid:
-            x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r,
-                                              exclude_self=False)
-            gc_r = sm.cubic_grad_coeff(r_r, st.h)
-            sdot = (dij_q.x[:, :, None] * x_r.x + dij_q.y[:, :, None] * x_r.y
-                    + dij_q.z[:, :, None] * x_r.z) * gc_r
-            out = out + RHO_0 * base.sweep_sum(
-                ctx.rigid_vol_w[:, None, :] * sdot, mask_r, n)
-        if ctx.b is not None:
-            x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b,
-                                              exclude_self=False)
-            gc_b = sm.cubic_grad_coeff(r_b, st.h)
-            bdot = (dij_q.x[:, :, None] * x_b.x + dij_q.y[:, :, None] * x_b.y
-                    + dij_q.z[:, :, None] * x_b.z) * gc_b
-            out = out + RHO_0 * base.sweep_sum(
-                ctx.bvol_w[:, None, :] * bdot, mask_b, n)
+            out = out + RHO_0 * base.msum(nbh.rigid_vol * dij_dot,
+                                          nbh.mask_s)
+        if st.akinci:
+            bdot = (d_ij.x[:, None] * nbh.bx.x + d_ij.y[:, None] * nbh.bx.y
+                    + d_ij.z[:, None] * nbh.bx.z) * gc_b
+            out = out + RHO_0 * base.msum(nbh.bvol * bdot, nbh.bmask)
         return out
 
     def residual_of(p, r_sum):
@@ -242,14 +199,12 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     rigid_force = rigid.force
     if has_rigid:
         # compute_rigid_force (iisph_solver.py:150-160): once per step.
-        x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
-        gc_r = sm.cubic_grad_coeff(r_r, st.h)
         c_scale = jnp.where(
-            mask_r,
-            ctx.rigid_vol_w[:, None, :] * RHO_0 * base.q_form(ctx, p_iter)
-            * inv_rho2_q * gc_r * st.particle_m, 0.0)
-        rigid_force = base.ctx_scatter_rigid_force(st, ctx, x_r * c_scale,
-                                                   mask_r, rigid_force)
+            nbh.mask_s,
+            nbh.rigid_vol * RHO_0 * p_iter[:, None] * inv_rho2 * gc_f
+            * st.particle_m, 0.0)
+        rigid_force = base.nbh_scatter_rigid_force(
+            st, nbh, nbh.x * c_scale, nbh.mask_s, rigid_force)
 
     new_vel = (v_adv + f_press * (dt / st.particle_m)) * base.ARTIFICIAL_FRICTION
     new_pos = pos + new_vel * dt
@@ -259,14 +214,13 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        overflow=ctx.overflow,
-        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
-                              vel=base.compact_v3(ctx, new_vel),
-                              acc=fluid.acc.take(ctx.perm)),
+        overflow=nbh.overflow,
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(nbh.perm)),
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,
-        extra=(base.compact(ctx, p_iter),),
+        extra=(p_iter,),
         # [iters, residual, 0, 0] (iisph_solver.py:96).
         diag=jnp.stack([iters.astype(jnp.float32), res,
                         jnp.zeros(()), jnp.zeros(())]),

@@ -23,7 +23,7 @@ Deviations from the reference, both documented in SURVEY.md §7 pitfalls:
     race inside update_all_pos, pbf_solver.py:85-89); here the updated
     positions are used deterministically.
 
-Runs on windowed pair sweeps (ops/pairwise.py).
+Runs on the step's compact (N, K) neighbor lists (models/base.Nbh).
 """
 
 from __future__ import annotations
@@ -31,7 +31,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
-from cfd_taichi_tpu.ops import pairwise as pw
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
 
@@ -48,40 +47,36 @@ def init_state(scene: Scene) -> base.SimState:
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
 
-    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    pos = ctx.pos
-    n = st.nq
-    nblk, B = ctx.q_valid.shape
+    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
+    pos = nbh.pos
 
     # PBF is fluid-fluid (+ Akinci boundary) only.
-    x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-    spiky_c = sm.spiky_grad_coeff(r_f, st.h)    # gradW = spiky_c * x_ij
-    poly_w = sm.poly6_w(r_f, st.h)
-    if ctx.b is not None:
-        x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b, exclude_self=False)
-        bspiky_c = sm.spiky_grad_coeff(r_b, st.h)
-        bpoly_w = sm.poly6_w(r_b, st.h)
-        bvol = ctx.bvol_w[:, None, :]
+    mask_f = nbh.mask_f
+    spiky_c = sm.spiky_grad_coeff(nbh.r, st.h)   # gradW = spiky_c * x_ij
+    poly_w = sm.poly6_w(nbh.r, st.h)
+    if st.akinci:
+        bspiky_c = sm.spiky_grad_coeff(nbh.br, st.h)
+        bpoly_w = sm.poly6_w(nbh.br, st.h)
 
     # --- external force + predicted positions (pbf_solver.py:26-30) ---------
-    vel = base.lift_v3(ctx, fluid.vel) + base.gravity_acc(st) * dt
+    vel = fluid.vel.take(nbh.perm) + base.gravity_acc(st) * dt
     pos_predict = pos + vel * dt
 
     # --- density (poly6) + constraint (pbf_solver.py:127-130,166-174) -------
-    rho = base.DENSITY_EPS + st.particle_m * base.sweep_sum(poly_w, mask_f, n)
-    if ctx.b is not None:
-        rho = rho + RHO_0 * base.sweep_sum(bvol * bpoly_w, mask_b, n)
+    rho = base.DENSITY_EPS + st.particle_m * base.msum(poly_w, mask_f)
+    if st.akinci:
+        rho = rho + RHO_0 * base.msum(nbh.bvol * bpoly_w, nbh.bmask)
     constraint = jnp.maximum(rho / RHO_0 - 1.0, 0.0)
 
     # --- lambda (pbf_solver.py:32-52) ---------------------------------------
     gscale = jnp.where(mask_f, spiky_c / RHO_0, 0.0)
-    grad_c_i = base.sweep_sum_vec(x_f, gscale, n)
-    around = base.sweep_sum((r_f * spiky_c / RHO_0) ** 2, mask_f, n)
-    if ctx.b is not None:
-        bgscale = jnp.where(mask_b, bspiky_c / RHO_0, 0.0)
-        grad_c_i = grad_c_i + base.sweep_sum_vec(x_b, bgscale, n)
-        around = around + base.sweep_sum((r_b * bspiky_c / RHO_0) ** 2,
-                                         mask_b, n)
+    grad_c_i = base.sum_vec(nbh.x, gscale)
+    around = base.msum((nbh.r * spiky_c / RHO_0) ** 2, mask_f)
+    if st.akinci:
+        bgscale = jnp.where(nbh.bmask, bspiky_c / RHO_0, 0.0)
+        grad_c_i = grad_c_i + base.sum_vec(nbh.bx, bgscale)
+        around = around + base.msum((nbh.br * bspiky_c / RHO_0) ** 2,
+                                    nbh.bmask)
     denom = grad_c_i.dot(grad_c_i) + around
     lam = jnp.where(constraint == 0.0, 0.0,
                     -constraint / (denom + EPSILON))
@@ -91,16 +86,16 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     s = poly_w / w_ref
     s2 = s * s
     s_corr = -TENSION_K * s2 * s2                        # quartic
-    lam_q = base.q_form(ctx, lam)
+    lam_q = lam[:, None]
     pair_scale = jnp.where(
-        mask_f, (lam_q + base.w_form_fluid(st, ctx, lam) + s_corr) * spiky_c, 0.0)
-    delta_pos = base.sweep_sum_vec(x_f, pair_scale, n)
-    if ctx.b is not None:
+        mask_f, (lam_q + base.jf(st, nbh, lam) + s_corr) * spiky_c, 0.0)
+    delta_pos = base.sum_vec(nbh.x, pair_scale)
+    if st.akinci:
         bs = bpoly_w / w_ref
         bs2 = bs * bs
         bs_corr = -TENSION_K * bs2 * bs2
-        bpair = jnp.where(mask_b, (lam_q + bs_corr) * bspiky_c, 0.0)
-        delta_pos = delta_pos + base.sweep_sum_vec(x_b, bpair, n)
+        bpair = jnp.where(nbh.bmask, (lam_q + bs_corr) * bspiky_c, 0.0)
+        delta_pos = delta_pos + base.sum_vec(nbh.bx, bpair)
     delta_pos = delta_pos / RHO_0
 
     # --- position/velocity update + XSPH (pbf_solver.py:67-96) --------------
@@ -114,26 +109,17 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     # XSPH over updated positions/velocities (deterministic resolution of
     # the reference's in-kernel race, see module docstring).
-    q_np = pw.blockify_v3(new_pos, nblk, B)
-    w_np = base.window_fluid_v3(st, ctx, new_pos)
-    d_new = (q_np.expand(2) - w_np.expand(1)).norm()
+    d_new = (new_pos.expand(1) - base.jf_v3(st, nbh, new_pos)).norm()
     w_x = sm.poly6_w(d_new, st.h)
-    q_nv = pw.blockify_v3(new_vel, nblk, B)
-    w_nv = base.window_fluid_v3(st, ctx, new_vel)
-    dvx = jnp.where(mask_f, (w_nv.x[:, None, :] - q_nv.x[:, :, None]) * w_x, 0.0)
-    dvy = jnp.where(mask_f, (w_nv.y[:, None, :] - q_nv.y[:, :, None]) * w_x, 0.0)
-    dvz = jnp.where(mask_f, (w_nv.z[:, None, :] - q_nv.z[:, :, None]) * w_x, 0.0)
-    from cfd_taichi_tpu.ops.vec import V3
-
-    xsph = pw.unblock_v3(V3(dvx.sum(axis=2), dvy.sum(axis=2),
-                            dvz.sum(axis=2)), n)
+    v_j = base.jf_v3(st, nbh, new_vel)
+    dv = v_j - new_vel.expand(1)
+    xsph = (dv * w_x).msum(mask_f)
     new_vel = new_vel + XSPH_C * xsph
 
     return state._replace(
-        overflow=ctx.overflow,
-        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
-                              vel=base.compact_v3(ctx, new_vel),
-                              acc=fluid.acc.take(ctx.perm)),
+        overflow=nbh.overflow,
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(nbh.perm)),
         t=state.t + dt,
         step_count=state.step_count + 1,
     )

@@ -16,7 +16,10 @@ Functional parity with the reference `pcisph_solver` (pcisph_solver.py:1-241):
 
 The reference's host-driven iteration with a kernel-scalar sync per
 residual (pcisph_solver.py:54-70,122-133) becomes a single on-device
-`lax.while_loop` over windowed pair sweeps (ops/pairwise.py).
+`lax.while_loop` over the step's compact (N, K) neighbor lists. Pair
+validity stays pinned to the step-initial positions (the reference reuses
+the start-of-step grid, solver_base.py:139-141); kernels inside the predict
+pass are evaluated at the *predicted* positions.
 """
 
 from __future__ import annotations
@@ -40,17 +43,14 @@ TENSION_K = 0.5
 def init_state(scene: Scene) -> base.SimState:
     """Compute the scalar stiffness delta once at init from the particle with
     the densest neighborhood (pcisph_solver.py:28-45)."""
-    from cfd_taichi_tpu.ops import neighbors as nb
-
     st, arrays = scene.static, scene.arrays
     rigid_pos = scene.rigid.pos if scene.rigid is not None else None
-    nh = base.build_neighborhood(st, arrays, scene.fluid_pos0, rigid_pos)
-    dense_i = jnp.argmax(nh.nbr.count)
-    j = nh.nbr.idx[dense_i]
-    mask = nh.nbr.mask[dense_i]
-    rvec = scene.fluid_pos0.take(dense_i).expand(0) - nh.pos_all.take(j)
-    gcoef = jnp.where(mask, sm.cubic_grad_coeff(rvec.norm(), st.h), 0.0)
-    gradw = rvec * gcoef
+    nbh = base.build_nbh(st, arrays, scene.fluid_pos0, rigid_pos)
+    dense_i = jnp.argmax(nbh.count)
+    gcoef = jnp.where(nbh.mask[dense_i],
+                      sm.cubic_grad_coeff(nbh.r[dense_i], st.h), 0.0)
+    gradw = V3(nbh.x.x[dense_i], nbh.x.y[dense_i],
+               nbh.x.z[dense_i]) * gcoef
     grad_sum = gradw.sum(axis=0)
     grad_sq_sum = jnp.sum(gradw.dot(gradw))
     beta = st.dt0**2 * st.particle_m**2 * 2.0 / RHO_0**2
@@ -67,94 +67,85 @@ def _positive_avg(err):
 
 
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
-    from cfd_taichi_tpu.ops import pairwise as pw
-
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
     (delta,) = state.extra
 
-    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    pos = ctx.pos
-    vel = base.lift_v3(ctx, fluid.vel)
-    n = st.nq
+    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
+    pos = nbh.pos
+    vel = fluid.vel.take(nbh.perm)
+    has_rigid = nbh.rigid_vol is not None
 
     # --- external forces (pcisph_solver.py:220-226) -------------------------
-    rho = base.ctx_rho(st, ctx)
-    tension = base.ctx_tension(st, ctx, TENSION_K)
-    viscosity = base.ctx_viscosity(st, ctx, vel, rho, rigid,
+    rho = base.nbh_rho(st, nbh)
+    tension = base.nbh_tension(st, nbh, TENSION_K)
+    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
                                    c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
     ext_force = base.gravity_acc(st) + tension + viscosity
 
-    # NOTE: pair geometry is recomputed inside each closure below so the
-    # (nblk, B, W) tensors never become materialized while-loop invariants
-    # (which would make every sweep HBM-bound).
-    inv_rho2_q = base.q_form(ctx, 1.0 / (rho * rho))
-    has_rigid = ctx.r is not None and st.fs_couple
+    # Loop-invariant pair geometry (the pressure-force pass always evaluates
+    # gradW at step-initial positions, pcisph_solver.py:169-198).
+    gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
+    inv_rho2 = (1.0 / (rho * rho))[:, None]
+    if st.akinci:
+        gc_b = sm.cubic_grad_coeff(nbh.br, st.h)
 
     def press_force_of(p_iter, rigid_force):
         """Pressure force from current iterate (pcisph_solver.py:109-119,
         169-198); also scatters the rigid reaction."""
-        x_f, r_f, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-        gc_f = sm.cubic_grad_coeff(r_f, st.h)
-        sym = base.q_form(ctx, p_iter) + base.w_form_fluid(st, ctx, p_iter)
-        scale = jnp.where(mask_f,
-                          sym / RHO_0**2 * st.particle_m**2 * gc_f, 0.0)
-        raw = base.sweep_sum_vec(x_f, scale, n)
+        p_q = p_iter[:, None]
+        # Fluid pairs: -(p_i + p_j)/rho0^2 m^2 gradW — the reference divides
+        # by the REST density squared here (pcisph_solver.py:169-177), unlike
+        # the solid/boundary terms which use the actual rho_i.
+        sym = p_q + base.jf(st, nbh, p_iter)
+        scale = jnp.where(nbh.mask_f,
+                          -(st.particle_m ** 2) / (RHO_0 ** 2) * sym * gc_f,
+                          0.0)
         if has_rigid:
-            x_r, r_r, mask_r = base.pair_geom(st, ctx, ctx.r,
-                                              exclude_self=False)
-            gc_r = sm.cubic_grad_coeff(r_r, st.h)
             s_scale = jnp.where(
-                mask_r,
-                ctx.rigid_vol_w[:, None, :] * RHO_0
-                * base.q_form(ctx, p_iter) * inv_rho2_q * gc_r, 0.0)
-            contrib = x_r * (s_scale * st.particle_m)
-            raw = raw + base.sweep_sum_vec(x_r, s_scale * st.particle_m, n)
-            rigid_force = base.ctx_scatter_rigid_force(st, ctx, contrib,
-                                                       mask_r, rigid_force)
-        force = -raw
-        if ctx.b is not None:
-            x_b, r_b, mask_b = base.pair_geom(st, ctx, ctx.b,
-                                              exclude_self=False)
-            gc_b = sm.cubic_grad_coeff(r_b, st.h)
+                nbh.mask_s,
+                -nbh.rigid_vol * RHO_0 * p_q * inv_rho2 * gc_f
+                * st.particle_m, 0.0)
+            scale = scale + s_scale
+            rigid_force = base.nbh_scatter_rigid_force(
+                st, nbh, nbh.x * (-s_scale), nbh.mask_s, rigid_force)
+        force = base.sum_vec(nbh.x, scale)
+        if st.akinci:
             b_scale = jnp.where(
-                mask_b,
-                -ctx.bvol_w[:, None, :] * base.q_form(ctx, p_iter)
-                * inv_rho2_q * gc_b, 0.0)
-            bacc = base.sweep_sum_vec(x_b, b_scale, n)
-            force = force + bacc * (RHO_0 * st.particle_m)
+                nbh.bmask, -nbh.bvol * p_q * inv_rho2 * gc_b, 0.0)
+            force = force + base.sum_vec(nbh.bx, b_scale) \
+                * (RHO_0 * st.particle_m)
         return force, rigid_force
 
     def predict(press_force: V3):
         """Predict v,x then rho over predicted positions with the
-        step-initial windows (pcisph_solver.py:72-101,135-154)."""
+        step-initial masks (pcisph_solver.py:72-101,135-154)."""
         vel_p = vel + (ext_force + press_force) * (dt / st.particle_m)
         pos_p = pos + vel_p * dt
         if not st.akinci:
             pos_p, vel_p = base.clamp_to_box(st, pos_p, vel_p,
                                              margin=st.particle_radius,
                                              decay_mul=-base.V_DECAY)
-        nblk, B = ctx.q_valid.shape
-        # Pair validity stays pinned to the step-initial positions (the
-        # reference reuses the start-of-step grid, solver_base.py:139-141).
-        _, _, mask_f = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-        q_p = pw.blockify_v3(pos_p, nblk, B)
-        w_p = base.window_fluid_v3(st, ctx, pos_p)
-        d_f = (q_p.expand(2) - w_p.expand(1)).norm()
-        rho_p = st.particle_m * base.sweep_sum(sm.cubic_w(d_f, st.h), mask_f, n)
+        # Fluid neighbors at predicted positions; solid/boundary neighbors
+        # keep their current positions (pcisph_solver.py:143-147).
+        d_f = (pos_p.expand(1) - base.jf_v3(st, nbh, pos_p)).norm()
+        rho_p = st.particle_m * base.msum(sm.cubic_w(d_f, st.h), nbh.mask_f)
         if has_rigid:
-            # Solid neighbors keep their current positions (py:143-147).
-            _, _, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
-            d_s = (q_p.expand(2) - ctx.r.pos_w.expand(1)).norm()
-            rho_p = rho_p + RHO_0 * base.sweep_sum(
-                ctx.rigid_vol_w[:, None, :] * sm.cubic_w(d_s, st.h), mask_r, n)
-        if ctx.b is not None:
-            _, _, mask_b = base.pair_geom(st, ctx, ctx.b, exclude_self=False)
-            d_b = (q_p.expand(2) - ctx.b.pos_w.expand(1)).norm()
-            rho_p = rho_p + RHO_0 * base.sweep_sum(
-                ctx.bvol_w[:, None, :] * sm.cubic_w(d_b, st.h), mask_b, n)
+            # Solid neighbor positions are step-constant: nbh.spos-style
+            # precomputed values live in nbh.x already (x = pos_i - pos_j),
+            # so |pos_p_i - pos_j| = |(pos_p_i - pos_i) + x_ij|.
+            shift = pos_p - pos
+            d_s = (shift.expand(1) + nbh.x).norm()
+            rho_p = rho_p + RHO_0 * base.msum(
+                nbh.rigid_vol * sm.cubic_w(d_s, st.h), nbh.mask_s)
+        if st.akinci:
+            shift = pos_p - pos
+            d_b = (shift.expand(1) + nbh.bx).norm()
+            rho_p = rho_p + RHO_0 * base.msum(
+                nbh.bvol * sm.cubic_w(d_b, st.h), nbh.bmask)
         return rho_p - RHO_0
 
     # --- predictive-corrective loop (pcisph_solver.py:47-70) ----------------
+    n = st.n_fluid
     press0 = jnp.zeros(n, jnp.float32)
     force0 = V3.zeros((n,))
     rho_err0 = predict(force0)
@@ -187,13 +178,13 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        overflow=ctx.overflow,
-        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
-                              vel=base.compact_v3(ctx, new_vel),
-                              acc=fluid.acc.take(ctx.perm)),
+        overflow=nbh.overflow,
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(nbh.perm)),
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,
+        extra=(delta,),
         # [iters, avg positive density error, 0, 0] (pcisph_solver.py:70).
         diag=jnp.stack([iters.astype(jnp.float32), res,
                         jnp.zeros(()), jnp.zeros(())]),

@@ -11,8 +11,8 @@ Functional parity with the reference `wcsph_solver` (wcsph_solver.py:1-144):
     diameter margin with -0.5 velocity decay         (wcsph_solver.py:49-63)
 
 One fused pressure phase + kinematic phase; no iteration loop (the only
-solver with a closed-form pressure). All pair math is component-separated
-(V3) so intermediates tile cleanly on TPU.
+solver with a closed-form pressure). All pair math runs on the step's
+compact (N, K) neighbor lists (models/base.Nbh).
 """
 
 from __future__ import annotations
@@ -45,43 +45,38 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     # Sort fluid by cell; all per-fluid math below runs in sorted order and
     # the returned state stays sorted (order is physically irrelevant).
-    ctx = base.build_ctx(st, arrays, fluid.pos, rigid.pos)
-    pos = ctx.pos
-    vel = base.lift_v3(ctx, fluid.vel)
+    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
+    pos = nbh.pos
+    vel = fluid.vel.take(nbh.perm)
 
     # --- pressure phase (reference wcsph_solver.py:32-38) -------------------
-    rho = base.ctx_rho(st, ctx)
+    rho = base.nbh_rho(st, nbh)
     p = tait_pressure(rho)
     p_over_rho2 = p / (rho * rho)
 
-    x_ij, r, mask = base.pair_geom(st, ctx, ctx.f, exclude_self=True)
-    gcoef = sm.cubic_grad_coeff(r, st.h)
-    sym = base.q_form(ctx, p_over_rho2) + base.w_form_fluid(st, ctx, p_over_rho2)
-    scale = jnp.where(mask, -st.particle_m * sym * gcoef, 0.0)
-    pressure_acc = base.sweep_sum_vec(x_ij, scale, st.nq)
+    gcoef = sm.cubic_grad_coeff(nbh.r, st.h)
+    sym = p_over_rho2[:, None] + base.jf(st, nbh, p_over_rho2)
+    scale = jnp.where(nbh.mask_f, -st.particle_m * sym * gcoef, 0.0)
 
     force = rigid.force
-    if ctx.r is not None and st.fs_couple:
-        x_r, rr, mask_r = base.pair_geom(st, ctx, ctx.r, exclude_self=False)
-        gc_r = sm.cubic_grad_coeff(rr, st.h)
+    if nbh.rigid_vol is not None:
         s_scale = jnp.where(
-            mask_r,
-            -ctx.rigid_vol_w[:, None, :] * base.q_form(ctx, p_over_rho2)
-            * RHO_0 * gc_r, 0.0)
-        pressure_acc = pressure_acc + base.sweep_sum_vec(x_r, s_scale,
-                                                         st.nq)
+            nbh.mask_s,
+            -nbh.rigid_vol * p_over_rho2[:, None] * RHO_0 * gcoef, 0.0)
+        scale = scale + s_scale
         # Reaction on the rigid body: += -term * m (wcsph_solver.py:126).
-        force = base.ctx_scatter_rigid_force(
-            st, ctx, x_r * (-s_scale * st.particle_m), mask_r, force)
+        force = base.nbh_scatter_rigid_force(
+            st, nbh, nbh.x * (-s_scale * st.particle_m), nbh.mask_s, force)
+    pressure_acc = base.sum_vec(nbh.x, scale)
 
-    viscosity = base.ctx_viscosity(st, ctx, vel, rho, rigid,
+    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
                                    c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
-    tension = base.ctx_tension(st, ctx, TENSION_K)
+    tension = base.nbh_tension(st, nbh, TENSION_K)
 
     # --- kinematic phase (reference wcsph_solver.py:40-63) ------------------
     acc = base.gravity_acc(st) + pressure_acc + viscosity + tension
     if st.akinci:
-        acc = acc + RHO_0 * base.ctx_boundary_pressure_acc(st, ctx, p, rho)
+        acc = acc + RHO_0 * base.nbh_boundary_pressure_acc(st, nbh, p, rho)
     new_vel = (vel + acc * dt) * WCSPH_DAMPING
     new_pos = pos + new_vel * dt
     if not st.akinci:
@@ -90,10 +85,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
             decay_mul=-base.V_DECAY)
 
     return state._replace(
-        overflow=ctx.overflow,
-        fluid=base.FluidState(pos=base.compact_v3(ctx, new_pos),
-                              vel=base.compact_v3(ctx, new_vel),
-                              acc=base.compact_v3(ctx, acc)),
+        overflow=nbh.overflow,
+        fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=acc),
         rigid=rigid._replace(force=force),
         t=state.t + dt,
         step_count=state.step_count + 1,
@@ -102,6 +95,6 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
 def density_error(st: SceneStatic, arrays: SceneArrays, state: base.SimState):
     """Average |rho - rho0| / rho0 telemetry (parity metric, SURVEY.md §6)."""
-    ctx = base.build_ctx(st, arrays, state.fluid.pos, state.rigid.pos)
-    rho = base.compact(ctx, base.ctx_rho(st, ctx))
+    nbh = base.build_nbh(st, arrays, state.fluid.pos, state.rigid.pos)
+    rho = base.nbh_rho(st, nbh)
     return jnp.mean(jnp.abs(rho - RHO_0)) / RHO_0

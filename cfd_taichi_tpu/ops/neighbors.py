@@ -40,11 +40,10 @@ class GridSpec(NamedTuple):
     """Static uniform-grid metadata (hashable; safe to close over in jit).
 
     `strides` define the linearization id = cx*sx + cy*sy + cz*sz. The axis
-    with the most cells gets the largest stride (slowest axis), which
-    minimizes the worst-case particle count inside one stencil-deep band of
-    consecutive cell ids — the quantity that sizes the windowed pair-sweep
-    (ops/pairwise.py). The reference's fixed y-major layout
-    (ParticleSystem.py:102) is an internal detail with no observable effect.
+    with the most cells gets the largest stride (slowest axis), which keeps
+    cell-sorted particle order maximally local for the gather-based pair
+    passes. The reference's fixed y-major layout (ParticleSystem.py:102) is
+    an internal detail with no observable effect.
     """
     dims: tuple[int, int, int]      # cells per axis (reference grid_num)
     cell: float                     # cell edge = support radius h
@@ -84,6 +83,9 @@ class NeighborList(NamedTuple):
     idx: jnp.ndarray     # (Nq, K) int32 — indices into the source set (clipped)
     mask: jnp.ndarray    # (Nq, K) bool — slot validity
     count: jnp.ndarray   # (Nq,) int32 — true neighbor count (may exceed K => overflow)
+    # Source positions at the compacted slots (valid where mask), provided so
+    # callers need no further per-element gathers: Optional V3 of (Nq, K).
+    spos: Optional[V3] = None
 
 
 def cell_id(pos: V3, grid: GridSpec) -> jnp.ndarray:
@@ -118,101 +120,170 @@ def build_cell_table(pos: V3, grid: GridSpec,
     return CellTable(order=order, starts=starts)
 
 
+# Per-axis stencil offsets of the 27-cell neighborhood, as (27,) host arrays.
 _STENCIL = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+_OFF = np.array(_STENCIL, np.int32)  # (27, 3)
 
 
-def _query_block(pos_q: V3, qid, pos_src: V3, table: CellTable, grid: GridSpec,
+def _query_block(pos_q: V3, qid, packed, sepairs, grid: GridSpec,
                  K: int, cell_cap: int, exclude_self: bool):
     """Neighbor query for one block of query particles.
+
+    TPU gather economics (measured honestly on-chip with per-call scalar
+    syncs): single-element XLA gathers run ~190M indices/s, but gathers of
+    short CONTIGUOUS ROWS run ~5x faster per index (~1G indices/s for
+    4-float rows). So every per-candidate fetch here is a row gather from
+    pre-packed tables:
+      * `packed` (Ns, 4): [x, y, z, bitcast(source id)] in cell-sorted order
+      * `sepairs` (num_cells, 2): [start, end) CSR offsets as rows
+    One sepairs row gather (B, 27, 2), one packed row gather (B, 27*cap, 4),
+    one top_k over a combined validity+position key, one small re-gather of
+    packed rows at the K winners. No (B, W)-sized single-element gathers.
 
     pos_q: V3 of (B,); qid: (B,) global query ids in the source index space
     (or -1 when the query set is disjoint from the source set).
     """
-    Ns = table.order.shape[0]
+    Ns = packed.shape[1]
     gx, gy, gz = grid.dims
     sx, sy, sz = grid.strides
     inv = 1.0 / grid.cell
+    W = 27 * cell_cap
+    B = pos_q.x.shape[0]
 
-    ccx = jnp.floor(pos_q.x * inv).astype(jnp.int32)
+    ccx = jnp.floor(pos_q.x * inv).astype(jnp.int32)   # (B,)
     ccy = jnp.floor(pos_q.y * inv).astype(jnp.int32)
     ccz = jnp.floor(pos_q.z * inv).astype(jnp.int32)
 
-    cand_parts = []
-    valid_parts = []
-    slot = jnp.arange(cell_cap, dtype=jnp.int32)  # (cap,)
-    for off in _STENCIL:
-        cx, cy, cz = ccx + off[0], ccy + off[1], ccz + off[2]
-        in_bounds = ((cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy)
-                     & (cz >= 0) & (cz < gz))
-        cid = cx * sx + cy * sy + cz * sz
-        cid = jnp.clip(cid, 0, grid.num_cells - 1)
-        start = table.starts[cid]                        # (B,)
-        length = table.starts[cid + 1] - start           # (B,)
-        spos = start[:, None] + slot[None, :]            # (B, cap)
-        v = (slot[None, :] < length[:, None]) & in_bounds[:, None]
-        cand = table.order[jnp.clip(spos, 0, Ns - 1)]    # (B, cap)
-        cand_parts.append(cand)
-        valid_parts.append(v)
+    offx = jnp.asarray(_OFF[:, 0])[None, :]            # (1, 27)
+    offy = jnp.asarray(_OFF[:, 1])[None, :]
+    offz = jnp.asarray(_OFF[:, 2])[None, :]
+    cx = ccx[:, None] + offx                           # (B, 27)
+    cy = ccy[:, None] + offy
+    cz = ccz[:, None] + offz
+    in_bounds = ((cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy)
+                 & (cz >= 0) & (cz < gz))
+    cid = jnp.clip(cx * sx + cy * sy + cz * sz, 0, grid.num_cells - 1)
 
-    cand = jnp.concatenate(cand_parts, axis=1)    # (B, 27*cap)
-    valid = jnp.concatenate(valid_parts, axis=1)  # (B, 27*cap)
+    se = sepairs[cid]                                  # (B, 27, 2) row gather
+    start = se[:, :, 0]
+    length = jnp.where(in_bounds, se[:, :, 1] - start, 0)
 
+    slot = jnp.arange(cell_cap, dtype=jnp.int32)       # (cap,)
+    spos = (start[:, :, None] + slot[None, None, :]).reshape(B, W)
+    valid = (slot[None, None, :] < length[:, :, None]).reshape(B, W)
+    spos_c = jnp.clip(spos, 0, Ns - 1)
+
+    rows = packed[:, spos_c]                           # (4, B, W) packed gather
     # Distance cutoff: keep dist <= h (reference skips dist > support_radius,
-    # ParticleSystem.py:466). Component-wise: all 2-D (B, C) buffers.
-    dx = pos_q.x[:, None] - pos_src.x[cand]
-    dy = pos_q.y[:, None] - pos_src.y[cand]
-    dz = pos_q.z[:, None] - pos_src.z[cand]
+    # ParticleSystem.py:466).
+    dx = pos_q.x[:, None] - rows[0]
+    dy = pos_q.y[:, None] - rows[1]
+    dz = pos_q.z[:, None] - rows[2]
     dist2 = dx * dx + dy * dy + dz * dz
     valid &= dist2 <= jnp.float32(grid.cell) ** 2
 
     if exclude_self:
-        valid &= cand != qid[:, None]             # ParticleSystem.py:461
+        origid = _f32_to_id(rows[3])
+        valid &= origid != qid[:, None]           # ParticleSystem.py:461
 
     count = valid.sum(axis=1).astype(jnp.int32)
 
-    # Stable compaction: first K valid candidates in stencil order.
-    key = valid.astype(jnp.int32)
-    topv, topi = jax.lax.top_k(key, K)            # stable: ties keep low index
-    idx = jnp.take_along_axis(cand, topi, axis=1)
-    mask = topv == 1
-    idx = jnp.where(mask, idx, 0)                 # clipped safe index
-    return idx.astype(jnp.int32), mask, count
+    # Stable compaction without take_along_axis: the top_k key carries the
+    # candidate's sorted-source slot. key = valid ? 2*Ns - spos : -col, so
+    # valid slots win, ties keep ascending spos (stencil cells are visited in
+    # ascending-id order within each cell, and cross-cell order is
+    # irrelevant to every consumer — all reductions are order-independent).
+    col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    key = jnp.where(valid, 2 * Ns - spos_c, -col)
+    topkey, _ = jax.lax.top_k(key, K)
+    mask = topkey > 0
+    spos_top = jnp.where(mask, 2 * Ns - topkey, 0)     # (B, K) sorted slots
+
+    krows = packed[:, spos_top]                        # (4, B, K) packed gather
+    idx = jnp.where(mask, _f32_to_id(krows[3]), 0)
+    spos_v = V3(krows[0], krows[1], krows[2])
+    return idx, mask, count, spos_v
+
+
+# Bias added to integer ids before bitcasting them into the f32 lane of the
+# packed table: raw small ints bitcast to f32 are denormals, which TPU/CPU
+# backends flush to zero in copies. 0x3F800000 (the bits of 1.0f) keeps any
+# id < 2^23 in the normal range [1.0, 2.0), bit-exact through every copy.
+_ID_BIAS = 0x3F800000
+
+
+def _id_to_f32(ids: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(ids + jnp.int32(_ID_BIAS),
+                                        jnp.float32)
+
+
+def _f32_to_id(f: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(f, jnp.int32) - jnp.int32(_ID_BIAS)
+
+
+def pack_table(pos_src: V3, table: CellTable):
+    """Pre-pack the sorted source table for packed-gather queries:
+    packed (4, Ns) = [x; y; z; f32-encoded orig id], sepairs (num_cells, 2).
+
+    The (4, Ns) TRANSPOSED layout matters: gathering (Ns, 4) rows
+    materializes a (M, 4) result whose minormost dim is lane-padded 4 -> 128
+    (32x memory — a 600 MB logical candidate fetch OOM'd as a 19 GB padded
+    buffer); gathering columns of (4, Ns) yields (4, M) with only the 4 -> 8
+    sublane pad. Measured identical gather speed.
+
+    Source sets larger than 2^23 per shard would overflow the id encoding
+    (see _ID_BIAS) — far above any single-chip particle budget here."""
+    srt = pos_src.take(table.order)
+    packed = jnp.stack(
+        [srt.x, srt.y, srt.z, _id_to_f32(table.order)], axis=0)
+    sepairs = jnp.stack([table.starts[:-1], table.starts[1:]], axis=1)
+    return packed, sepairs
 
 
 def find_neighbors(pos_q: V3, qid, pos_src: V3, table: CellTable,
                    grid: GridSpec, K: int, cell_cap: int = 24,
-                   exclude_self: bool = False, block: int = 65536) -> NeighborList:
+                   exclude_self: bool = False,
+                   block: int | None = None) -> NeighborList:
     """Build a compact (Nq, K) neighbor list of `pos_q` against `pos_src`.
 
     qid: global ids of the queries in the source index space (for
     self-exclusion) or None when query/source sets are disjoint.
-    Runs blockwise under `lax.map` to bound transient candidate memory.
+    Runs blockwise under `lax.map` to bound transient candidate memory:
+    XLA materializes the packed candidate gather as a (block*W, 4) buffer
+    whose minor dim is lane-padded 4 -> 128 (32x), so the block size is
+    chosen to keep that padded temp around ~1 GB regardless of particle
+    count or candidate width.
     """
     Nq = pos_q.x.shape[0]
+    if block is None:
+        block = max(1024, (1 << 21) // (27 * cell_cap))
     if qid is None:
         qid = jnp.full((Nq,), -1, jnp.int32)
     qid = qid.astype(jnp.int32)
+    packed, sepairs = pack_table(pos_src, table)
 
-    fn = functools.partial(_query_block, pos_src=pos_src, table=table,
+    fn = functools.partial(_query_block, packed=packed, sepairs=sepairs,
                            grid=grid, K=K, cell_cap=cell_cap,
                            exclude_self=exclude_self)
 
     if Nq <= block:
-        idx, mask, count = fn(pos_q, qid)
-        return NeighborList(idx=idx, mask=mask, count=count)
+        idx, mask, count, spos_v = fn(pos_q, qid)
+        return NeighborList(idx=idx, mask=mask, count=count, spos=spos_v)
 
     nblk = -(-Nq // block)
     pad = nblk * block - Nq
     pos_b = V3(*(jnp.pad(c, (0, pad)).reshape(nblk, block)
                  for c in pos_q.astuple()))
     qid_b = jnp.pad(qid, (0, pad), constant_values=-2).reshape(nblk, block)
-    idx, mask, count = jax.lax.map(
+    idx, mask, count, spos_v = jax.lax.map(
         lambda t: fn(V3(t[0], t[1], t[2]), t[3]),
         (pos_b.x, pos_b.y, pos_b.z, qid_b))
     return NeighborList(
         idx=idx.reshape(nblk * block, K)[:Nq],
         mask=mask.reshape(nblk * block, K)[:Nq],
         count=count.reshape(nblk * block)[:Nq],
+        spos=V3(*(c.reshape(nblk * block, K)[:Nq]
+                  for c in spos_v.astuple())),
     )
 
 

@@ -87,11 +87,8 @@ class Simulation:
         elif mode == "neighbors":
             if not hasattr(self, "_counts_fn"):
                 def _counts(st, arrays, fluid_pos, rigid_pos):
-                    import jax.numpy as jnp
-
-                    ctx = mbase.build_ctx(st, arrays, fluid_pos, rigid_pos)
-                    c = mbase.compact(ctx, mbase.neighbor_counts(st, ctx))
-                    return jnp.zeros_like(c).at[ctx.perm].set(c)
+                    nbh = mbase.build_nbh(st, arrays, fluid_pos, rigid_pos)
+                    return mbase.unsort(nbh, nbh.count)
 
                 self._counts_fn = jax.jit(_counts, static_argnums=0)
             scalar = np.asarray(self._counts_fn(
@@ -106,16 +103,11 @@ class Simulation:
         return telemetry.rgb_by_scalar(scalar)
 
     def density(self):
-        # Must run jitted: the windowed sweeps only stay memory-bounded when
-        # XLA fuses the (nblk, B, W) pair tensors into the reduction.
         if not hasattr(self, "_density_fn"):
             def _density(st, arrays, fluid_pos, rigid_pos):
-                import jax.numpy as jnp
-
-                ctx = mbase.build_ctx(st, arrays, fluid_pos, rigid_pos)
-                rho_sorted = mbase.compact(ctx, mbase.ctx_rho(st, ctx))
-                rho = jnp.zeros_like(rho_sorted).at[ctx.perm].set(rho_sorted)
-                return rho, ctx.overflow
+                nbh = mbase.build_nbh(st, arrays, fluid_pos, rigid_pos)
+                rho = mbase.unsort(nbh, mbase.nbh_rho(st, nbh))
+                return rho, nbh.overflow
 
             self._density_fn = jax.jit(_density, static_argnums=0)
         rho, overflow = self._density_fn(self.scene.static, self.scene.arrays,

@@ -16,8 +16,10 @@ The scene is split for jit-friendliness:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,26 +51,15 @@ class SceneStatic:
     rigid_rho: float
     dt0: float
     solver_name: str
-    # Neighbor-list capacities (fixed shapes) — legacy compact-list path.
+    # Compact neighbor-list capacities (fixed shapes; auto-sized at scene
+    # build from the initial distribution with compression headroom —
+    # overflow beyond them is counted and surfaced in telemetry, the
+    # analogue of the reference's 512-entry cell capacity,
+    # ParticleSystem.py:103).
     K: int = 96               # max neighbors per fluid particle (dynamic set)
     bK: int = 64              # max boundary neighbors per fluid particle
     cell_cap: int = 32        # max particles per grid cell considered
-    # Windowed pair-sweep parameters (ops/pairwise.py — the fast path).
-    B: int = 128              # query block size
-    Wf: int = 1024            # fluid->fluid window capacity
-    Wr: int = 0               # fluid->rigid window capacity
-    Wb: int = 0               # fluid->boundary window capacity
-    # Chunk width (linear cells) of the chunk-padded query layout (models/base
-    # build_ctx): blocks never mix occupied C-cell chunks, hard-bounding every
-    # block's cell span (and hence window occupancy) regardless of how
-    # particles scatter.
-    chunk: int = 64
-    # Fetch windows with banded DMA (requires 1024-aligned, wider windows;
-    # pays off when windows are large) vs plain XLA gathers (tight windows).
-    banded: bool = False
-    # Static size of the chunk-padded fluid query layout (models/base
-    # build_ctx): pad_to_blocks(n_fluid) + one block per possible chunk group.
-    nq: int = 0
+    bcell_cap: int = 16       # boundary cells: exact static occupancy bound
 
     @property
     def diameter(self) -> float:
@@ -212,32 +203,11 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_mass = jnp.zeros((0,), jnp.float32)
         rigid_mass_total = jnp.zeros((), jnp.float32)
 
-    # --- windowed pair-sweep capacities (ops/pairwise.py) --------------------
-    lay = fluid_layout_params(np.asarray(fluid_pos), grid)
-    B, chunk, nq, Wf, banded = (lay["B"], lay["chunk"], lay["nq"],
-                                lay["Wf"], lay["banded"])
-    s_major = max(grid.strides)
-    span_sub = sum(grid.strides) - s_major
-    from cfd_taichi_tpu.ops.banded import ALIGN
-
-    def _wsub(raw: int) -> int:
-        if banded:
-            return max(_round_up(raw + ALIGN, ALIGN), ALIGN)
-        return max(_round_up(raw, 128), 128)
-    # Static sources measure exact band occupancy, with a wider assumed
-    # block span (blocks in sparse slabs can span many more than B/2 cells).
-    band_static = 2 * (span_sub + 1) + 256
-    Wb = 0
-    if sv.boundary_handle:
-        occ_b = _band_occupancy(
-            np.asarray(nb.cell_id(bpos, grid)), grid.num_cells, band_static)
-        Wb = 3 * _wsub(int(min(occ_b * 1.3, n_boundary)))
-    Wr = 0
-    if rigid_active and n_rigid > 0:
-        occ_r = _band_occupancy(
-            np.asarray(nb.cell_id(rigid_init.pos, grid)), grid.num_cells,
-            band_static)
-        Wr = 3 * _wsub(int(min(occ_r * 1.5, n_rigid)))
+    # --- compact neighbor-list capacities (models/base.Nbh) ------------------
+    K, bK, cell_cap, bcell_cap = neighbor_capacities(
+        np.asarray(fluid_pos), np.asarray(boundary_pos), grid, h,
+        akinci=sv.boundary_handle,
+        rigid=rigid_active and n_rigid > 0)
 
     static = SceneStatic(
         n_fluid=n_fluid, n_boundary=n_boundary, n_rigid=n_rigid,
@@ -246,7 +216,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         grid=grid, akinci=sv.boundary_handle, fs_couple=sv.fs_couple,
         has_rigid=so is not None, rigid_active=rigid_active,
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
-        B=B, Wf=Wf, Wr=Wr, Wb=Wb, banded=banded, nq=nq, chunk=chunk,
+        K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,
@@ -261,69 +231,108 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def fluid_layout_params(fluid_pos_rows: np.ndarray, grid: nb.GridSpec) -> dict:
-    """Static parameters of the chunk-padded fluid query layout + fluid window
-    (see models/base.build_ctx): block size B, chunk width C, padded layout
-    size nq, fluid->fluid window capacity Wf, banded-DMA flag.
+def neighbor_capacities(fluid_pos_rows: np.ndarray,
+                        boundary_pos_rows: np.ndarray, grid: nb.GridSpec,
+                        h: float, akinci: bool, rigid: bool):
+    """Static neighbor-list capacities (K, bK, cell_cap) for models/base.Nbh.
 
-    The chunk width is chosen by minimizing the measured sweep-cost proxy
-    nq(C) * Wsub(C): wider chunks mean fewer pad blocks but wider window
-    bands. Window sizing = measured worst-case band occupancy of the initial
-    particle set x2 compression headroom (the density solvers cap sustained
-    compression — measured dam-break floor impact peaks at ~1.13x). Chunking
-    hard-bounds every block's cell span to < C, so the measured band stays
-    representative no matter how particles scatter. Runtime overflow is still
-    counted and surfaced in telemetry (the analogue of the reference's
-    512-entry cell capacity, ParticleSystem.py:103)."""
-    n_fluid = fluid_pos_rows.shape[0]
-    # B=128 measured best on TPU (B=64 halves pad waste but doubles
-    # window-fetch rows: 2.99 s/step vs 2.35 s/step on dam30k DFSPH).
-    B = 128
-    s_major = max(grid.strides)
-    span_sub = sum(grid.strides) - s_major
-    cells_np = np.asarray(nb.cell_id(V3.from_rows(fluid_pos_rows), grid))
+    Sized from the initial particle set (a freshly seeded lattice is the
+    densest sustained configuration; the iterative solvers cap compression —
+    measured dam-break floor impact peaks at ~1.13x density):
+      * K = max initial within-h neighbor count x1.75 headroom (+ room for
+        rigid contacts, which add up to one body's local shell)
+      * cell_cap = max initial per-cell occupancy x1.75 headroom
+      * bK = exact max count of boundary particles within h of any grid
+        point of their shell (the shell is static, so this is a true bound
+        up to the compression margin)
+    Runtime overflow beyond any capacity is counted and surfaced in
+    telemetry (cf. the reference's 512-entry cell capacity,
+    ParticleSystem.py:103)."""
+    cells = np.asarray(nb.cell_id(V3.from_rows(fluid_pos_rows), grid))
+    occ = np.bincount(cells, minlength=grid.num_cells).max() if len(cells) \
+        else 0
+    # A drifting lattice with spacing s can align (floor(h/s)+1)^3 particles
+    # into one h-cell (27 for the standard s = h/2) no matter what the seed
+    # alignment shows, and impact stacking compresses further (measured
+    # 2x the seed's per-cell max at dam-break floor impact). Take the max of
+    # both bounds; overflow beyond it is counted in telemetry.
+    s = 2.0 * grid.cell / 4.0  # particle spacing 2r with h = 4r
+    align_worst = int(np.floor(grid.cell / s) + 1) ** 3
+    cell_cap = max(_round_up(int(occ * 2.5), 8),
+                   _round_up(int(align_worst * 1.2), 8))
 
-    def params_for(C: int):
-        band = (C - 1) + 2 * (span_sub + 1)
-        occ = _band_occupancy(cells_np, grid.num_cells, band)
-        maxg = grid.num_cells // C + 1
-        nq = _round_up(n_fluid, B) + maxg * B
-        # x2 compression headroom + group-pad slack (a window can cross a few
-        # group junctions, each contributing up to B-1 pad slots).
-        raw = int(min(occ * 2.0 + 4 * B, nq))
-        return nq, raw, occ
+    # Max within-h neighbor count of the initial lattice: the seeded block is
+    # uniform, so the count at the densest interior point is the lattice-ball
+    # population — bounded above by (2h/spacing+1)^3 but measured exactly via
+    # a small sample of interior particles against the cell table.
+    kmax = _max_count_sample(fluid_pos_rows, cells, grid, h)
+    K = max(_round_up(int(kmax * 1.75) + (32 if rigid else 0), 16), 48)
 
-    best = None
-    for C in (128, 192, 256, 384, 512):
-        nq, raw, occ = params_for(C)
-        cost = nq * raw
-        if best is None or cost < best[0]:
-            best = (cost, C, nq, raw)
-    _, C, nq, raw = best
-    # Banded DMA fetch pays off once windows are large; it needs 1024-aligned
-    # (and hence wider) windows, so small scenes keep tight XLA-gather windows.
-    banded = raw >= 2048
-    if banded:
-        from cfd_taichi_tpu.ops.banded import ALIGN
-
-        wsub = max(_round_up(raw + ALIGN, ALIGN), ALIGN)
-    else:
-        wsub = max(_round_up(raw, 128), 128)
-    return {"B": B, "chunk": C, "nq": nq, "Wf": 3 * wsub, "banded": banded}
-
-
-def _band_occupancy(cells: np.ndarray, num_cells: int, band: int) -> int:
-    """Max number of particles inside any contiguous linear-cell-id band —
-    the exact worst-case window occupancy for a static particle set."""
-    counts = np.bincount(cells, minlength=num_cells + 1)
-    csum = np.concatenate([[0], np.cumsum(counts)])
-    if csum.shape[0] <= band:
-        return int(csum[-1])
-    return int((csum[band:] - csum[:-band]).max())
+    bK = 16
+    bcell_cap = 8
+    if akinci and len(boundary_pos_rows):
+        bcells = np.asarray(nb.cell_id(V3.from_rows(boundary_pos_rows), grid))
+        bmax = _max_count_sample(boundary_pos_rows, bcells, grid, h)
+        # Boundary shell is static: fluid queries can see at most the shell's
+        # own worst within-h population (+1 for the query cell offset).
+        bK = max(_round_up(int(bmax * 1.25), 8), 16)
+        # Exact static per-cell bound — the shell never moves.
+        bcell_cap = max(_round_up(
+            int(np.bincount(bcells, minlength=grid.num_cells).max()), 4), 4)
+    return K, bK, cell_cap, bcell_cap
 
 
+def _max_count_sample(pos_rows: np.ndarray, cells: np.ndarray,
+                      grid: nb.GridSpec, h: float) -> int:
+    """Max within-h neighbor count, host-side numpy, vectorized: locate the
+    densest 27-cell neighborhood via a stencil sum over the per-cell
+    histogram, then brute-force the exact counts in that region only (the
+    max is attained in the densest region for the uniform seed lattices this
+    sizes)."""
+    n = pos_rows.shape[0]
+    if n == 0:
+        return 0
+    counts = np.bincount(cells, minlength=grid.num_cells)
+    # Reshape the linear-id histogram into 3-D "stride space" (axes ordered
+    # by descending stride) so the 27-stencil is a shift-and-add.
+    axes = np.argsort(grid.strides)[::-1]          # axis order by stride desc
+    dims3 = tuple(grid.dims[a] for a in axes)
+    c3 = counts.reshape(dims3)
+    pad = np.pad(c3, 1)
+    sten = np.zeros_like(c3)
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                sten += pad[dx:dx + dims3[0], dy:dy + dims3[1],
+                            dz:dz + dims3[2]]
+    # Densest neighborhood center cell (in linear-id space).
+    flat = int(np.argmax(sten))
+    c0 = np.unravel_index(flat, dims3)
+    coord = {axes[i]: c0[i] for i in range(3)}
+    cstar = np.array([coord[0], coord[1], coord[2]])
+    # Exact brute-force inside a 5x5x5 source region around c*.
+    inv = 1.0 / grid.cell
+    cc = np.clip(np.floor(pos_rows * inv).astype(np.int64), 0,
+                 np.array(grid.dims) - 1)
+    d = np.abs(cc - cstar)
+    src = pos_rows[(d <= 2).all(axis=1)]
+    qry = pos_rows[(d <= 1).all(axis=1)]
+    if len(qry) == 0 or len(src) == 0:
+        return 0
+    h2 = h * h
+    best = 0
+    for s0 in range(0, len(qry), 2048):
+        q = qry[s0:s0 + 2048]
+        d2 = ((q[:, None, :] - src[None, :, :]) ** 2).sum(axis=2)
+        best = max(best, int((d2 <= h2).sum(axis=1).max()) - 1)  # excl. self
+    return best
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _kernel_sum(pos_q: V3, qid, pos_src: V3, table, grid, h, K):
-    """sum_{j != i} W(|x_i - x_j|, h) over the cell list."""
+    """sum_{j != i} W(|x_i - x_j|, h) over the cell list (jitted: eager
+    op-by-op dispatch of the neighbor query costs seconds through a remote
+    TPU tunnel and materializes every unfused intermediate)."""
     from cfd_taichi_tpu.ops import smoothing
 
     nlist = nb.find_neighbors(pos_q, qid, pos_src, table, grid, K=K,

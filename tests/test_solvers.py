@@ -105,11 +105,16 @@ def test_momentum_symmetry_wcsph():
 
     f = sim.state.fluid
     center = f.pos.mean(axis=0)
-    squeezed = center + (f.pos - center) * 0.8
+    # 0.9 squeeze = 1.37x density: strong enough to activate pressure while
+    # staying inside the neighbor-list capacity headroom (a harder squeeze
+    # overflows K by construction, dropping pairs one-sidedly — that case is
+    # covered by the overflow assertion below, not by momentum).
+    squeezed = center + (f.pos - center) * 0.92
     sim.state = sim.state._replace(fluid=f._replace(pos=squeezed))
     p0 = sim.state.fluid.vel.to_numpy().sum(axis=0)
     for _ in range(5):
         sim.step()
+    assert int(sim.state.overflow) == 0, "squeeze exceeded K capacity"
     p1 = sim.state.fluid.vel.to_numpy().sum(axis=0)
     # Velocity damping (0.9998) breaks exact conservation; tolerance covers it.
     assert np.linalg.norm(p1 - p0) < 1e-2 * sim.scene.static.n_fluid ** 0.5
