@@ -132,14 +132,23 @@ def unshard(fluid: ShardedFluid):
 # In-shard packing helpers (fixed shapes, no dynamic sizes)
 # ---------------------------------------------------------------------------
 
-def _pack(select: jnp.ndarray, arrays: list, out_cap: int):
-    """Compact rows where `select` is True into the first slots of fixed-size
-    (out_cap,) buffers. Returns (packed_arrays, out_mask)."""
+def _pack_idx(select: jnp.ndarray, out_cap: int):
+    """Stable indices of the first `out_cap` selected rows + their validity."""
     key = select.astype(jnp.int32)
     _, idx = jax.lax.top_k(key, out_cap)          # stable: first selected rows
     got = jnp.take(select, idx)
-    packed = [jnp.where(got, jnp.take(a, idx), 0.0) for a in arrays]
-    return packed, got
+    return idx, got
+
+
+def _pack_with(idx, got, arrays: list):
+    return [jnp.where(got, jnp.take(a, idx), 0.0) for a in arrays]
+
+
+def _pack(select: jnp.ndarray, arrays: list, out_cap: int):
+    """Compact rows where `select` is True into the first slots of fixed-size
+    (out_cap,) buffers. Returns (packed_arrays, out_mask)."""
+    idx, got = _pack_idx(select, out_cap)
+    return _pack_with(idx, got, arrays), got
 
 
 def _ring_shift(x, direction: int):
@@ -167,34 +176,67 @@ def _exchange(spec: ShardSpec, arrays: list, select_left, select_right):
     return from_left[:-1], fl_mask, from_right[:-1], fr_mask
 
 
-def _halo_exchange(spec: ShardSpec, pos: V3, vel: V3, mask, h: float):
-    """Collect each side's 2h ghost band and trade it with ring neighbors.
-    Returns halo (pos, vel, mask) of shape (2*hcap,)."""
+class BandPlan(NamedTuple):
+    """Pack indices of each side's 2h ghost band, captured once per step so
+    per-iteration value exchanges land in the SAME halo slots as the
+    positional halo (top_k packing is deterministic for a fixed mask)."""
+    idx_l: jnp.ndarray
+    got_l: jnp.ndarray
+    idx_r: jnp.ndarray
+    got_r: jnp.ndarray
+
+
+def _band_plan(spec: ShardSpec, pos: V3, mask, h: float) -> BandPlan:
     me = jax.lax.axis_index(AXIS)
     x = (pos.x, pos.y, pos.z)[spec.axis]
     slab_lo = spec.lo + me.astype(jnp.float32) * spec.slab_w
     slab_hi = slab_lo + spec.slab_w
     send_left = mask & (x < slab_lo + 2.0 * h)
     send_right = mask & (x >= slab_hi - 2.0 * h)
-    arrays = [pos.x, pos.y, pos.z, vel.x, vel.y, vel.z]
-    fl, fl_m, fr, fr_m = _exchange(spec, arrays, send_left, send_right)
-    halo_pos = V3(*(jnp.concatenate([a, b]) for a, b in zip(fl[0:3], fr[0:3])))
-    halo_vel = V3(*(jnp.concatenate([a, b]) for a, b in zip(fl[3:6], fr[3:6])))
-    halo_mask = jnp.concatenate([fl_m, fr_m])
-    return halo_pos, halo_vel, halo_mask
+    idx_l, got_l = _pack_idx(send_left, spec.hcap)
+    idx_r, got_r = _pack_idx(send_right, spec.hcap)
+    return BandPlan(idx_l, got_l, idx_r, got_r)
 
 
-def _migrate(spec: ShardSpec, pos: V3, vel: V3, mask):
-    """Send boundary-crossing particles to ring neighbors and re-compact."""
+def _plan_exchange(spec: ShardSpec, plan: BandPlan, arrays: list):
+    """Trade per-owned-slot values for the planned 2h bands. Returns the
+    (2*hcap,)-shaped halo-aligned values [from_left ++ from_right] per array,
+    plus the halo mask."""
     me = jax.lax.axis_index(AXIS)
-    x = (pos.x, pos.y, pos.z)[spec.axis]
+    n = jax.lax.axis_size(AXIS)
+    packed_l = _pack_with(plan.idx_l, plan.got_l, arrays)
+    packed_r = _pack_with(plan.idx_r, plan.got_r, arrays)
+    from_left = [_ring_shift(t, +1) for t in packed_r + [plan.got_r]]
+    from_right = [_ring_shift(t, -1) for t in packed_l + [plan.got_l]]
+    fl_mask = jnp.where(me == 0, False, from_left[-1])
+    fr_mask = jnp.where(me == n - 1, False, from_right[-1])
+    out = [jnp.concatenate([a, b])
+           for a, b in zip(from_left[:-1], from_right[:-1])]
+    return out, jnp.concatenate([fl_mask, fr_mask])
+
+
+def _halo_exchange(spec: ShardSpec, pos: V3, vel: V3, mask, h: float):
+    """Collect each side's 2h ghost band and trade it with ring neighbors.
+    Returns halo (pos, vel, mask, plan); halo arrays shaped (2*hcap,)."""
+    plan = _band_plan(spec, pos, mask, h)
+    out, halo_mask = _plan_exchange(
+        spec, plan, [pos.x, pos.y, pos.z, vel.x, vel.y, vel.z])
+    return (V3(out[0], out[1], out[2]), V3(out[3], out[4], out[5]),
+            halo_mask, plan)
+
+
+def _migrate(spec: ShardSpec, arrays: list, mask):
+    """Send boundary-crossing particles to ring neighbors and re-compact.
+    `arrays[0:3]` must be the position components; extra per-particle state
+    (velocity, warm-start scalars, ...) rides along."""
+    me = jax.lax.axis_index(AXIS)
+    x = arrays[spec.axis]
     dev_of = jnp.clip(((x - spec.lo) / spec.slab_w).astype(jnp.int32),
                       0, spec.ndev - 1)
     go_left = mask & (dev_of < me)
     go_right = mask & (dev_of > me)
     stay = mask & ~go_left & ~go_right
 
-    arrays = [pos.x, pos.y, pos.z, vel.x, vel.y, vel.z]
     fl, fl_m, fr, fr_m = _exchange(spec, arrays, go_left, go_right)
     packed_stay, ms = _pack(stay, arrays, spec.cap)
 
@@ -202,8 +244,7 @@ def _migrate(spec: ShardSpec, pos: V3, vel: V3, mask):
               for s, a, b in zip(packed_stay, fl, fr)]
     merged_mask = jnp.concatenate([ms, fl_m, fr_m])
     final, mf = _pack(merged_mask, merged, spec.cap)
-    return (V3(final[0], final[1], final[2]), V3(final[3], final[4], final[5]),
-            mf)
+    return final, mf
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +270,8 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         pos = V3(px, py, pz)
         vel = V3(vx, vy, vz)
         bpos = V3(bx, by, bz)
-        halo_pos, halo_vel, halo_mask = _halo_exchange(spec, pos, vel, mask, h)
+        halo_pos, halo_vel, halo_mask, _ = _halo_exchange(spec, pos, vel,
+                                                          mask, h)
         src_pos = V3(*(jnp.concatenate([a, b]) for a, b in
                        zip(pos.astuple(), halo_pos.astuple())))
         src_vel = V3(*(jnp.concatenate([a, b]) for a, b in
@@ -247,7 +289,7 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         j = nlist.idx
         pair_mask = nlist.mask & src_mask[j] & src_mask[:, None]
 
-        x_ij = src_pos.expand(1) - src_pos.take(j)
+        x_ij = src_pos.expand(1) - nlist.spos
         r = x_ij.norm()
         wk = sm.cubic_w(r, h)
         rho = 0.001 + st.particle_m * jnp.sum(
@@ -256,7 +298,7 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         if st.akinci:
             btab = nb.build_cell_table(bpos, st.grid)
             blist = nb.find_neighbors(src_pos, None, bpos, btab, st.grid,
-                                      K=st.bK, cell_cap=st.cell_cap)
+                                      K=st.bK, cell_cap=st.bcell_cap)
             bj, bm = blist.idx, blist.mask
             xb = src_pos.expand(1) - bpos.take(bj)
             rb = xb.norm()
@@ -319,8 +361,9 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         new_pos = new_pos.where(mask, pos)
         new_vel = new_vel.where(mask, 0.0)
 
-        out_pos, out_vel, out_mask = _migrate(spec, new_pos, new_vel, mask)
-        return (*out_pos.astuple(), *out_vel.astuple(), out_mask)
+        out, out_mask = _migrate(
+            spec, [*new_pos.astuple(), *new_vel.astuple()], mask)
+        return (*out, out_mask)
 
     mapped = shard_map(
         local_step, mesh=mesh,
@@ -335,5 +378,306 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
                      *arrays.boundary_pos.astuple(), arrays.boundary_volume)
         return ShardedFluid(pos=V3(out[0], out[1], out[2]),
                             vel=V3(out[3], out[4], out[5]), mask=out[6])
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Sharded DFSPH step (fluid-only; clamp or Akinci boundary)
+# ---------------------------------------------------------------------------
+
+class ShardedDFSPH(NamedTuple):
+    """Cross-step state of the sharded DFSPH solver."""
+    fluid: ShardedFluid
+    warm_k: jnp.ndarray     # (ndev*cap,) — travels with its particle
+    dt: jnp.ndarray         # () — globally uniform (CFL via pmax)
+    t: jnp.ndarray          # ()
+    diag: jnp.ndarray       # (4,) [div_iters, div_avg, den_iters, den_err]
+
+
+def init_sharded_dfsph(mesh: Mesh, spec: ShardSpec, st: SceneStatic,
+                       pos, vel=None) -> ShardedDFSPH:
+    fluid = shard_fluid(mesh, spec, pos, vel)
+    sh = NamedSharding(mesh, P(AXIS))
+    warm_k = jax.device_put(jnp.zeros((spec.ndev * spec.cap,), jnp.float32),
+                            sh)
+    return ShardedDFSPH(fluid=fluid, warm_k=warm_k,
+                        dt=jnp.asarray(st.dt0, jnp.float32),
+                        t=jnp.zeros((), jnp.float32),
+                        diag=jnp.zeros((4,), jnp.float32))
+
+
+def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
+                            spec: ShardSpec):
+    """Sharded DFSPH with the single-chip algebra of models/dfsph.py.
+
+    Distribution design (the TPU answer to the reference's host-driven
+    solver loops, dfsph_solver.py:221-233, 393-416):
+      * the 2h ghost band is exchanged ONCE per step (positions +
+        velocities) and its pack slots are captured in a BandPlan;
+      * inside both pressure loops, each iteration exchanges exactly ONE
+        scalar field — the owner-computed stiffness k — through the same
+        planned slots (`lax.ppermute` over ICI), and velocities of ghosts
+        within h of the slab edge are updated redundantly from the exact
+        exchanged k, so owned-particle updates stay bit-consistent with a
+        wider halo without re-exchanging velocities;
+      * every residual/average/CFL reduction is a `lax.psum`/`pmax` over
+        the mesh axis, replacing the reference's per-iteration
+        kernel-scalar host syncs (dfsph_solver.py:125,253).
+
+    Rigid coupling stays single-chip (the rigid body is a few thousand
+    particles; sharding it buys nothing).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from cfd_taichi_tpu.models import dfsph as D
+
+    if st.rigid_active:
+        raise ValueError("sharded DFSPH covers the fluid path only; run "
+                         "rigid-coupled scenes single-chip")
+
+    h = st.h
+    m = st.particle_m
+    cap, hcap = spec.cap, spec.hcap
+
+    def local_step(px, py, pz, vx, vy, vz, mask, wk, dt,
+                   bx, by, bz, bvol):
+        pos = V3(px, py, pz)
+        vel0 = V3(vx, vy, vz)
+        bpos = V3(bx, by, bz)
+        halo_pos, halo_vel, halo_mask, plan = _halo_exchange(
+            spec, pos, vel0, mask, h)
+        src_pos = V3(*(jnp.concatenate([a, b]) for a, b in
+                       zip(pos.astuple(), halo_pos.astuple())))
+        src_mask = jnp.concatenate([mask, halo_mask])
+        v = V3(*(jnp.concatenate([a, b]) for a, b in
+                 zip(vel0.astuple(), halo_vel.astuple())))
+        ns = src_mask.shape[0]
+        slot = jnp.arange(ns, dtype=jnp.int32)
+        owned = src_mask & (slot < cap)
+
+        me = jax.lax.axis_index(AXIS)
+        xc = (src_pos.x, src_pos.y, src_pos.z)[spec.axis]
+        slab_lo = spec.lo + me.astype(jnp.float32) * spec.slab_w
+        slab_hi = slab_lo + spec.slab_w
+        # Ghosts within h of my slab get locally-redundant velocity updates
+        # (exact: their stiffness arrives from the owner each iteration).
+        hband = src_mask & (slot >= cap) & (xc > slab_lo - h) \
+            & (xc < slab_hi + h)
+        upd = owned | hband
+
+        def exch(vals_own):
+            """Owner values (cap,) -> halo-aligned ghost values (2*hcap,)."""
+            out, _ = _plan_exchange(spec, plan, [vals_own])
+            return out[0]
+
+        def full(vals_own):
+            return jnp.concatenate([vals_own, exch(vals_own)])
+
+        # --- neighborhood (built once per step) -----------------------------
+        table = nb.build_cell_table(src_pos, st.grid, valid=src_mask)
+        qid = jnp.arange(ns, dtype=jnp.int32)
+        nl = nb.find_neighbors(src_pos, qid, src_pos, table, st.grid,
+                               K=st.K, cell_cap=st.cell_cap,
+                               exclude_self=True)
+        jmask = nl.mask & src_mask[nl.idx] & src_mask[:, None]
+        x_ij = src_pos.expand(1) - nl.spos
+        r = x_ij.norm()
+        gc = sm.cubic_grad_coeff(r, h)
+        gx = V3(x_ij.x * gc, x_ij.y * gc, x_ij.z * gc)
+        wf = jnp.where(jmask, jnp.float32(m), 0.0)
+        # Dynamic-set neighbor count (the reference's get_neighbour_count
+        # counts grid neighbors only, ParticleSystem.py:424-445).
+        counts = jnp.sum(jmask, axis=1)
+
+        if st.akinci:
+            btab = arrays.boundary_table
+            blist = nb.find_neighbors(src_pos, None, bpos, btab, st.grid,
+                                      K=st.bK, cell_cap=st.bcell_cap)
+            bxv = src_pos.expand(1) - blist.spos
+            br = bxv.norm()
+            gcb = sm.cubic_grad_coeff(br, h)
+            gb = V3(bxv.x * gcb, bxv.y * gcb, bxv.z * gcb)
+            wb = jnp.where(blist.mask, RHO_0 * bvol[blist.idx], 0.0)
+
+        # --- rho + alpha (dfsph_solver.py:423-426, 32-51) -------------------
+        wkern = sm.cubic_w(r, h)
+        rho = 0.001 + m * jnp.sum(jnp.where(jmask, wkern, 0.0), axis=1)
+        if st.akinci:
+            wbk = sm.cubic_w(br, h)
+            rho = rho + jnp.sum(wb * wbk, axis=1)
+        s_vec = V3(jnp.sum(gx.x * wf, axis=1), jnp.sum(gx.y * wf, axis=1),
+                   jnp.sum(gx.z * wf, axis=1))
+        qsum = jnp.sum((wf * gc * r) ** 2, axis=1)
+        denom = s_vec.dot(s_vec) + qsum
+        if st.akinci:
+            sb = V3(jnp.sum(gb.x * wb, axis=1), jnp.sum(gb.y * wb, axis=1),
+                    jnp.sum(gb.z * wb, axis=1))
+            qb = jnp.sum((wb * gcb * br) ** 2, axis=1)
+            denom = denom + qb + sb.dot(sb)
+        alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
+
+        def stiff_delta(k_src, guard=False):
+            ki = k_src[:, None]
+            kij = ki + k_src[nl.idx]
+            w_ = wf * kij
+            if guard:
+                w_ = jnp.where(kij > 1e-5, w_, 0.0)
+            d = V3(jnp.sum(gx.x * w_, axis=1), jnp.sum(gx.y * w_, axis=1),
+                   jnp.sum(gx.z * w_, axis=1))
+            if st.akinci:
+                wbi = wb * ki
+                d = d + V3(jnp.sum(gb.x * wbi, axis=1),
+                           jnp.sum(gb.y * wbi, axis=1),
+                           jnp.sum(gb.z * wbi, axis=1))
+            return d
+
+        def drho_of(vv: V3):
+            vij = vv.expand(1) - vv.take(nl.idx)
+            d = jnp.sum(wf * vij.dot(gx), axis=1)
+            if st.akinci:
+                d = d + jnp.sum(wb * (vv.x[:, None] * gb.x
+                                      + vv.y[:, None] * gb.y
+                                      + vv.z[:, None] * gb.z), axis=1)
+            return d
+
+        def dr_resid(vv: V3):
+            dr = drho_of(vv)
+            dr = jnp.where(counts < D.MIN_NEIGHBORS, 0.0, jnp.maximum(dr, 0.0))
+            drp = jnp.where(owned & (dr > 0.0), dr, 0.0)
+            cnt = jax.lax.psum(jnp.sum(owned & (dr > 0.0)), AXIS)
+            tot = jax.lax.psum(jnp.sum(drp), AXIS)
+            return dr, jnp.where(cnt > 0, tot / cnt, 0.0)
+
+        # --- divergence solve (dfsph_solver.py:393-416) ---------------------
+        if D.WARM_START:
+            wk_k = (wk / dt) / rho[:cap]
+            delta = stiff_delta(full(wk_k))
+            v = V3(jnp.where(upd, v.x - delta.x * dt, v.x),
+                   jnp.where(upd, v.y - delta.y * dt, v.y),
+                   jnp.where(upd, v.z - delta.z * dt, v.z))
+            wk = jnp.zeros_like(wk)
+
+        dr0, avg0 = dr_resid(v)
+
+        def div_cond(c):
+            _, _, _, avg, _, stop, it = c
+            return (((it < D.MIN_ITER_DIV) | (avg > D.DIV_THRESHOLD))
+                    & (it < D.MAX_ITER_DIV) & jnp.logical_not(stop))
+
+        def div_body(c):
+            vv, wkk, dr, avg, past, _, it = c
+            k_own = (dr[:cap] * alpha[:cap] / dt) / rho[:cap]
+            delta = stiff_delta(full(k_own), guard=True)
+            vv = V3(jnp.where(upd, vv.x - delta.x * dt, vv.x),
+                    jnp.where(upd, vv.y - delta.y * dt, vv.y),
+                    jnp.where(upd, vv.z - delta.z * dt, vv.z))
+            wkk = wkk + dr[:cap] * alpha[:cap]
+            new_dr, new_avg = dr_resid(vv)
+            stop = jnp.abs(new_avg - avg) < D.STALL_EPS
+            return (vv, wkk, new_dr, new_avg, avg, stop, it + 1)
+
+        v, wk, _, div_avg, _, _, div_iters = jax.lax.while_loop(
+            div_cond, div_body,
+            (v, wk, dr0, avg0, jnp.zeros(()), jnp.zeros((), bool),
+             jnp.zeros((), jnp.int32)))
+
+        # --- external forces + v_adv + CFL dt (dfsph_solver.py:91-122) ------
+        tens = V3(*(jnp.sum(jnp.where(jmask, -D.TENSION_K * wkern, 0.0) * c,
+                            axis=1) for c in x_ij.astuple())) * m
+        vij = v.expand(1) - v.take(nl.idx)
+        shear = vij.dot(x_ij)
+        q2e = r * r + 0.01 * h * h
+        rho_j = rho[nl.idx]
+        piv = -(2.0 * D.VISCOSITY_ALPHA * h * D.VISCOSITY_C_S
+                / (rho[:, None] + rho_j)) * shear / q2e
+        vsc = jnp.where(jmask & (shear < 0.0), -m * piv * gc, 0.0)
+        visc = V3(jnp.sum(vsc * x_ij.x, axis=1),
+                  jnp.sum(vsc * x_ij.y, axis=1),
+                  jnp.sum(vsc * x_ij.z, axis=1)) * m
+        fext = tens + visc + V3(jnp.float32(0.0), jnp.float32(-st.gravity),
+                                jnp.float32(0.0))
+        v_adv_own = V3(*(vv[:cap] + fe[:cap] * (dt / m)
+                         for vv, fe in zip(v.astuple(), fext.astuple())))
+        v_adv = V3(*(full(c) for c in v_adv_own.astuple()))
+
+        max_vel = jax.lax.pmax(
+            jnp.max(jnp.where(owned[:cap], v_adv_own.norm(), 0.0)), AXIS)
+        if D.ADAPTIVE_DT:
+            dt = jnp.clip(0.4 * (2.0 * st.particle_radius)
+                          / jnp.maximum(max_vel, 1e-9) * 0.2,
+                          D.MIN_DT, D.MAX_DT)
+        dt2 = dt * dt
+
+        # --- density solve (dfsph_solver.py:221-233) ------------------------
+        def rho_adv_of(vv: V3):
+            d = drho_of(vv)
+            rho_adv = jnp.maximum(rho + dt * d, RHO_0)
+            uncl = owned & (rho_adv != RHO_0)
+            cnt = jax.lax.psum(jnp.sum(uncl), AXIS)
+            tot = jax.lax.psum(jnp.sum(jnp.where(uncl, rho_adv, 0.0)), AXIS)
+            return rho_adv, jnp.where(cnt > 0, tot / cnt, jnp.float32(RHO_0))
+
+        def den_cond(c):
+            _, avg, it = c
+            return (((it < D.MIN_ITER_DENSITY)
+                     | (avg - RHO_0 > D.DENSITY_THRESHOLD * RHO_0 * 0.01))
+                    & (it < D.MAX_ITER_DENSITY))
+
+        def den_body(c):
+            vv, _, it = c
+            rho_adv, avg = rho_adv_of(vv)
+            k_own = ((rho_adv[:cap] - RHO_0) * alpha[:cap] / dt2) / rho[:cap]
+            delta = stiff_delta(full(k_own))
+            vv = V3(jnp.where(upd, vv.x - delta.x * dt, vv.x),
+                    jnp.where(upd, vv.y - delta.y * dt, vv.y),
+                    jnp.where(upd, vv.z - delta.z * dt, vv.z))
+            return (vv, avg, it + 1)
+
+        v_adv, den_avg, den_iters = jax.lax.while_loop(
+            den_cond, den_body,
+            (v_adv, jnp.float32(jnp.inf), jnp.zeros((), jnp.int32)))
+
+        # --- integrate owned + migrate (dfsph_solver.py:235-250) ------------
+        f = jnp.float32(0.9999)  # base.ARTIFICIAL_FRICTION
+        new_vel = V3(*(c[:cap] * f for c in v_adv.astuple()))
+        new_pos = V3(*(pc + nv * dt
+                       for pc, nv in zip(pos.astuple(), new_vel.astuple())))
+        if not st.akinci:
+            np_, nv_ = [], []
+            for c, vv, lo_c, hi_c in zip(new_pos.astuple(), new_vel.astuple(),
+                                         st.box_min, st.box_max):
+                lo = jnp.float32(lo_c + st.particle_radius)
+                hi = jnp.float32(hi_c - st.particle_radius)
+                hit = (c <= lo) | (c >= hi)
+                nv_.append(jnp.where(hit, vv * -0.5, vv))
+                np_.append(jnp.clip(c, lo, hi))
+            new_pos, new_vel = V3(*np_), V3(*nv_)
+        new_pos = new_pos.where(mask, pos)
+        new_vel = new_vel.where(mask, 0.0)
+
+        out, out_mask = _migrate(
+            spec, [*new_pos.astuple(), *new_vel.astuple(), wk], mask)
+        diag = jnp.stack([div_iters.astype(jnp.float32), div_avg,
+                          den_iters.astype(jnp.float32), den_avg - RHO_0])
+        return (*out[:6], out_mask, out[6], dt, diag)
+
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS),) * 8 + (P(), P(), P(), P(), P()),
+        out_specs=(P(AXIS),) * 8 + (P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(state: ShardedDFSPH) -> ShardedDFSPH:
+        f = state.fluid
+        out = mapped(*f.pos.astuple(), *f.vel.astuple(), f.mask,
+                     state.warm_k, state.dt,
+                     *arrays.boundary_pos.astuple(), arrays.boundary_volume)
+        return ShardedDFSPH(
+            fluid=ShardedFluid(pos=V3(out[0], out[1], out[2]),
+                               vel=V3(out[3], out[4], out[5]), mask=out[6]),
+            warm_k=out[7], dt=out[8], t=state.t + out[8], diag=out[9])
 
     return step

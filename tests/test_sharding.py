@@ -78,6 +78,49 @@ def test_particles_conserved_many_steps(setup):
     assert np.isfinite(pos).all()
 
 
+@pytest.fixture(scope="module")
+def setup_dfsph():
+    cfg = copy.deepcopy(CFG)
+    cfg["solver"]["name"] = "dfsph"
+    sim = Simulation(parse_config(cfg))
+    mesh = domain.make_mesh(NDEV)
+    spec = domain.make_spec(sim.scene.static, NDEV)
+    state = domain.init_sharded_dfsph(mesh, spec, sim.scene.static,
+                                      sim.scene.fluid_pos0)
+    step = domain.make_sharded_dfsph_step(sim.scene.static, sim.scene.arrays,
+                                          mesh, spec)
+    return sim, spec, state, step
+
+
+def test_sharded_dfsph_matches_single_chip(setup_dfsph):
+    """Sharded DFSPH (per-iteration stiffness exchange + psum residuals +
+    pmax CFL dt) agrees with models/dfsph.py up to fp reduction order."""
+    sim, spec, state, step = setup_dfsph
+    for _ in range(3):
+        sim.step()
+        state = step(state)
+    # Same adaptive dt (global CFL) and same iteration counts.
+    np.testing.assert_allclose(float(state.dt), float(sim.state.dt),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.diag)[[0, 2]],
+                               np.asarray(sim.state.diag)[[0, 2]], atol=0)
+    ref_pos = sim.state.fluid.pos.to_numpy()
+    got_pos, _ = domain.unshard(state.fluid)
+    assert got_pos.shape[0] == ref_pos.shape[0], "particle count drift"
+    np.testing.assert_allclose(_sorted_rows(got_pos), _sorted_rows(ref_pos),
+                               atol=5e-5)
+
+
+def test_sharded_dfsph_conserves_particles(setup_dfsph):
+    sim, spec, state, step = setup_dfsph
+    n0 = int(np.asarray(state.fluid.mask).sum())
+    for _ in range(10):
+        state = step(state)
+    assert int(np.asarray(state.fluid.mask).sum()) == n0
+    pos, _ = domain.unshard(state.fluid)
+    assert np.isfinite(pos).all()
+
+
 def test_too_many_devices_rejected():
     sim_cfg = parse_config(copy.deepcopy(CFG))
     from cfd_taichi_tpu import build_scene
