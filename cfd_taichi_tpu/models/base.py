@@ -196,7 +196,8 @@ def build_nbh(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     table = nb.build_cell_table(pos_all, st.grid)
     qid = jnp.arange(n, dtype=jnp.int32)
     nl = nb.find_neighbors(pos_s, qid, pos_all, table, st.grid,
-                           K=st.K, cell_cap=st.cell_cap, exclude_self=True)
+                           K=st.K, cell_cap=st.cell_cap, exclude_self=True,
+                           k2=st.k2)
 
     mask = nl.mask
     mask_f = mask & (nl.idx < n)
@@ -215,17 +216,19 @@ def build_nbh(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     overflow = jnp.maximum(jnp.max(nl.count) - st.K,
                            _cell_overflow(table.starts, st.cell_cap)
                            ).astype(jnp.int32)
+    overflow = jnp.maximum(overflow, nl.dropped)
 
     bidx = bmask = bx = br = bvol = None
     if st.akinci:
         bl = nb.find_neighbors(pos_s, None, arrays.boundary_pos,
                                arrays.boundary_table, st.grid,
-                               K=st.bK, cell_cap=st.bcell_cap)
+                               K=st.bK, cell_cap=st.bcell_cap, k2=st.bk2)
         bidx, bmask = bl.idx, bl.mask
         bx = pos_s.expand(1) - bl.spos
         br = bx.norm()
         bvol = arrays.boundary_volume[bidx]
         overflow = jnp.maximum(overflow, jnp.max(bl.count) - st.bK)
+        overflow = jnp.maximum(overflow, bl.dropped)
 
     return Nbh(pos=pos_s, perm=perm, pos_all=pos_all, idx=nl.idx, mask=mask,
                mask_f=mask_f, mask_s=mask_s, count=nl.count, x=x, r=r,

@@ -86,6 +86,10 @@ class NeighborList(NamedTuple):
     # Source positions at the compacted slots (valid where mask), provided so
     # callers need no further per-element gathers: Optional V3 of (Nq, K).
     spos: Optional[V3] = None
+    # Max candidates dropped by the stencil-prune phase (k2 cap) across all
+    # queries: () int32. Nonzero means `count` undercounts and pairs were
+    # lost — surfaced through the same overflow telemetry as K/cell caps.
+    dropped: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def cell_id(pos: V3, grid: GridSpec) -> jnp.ndarray:
@@ -126,7 +130,8 @@ _OFF = np.array(_STENCIL, np.int32)  # (27, 3)
 
 
 def _query_block(pos_q: V3, qid, packed, sepairs, grid: GridSpec,
-                 K: int, cell_cap: int, exclude_self: bool):
+                 K: int, cell_cap: int, exclude_self: bool,
+                 k2: int = 0):
     """Neighbor query for one block of query particles.
 
     TPU gather economics (measured honestly on-chip with per-call scalar
@@ -173,6 +178,22 @@ def _query_block(pos_q: V3, qid, packed, sepairs, grid: GridSpec,
     valid = (slot[None, None, :] < length[:, :, None]).reshape(B, W)
     spos_c = jnp.clip(spos, 0, Ns - 1)
 
+    dropped = jnp.zeros((), jnp.int32)
+    if 0 < k2 < W:
+        # Stencil-prune phase: compact the ~mostly-empty (B, 27*cap) slot
+        # grid to the k2 slots that actually hold candidates BEFORE paying
+        # the packed position fetch (the fetch is the dominant build cost —
+        # per-index gather economics, see module notes). k2 is sized from
+        # the scene's max stencil population; drops are counted.
+        col0 = jnp.arange(W, dtype=jnp.int32)[None, :]
+        key1 = jnp.where(valid, 2 * Ns - spos_c, -col0)
+        topkey1, _ = jax.lax.top_k(key1, k2)
+        valid = topkey1 > 0
+        spos_c = jnp.where(valid, 2 * Ns - topkey1, Ns - 1)
+        dropped = jnp.maximum(
+            jnp.max(jnp.sum(key1 > 0, axis=1) - k2), 0).astype(jnp.int32)
+        W = k2
+
     rows = packed[:, spos_c]                           # (4, B, W) packed gather
     # Distance cutoff: keep dist <= h (reference skips dist > support_radius,
     # ParticleSystem.py:466).
@@ -202,7 +223,7 @@ def _query_block(pos_q: V3, qid, packed, sepairs, grid: GridSpec,
     krows = packed[:, spos_top]                        # (4, B, K) packed gather
     idx = jnp.where(mask, _f32_to_id(krows[3]), 0)
     spos_v = V3(krows[0], krows[1], krows[2])
-    return idx, mask, count, spos_v
+    return idx, mask, count, spos_v, dropped
 
 
 # Bias added to integer ids before bitcasting them into the f32 lane of the
@@ -243,11 +264,14 @@ def pack_table(pos_src: V3, table: CellTable):
 def find_neighbors(pos_q: V3, qid, pos_src: V3, table: CellTable,
                    grid: GridSpec, K: int, cell_cap: int = 24,
                    exclude_self: bool = False,
-                   block: int | None = None) -> NeighborList:
+                   block: int | None = None, k2: int = 0) -> NeighborList:
     """Build a compact (Nq, K) neighbor list of `pos_q` against `pos_src`.
 
     qid: global ids of the queries in the source index space (for
     self-exclusion) or None when query/source sets are disjoint.
+    k2 > 0 enables the stencil-prune phase: candidate slots are compacted
+    to k2 by cell membership before the position fetch (drops counted in
+    `.dropped`).
     Runs blockwise under `lax.map` to bound transient candidate memory:
     XLA materializes the packed candidate gather as a (block*W, 4) buffer
     whose minor dim is lane-padded 4 -> 128 (32x), so the block size is
@@ -255,8 +279,9 @@ def find_neighbors(pos_q: V3, qid, pos_src: V3, table: CellTable,
     count or candidate width.
     """
     Nq = pos_q.x.shape[0]
+    width = k2 if 0 < k2 < 27 * cell_cap else 27 * cell_cap
     if block is None:
-        block = max(1024, (1 << 21) // (27 * cell_cap))
+        block = max(1024, (1 << 21) // width)
     if qid is None:
         qid = jnp.full((Nq,), -1, jnp.int32)
     qid = qid.astype(jnp.int32)
@@ -264,18 +289,19 @@ def find_neighbors(pos_q: V3, qid, pos_src: V3, table: CellTable,
 
     fn = functools.partial(_query_block, packed=packed, sepairs=sepairs,
                            grid=grid, K=K, cell_cap=cell_cap,
-                           exclude_self=exclude_self)
+                           exclude_self=exclude_self, k2=k2)
 
     if Nq <= block:
-        idx, mask, count, spos_v = fn(pos_q, qid)
-        return NeighborList(idx=idx, mask=mask, count=count, spos=spos_v)
+        idx, mask, count, spos_v, dropped = fn(pos_q, qid)
+        return NeighborList(idx=idx, mask=mask, count=count, spos=spos_v,
+                            dropped=dropped)
 
     nblk = -(-Nq // block)
     pad = nblk * block - Nq
     pos_b = V3(*(jnp.pad(c, (0, pad)).reshape(nblk, block)
                  for c in pos_q.astuple()))
     qid_b = jnp.pad(qid, (0, pad), constant_values=-2).reshape(nblk, block)
-    idx, mask, count, spos_v = jax.lax.map(
+    idx, mask, count, spos_v, dropped = jax.lax.map(
         lambda t: fn(V3(t[0], t[1], t[2]), t[3]),
         (pos_b.x, pos_b.y, pos_b.z, qid_b))
     return NeighborList(
@@ -284,6 +310,7 @@ def find_neighbors(pos_q: V3, qid, pos_src: V3, table: CellTable,
         count=count.reshape(nblk * block)[:Nq],
         spos=V3(*(c.reshape(nblk * block, K)[:Nq]
                   for c in spos_v.astuple())),
+        dropped=jnp.max(dropped),
     )
 
 

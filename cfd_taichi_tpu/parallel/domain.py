@@ -285,7 +285,7 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         qid = jnp.arange(ns, dtype=jnp.int32)
         nlist = nb.find_neighbors(src_pos, qid, src_pos, table, st.grid,
                                   K=st.K, cell_cap=st.cell_cap,
-                                  exclude_self=True)
+                                  exclude_self=True, k2=st.k2)
         j = nlist.idx
         pair_mask = nlist.mask & src_mask[j] & src_mask[:, None]
 
@@ -298,7 +298,8 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         if st.akinci:
             btab = nb.build_cell_table(bpos, st.grid)
             blist = nb.find_neighbors(src_pos, None, bpos, btab, st.grid,
-                                      K=st.bK, cell_cap=st.bcell_cap)
+                                      K=st.bK, cell_cap=st.bcell_cap,
+                                      k2=st.bk2)
             bj, bm = blist.idx, blist.mask
             xb = src_pos.expand(1) - bpos.take(bj)
             rb = xb.norm()
@@ -479,7 +480,7 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         qid = jnp.arange(ns, dtype=jnp.int32)
         nl = nb.find_neighbors(src_pos, qid, src_pos, table, st.grid,
                                K=st.K, cell_cap=st.cell_cap,
-                               exclude_self=True)
+                               exclude_self=True, k2=st.k2)
         jmask = nl.mask & src_mask[nl.idx] & src_mask[:, None]
         x_ij = src_pos.expand(1) - nl.spos
         r = x_ij.norm()
@@ -493,7 +494,8 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         if st.akinci:
             btab = arrays.boundary_table
             blist = nb.find_neighbors(src_pos, None, bpos, btab, st.grid,
-                                      K=st.bK, cell_cap=st.bcell_cap)
+                                      K=st.bK, cell_cap=st.bcell_cap,
+                                      k2=st.bk2)
             bxv = src_pos.expand(1) - blist.spos
             br = bxv.norm()
             gcb = sm.cubic_grad_coeff(br, h)

@@ -60,6 +60,10 @@ class SceneStatic:
     bK: int = 64              # max boundary neighbors per fluid particle
     cell_cap: int = 32        # max particles per grid cell considered
     bcell_cap: int = 16       # boundary cells: exact static occupancy bound
+    # Stencil-prune capacities (ops/neighbors find_neighbors k2): candidate
+    # slots compacted by cell membership before the position fetch. 0 = off.
+    k2: int = 0               # fluid/dynamic stencil population cap
+    bk2: int = 0              # boundary stencil population cap (exact)
 
     @property
     def diameter(self) -> float:
@@ -204,7 +208,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_mass_total = jnp.zeros((), jnp.float32)
 
     # --- compact neighbor-list capacities (models/base.Nbh) ------------------
-    K, bK, cell_cap, bcell_cap = neighbor_capacities(
+    K, bK, cell_cap, bcell_cap, k2, bk2 = neighbor_capacities(
         np.asarray(fluid_pos), np.asarray(boundary_pos), grid, h,
         akinci=sv.boundary_handle,
         rigid=rigid_active and n_rigid > 0)
@@ -216,7 +220,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         grid=grid, akinci=sv.boundary_handle, fs_couple=sv.fs_couple,
         has_rigid=so is not None, rigid_active=rigid_active,
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
-        K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap,
+        K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap, k2=k2, bk2=bk2,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,
@@ -258,7 +262,11 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
     # both bounds; overflow beyond it is counted in telemetry.
     s = 2.0 * grid.cell / 4.0  # particle spacing 2r with h = 4r
     align_worst = int(np.floor(grid.cell / s) + 1) ** 3
-    cell_cap = max(_round_up(int(occ * 2.5), 8),
+    # x1.75 impact headroom over the seed's measured occupancy OR x1.2 over
+    # the drift-alignment bound, whichever is larger (an already-aligned
+    # seed has its alignment spike priced into `occ`, so the two bounds
+    # don't multiply).
+    cell_cap = max(_round_up(int(occ * 1.75), 8),
                    _round_up(int(align_worst * 1.2), 8))
 
     # Max within-h neighbor count of the initial lattice: the seeded block is
@@ -266,10 +274,22 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
     # population — bounded above by (2h/spacing+1)^3 but measured exactly via
     # a small sample of interior particles against the cell table.
     kmax = _max_count_sample(fluid_pos_rows, cells, grid, h)
-    K = max(_round_up(int(kmax * 1.75) + (32 if rigid else 0), 16), 48)
+    # x1.5 headroom: iterative solvers cap sustained compression at ~1.2x
+    # (measured dam-impact density peak 1.13x); overflow counts in telemetry.
+    K = max(_round_up(int(kmax * 1.5) + (32 if rigid else 0), 16), 48)
+
+    # Stencil-prune cap: max 27-cell candidate population of the seed x1.75
+    # + alignment slack (+ the same rigid margin as K); disabled when it
+    # would not prune.
+    stenmax = _stencil_max(cells, grid)
+    k2 = _round_up(int(min(stenmax * 1.75 + 32 + (32 if rigid else 0),
+                           27 * cell_cap)), 32)
+    if k2 >= int(0.8 * 27 * cell_cap) or k2 <= K:
+        k2 = 0
 
     bK = 16
     bcell_cap = 8
+    bk2 = 0
     if akinci and len(boundary_pos_rows):
         bcells = np.asarray(nb.cell_id(V3.from_rows(boundary_pos_rows), grid))
         bmax = _max_count_sample(boundary_pos_rows, bcells, grid, h)
@@ -279,7 +299,37 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
         # Exact static per-cell bound — the shell never moves.
         bcell_cap = max(_round_up(
             int(np.bincount(bcells, minlength=grid.num_cells).max()), 4), 4)
-    return K, bK, cell_cap, bcell_cap
+        # Exact stencil bound too (no drop risk: the shell is static, and
+        # a fluid query's 27-cell boundary population can never exceed the
+        # max 27-neighborhood population over all grid cells).
+        bk2 = _round_up(int(_stencil_max(bcells, grid)), 16)
+        if bk2 >= int(0.8 * 27 * bcell_cap) or bk2 <= bK:
+            bk2 = 0
+    return K, bK, cell_cap, bcell_cap, k2, bk2
+
+
+def _stencil_3d(cells: np.ndarray, grid: nb.GridSpec):
+    """27-stencil candidate population per cell, as a 3-D array in
+    'stride space' (axes ordered by descending stride)."""
+    counts = np.bincount(cells, minlength=grid.num_cells)
+    axes = np.argsort(grid.strides)[::-1]
+    dims3 = tuple(grid.dims[a] for a in axes)
+    c3 = counts.reshape(dims3)
+    pad = np.pad(c3, 1)
+    sten = np.zeros_like(c3)
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                sten += pad[dx:dx + dims3[0], dy:dy + dims3[1],
+                            dz:dz + dims3[2]]
+    return sten, dims3, axes
+
+
+def _stencil_max(cells: np.ndarray, grid: nb.GridSpec) -> int:
+    if len(cells) == 0:
+        return 0
+    sten, _, _ = _stencil_3d(cells, grid)
+    return int(sten.max())
 
 
 def _max_count_sample(pos_rows: np.ndarray, cells: np.ndarray,
@@ -292,19 +342,7 @@ def _max_count_sample(pos_rows: np.ndarray, cells: np.ndarray,
     n = pos_rows.shape[0]
     if n == 0:
         return 0
-    counts = np.bincount(cells, minlength=grid.num_cells)
-    # Reshape the linear-id histogram into 3-D "stride space" (axes ordered
-    # by descending stride) so the 27-stencil is a shift-and-add.
-    axes = np.argsort(grid.strides)[::-1]          # axis order by stride desc
-    dims3 = tuple(grid.dims[a] for a in axes)
-    c3 = counts.reshape(dims3)
-    pad = np.pad(c3, 1)
-    sten = np.zeros_like(c3)
-    for dx in (0, 1, 2):
-        for dy in (0, 1, 2):
-            for dz in (0, 1, 2):
-                sten += pad[dx:dx + dims3[0], dy:dy + dims3[1],
-                            dz:dz + dims3[2]]
+    sten, dims3, axes = _stencil_3d(cells, grid)
     # Densest neighborhood center cell (in linear-id space).
     flat = int(np.argmax(sten))
     c0 = np.unravel_index(flat, dims3)
