@@ -100,9 +100,16 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     def stiff_vel_delta(k_over_rho, extra_fluid_guard=False):
         """Sum_f m (ki/ri + kj/rj) gradW + Sum_s V rho0 ki/ri gradW + rho0 *
         Sum_b V_b ki/ri gradW. Returns (delta V3 (N,), solid pair scale or
-        None). One (N, K) gather + fused VPU math per call."""
+        None). One (N, K) gather + fused VPU math per call.
+
+        The gather is a 4-lane pack with distinct rider fields: XLA rewrites
+        single-lane gathers inside while bodies to a ~2.5x-slower emitter
+        (measured 15 ms vs 6 ms per in-loop (N,64) gather on-chip), and
+        dedups packs of identical arrays back to single-lane."""
         ki = k_over_rho[:, None]
-        kij = ki + base.jf(st, nbh, k_over_rho)
+        kj, _, _, _ = base.jf_pack(st, nbh, k_over_rho, rho, alpha,
+                                   k_over_rho * alpha)
+        kij = ki + kj
         w = wf * kij
         if extra_fluid_guard:
             w = jnp.where(kij > 1e-5, w, 0.0)
@@ -126,8 +133,11 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                        jnp.concatenate([v.z, v_r.z]))
         else:
             v_all = v
-        v_ij = v.expand(1) - V3(*base.jall_pack(nbh, v_all.x, v_all.y,
-                                                v_all.z))
+        # 4-lane pack (see stiff_vel_delta note); the 4th lane is a distinct
+        # rider so XLA can neither dedup nor split the pack.
+        vjx, vjy, vjz, _ = base.jall_pack(nbh, v_all.x, v_all.y, v_all.z,
+                                          v_all.x + v_all.y)
+        v_ij = v.expand(1) - V3(vjx, vjy, vjz)
         d = jnp.sum(coeff_fs * v_ij.dot(gx), axis=1)
         if st.akinci:
             d = d + jnp.sum(

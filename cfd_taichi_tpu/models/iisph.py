@@ -128,9 +128,16 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
     n = st.n_fluid
 
+    # d_ii is fixed during the solve: gather its neighbor values ONCE and
+    # close over the (N, K) tensors instead of re-gathering per iteration.
+    dii_jx = base.jf_v3(st, nbh, d_ii)
+
     def d_ij_of(p):
         # d_ij = -dt^2 sum_f m p_j/rho_j^2 gradW (fluid-only, py:306-314).
-        pj_term = base.jf(st, nbh, p / (rho * rho))
+        # 4-lane packed gather with distinct riders (in-loop single-lane
+        # gathers lower to a ~2.5x-slower emitter).
+        pr = p / (rho * rho)
+        pj_term, _, _, _ = base.jf_pack(st, nbh, pr, rho, p, pr * rho)
         scale = jnp.where(nbh.mask_f, -st.particle_m * pj_term * gc_f, 0.0)
         return base.sum_vec(nbh.x, scale) * dt2
 
@@ -139,7 +146,6 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         # sum_f m (d_ij_i - d_ii_j p_j - (d_ij_j - d_ji p_i)) . gradW
         djx, djy, djz, p_j = base.jf_pack(st, nbh, d_ij.x, d_ij.y, d_ij.z, p)
         dij_jx = V3(djx, djy, djz)
-        dii_jx = base.jf_v3(st, nbh, d_ii)
         # e = dij_i - dii_j p_j - dij_j, and + d_ji p_i with
         # d_ji p_i = dt^2 m/rho_i^2 p_i * gc * x_ij.
         ex = d_ij.x[:, None] - dii_jx.x * p_j - dij_jx.x

@@ -95,8 +95,12 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         p_q = p_iter[:, None]
         # Fluid pairs: -(p_i + p_j)/rho0^2 m^2 gradW — the reference divides
         # by the REST density squared here (pcisph_solver.py:169-177), unlike
-        # the solid/boundary terms which use the actual rho_i.
-        sym = p_q + base.jf(st, nbh, p_iter)
+        # the solid/boundary terms which use the actual rho_i. 4-lane packed
+        # gather with distinct riders (in-loop single-lane gathers lower to
+        # a ~2.5x-slower emitter; identical lanes get deduped back).
+        p_j, _, _, _ = base.jf_pack(st, nbh, p_iter, rho, p_iter * rho,
+                                    rho * rho)
+        sym = p_q + p_j
         scale = jnp.where(nbh.mask_f,
                           -(st.particle_m ** 2) / (RHO_0 ** 2) * sym * gc_f,
                           0.0)
@@ -126,8 +130,11 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              margin=st.particle_radius,
                                              decay_mul=-base.V_DECAY)
         # Fluid neighbors at predicted positions; solid/boundary neighbors
-        # keep their current positions (pcisph_solver.py:143-147).
-        d_f = (pos_p.expand(1) - base.jf_v3(st, nbh, pos_p)).norm()
+        # keep their current positions (pcisph_solver.py:143-147). 4-lane
+        # packed gather with a distinct rider (see press_force_of).
+        pjx, pjy, pjz, _ = base.jf_pack(st, nbh, pos_p.x, pos_p.y, pos_p.z,
+                                        pos_p.x + pos_p.y)
+        d_f = (pos_p.expand(1) - V3(pjx, pjy, pjz)).norm()
         rho_p = st.particle_m * base.msum(sm.cubic_w(d_f, st.h), nbh.mask_f)
         if has_rigid:
             # Solid neighbor positions are step-constant: nbh.spos-style

@@ -521,7 +521,10 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
 
         def stiff_delta(k_src, guard=False):
             ki = k_src[:, None]
-            kij = ki + k_src[nl.idx]
+            # 4-lane packed gather with distinct riders: in-loop single-lane
+            # gathers lower to a ~2.5x-slower emitter (models/dfsph.py note).
+            ktbl = jnp.stack([k_src, rho, alpha, k_src * alpha], axis=0)
+            kij = ki + ktbl[:, nl.idx][0]
             w_ = wf * kij
             if guard:
                 w_ = jnp.where(kij > 1e-5, w_, 0.0)
@@ -535,7 +538,9 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
             return d
 
         def drho_of(vv: V3):
-            vij = vv.expand(1) - vv.take(nl.idx)
+            vtbl = jnp.stack([vv.x, vv.y, vv.z, vv.x + vv.y], axis=0)
+            vrows = vtbl[:, nl.idx]
+            vij = vv.expand(1) - V3(vrows[0], vrows[1], vrows[2])
             d = jnp.sum(wf * vij.dot(gx), axis=1)
             if st.akinci:
                 d = d + jnp.sum(wb * (vv.x[:, None] * gb.x
