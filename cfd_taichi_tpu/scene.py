@@ -140,6 +140,21 @@ def build_scene(cfg: SimConfig) -> Scene:
     h = cfg.support_radius
     grid = nb.grid_for_box(sc.box_min, sc.box_max, h)
 
+    # The water block must fit the box: particles seeded outside get
+    # cell-clamped into edge cells, which silently collapses thousands of
+    # particles into single cells and destroys the pressure solve (found
+    # the hard way: a bundled config whose box was one water-height too
+    # short ran "stably" at dt_min with a railed density loop).
+    for ax in range(3):
+        if (fl.start_pos[ax] < sc.box_min[ax] - 1e-6
+                or fl.start_pos[ax] + fl.water_size[ax]
+                > sc.box_max[ax] + 1e-6):
+            raise ValueError(
+                f"fluid block [{fl.start_pos[ax]:.3f}, "
+                f"{fl.start_pos[ax] + fl.water_size[ax]:.3f}] exceeds the "
+                f"box [{sc.box_min[ax]:.3f}, {sc.box_max[ax]:.3f}] on axis "
+                f"{ax}")
+
     # --- fluid ---------------------------------------------------------------
     fluid_pos = geo.seed_fluid_block(fl.water_size, fl.start_pos, r)
     n_fluid = fluid_pos.shape[0]
