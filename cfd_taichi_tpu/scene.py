@@ -16,10 +16,8 @@ The scene is split for jit-friendliness:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -166,8 +164,7 @@ def build_scene(cfg: SimConfig) -> Scene:
     btable = nb.build_cell_table(bpos, grid)
     # V_b = 1 / sum_{k != b} W_bk (self excluded by for_all_boundary_neighbor,
     # ParticleSystem.py:309-320, 362-363).
-    bvol = _inverse_kernel_sum(bpos, jnp.arange(n_boundary, dtype=jnp.int32),
-                               bpos, btable, grid, h, K=96)
+    bvol = jnp.asarray(_inverse_kernel_sum_np(boundary_pos, grid, h))
 
     # --- rigid body ----------------------------------------------------------
     rigid_init = None
@@ -190,11 +187,9 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_rho = float(so.rho_0)
 
         rpos = V3.from_rows(vox)
-        rtable = nb.build_cell_table(rpos, grid)
         # V_i = 1 / sum_{j != i, solid} W_ij (ParticleSystem.py:252-259); the
         # reference warns and zeroes when the sum underflows.
-        inv_w = _kernel_sum(rpos, jnp.arange(n_rigid, dtype=jnp.int32), rpos,
-                            rtable, grid, h, K=96)
+        inv_w = jnp.asarray(_kernel_sum_np(vox, grid, h))
         rvol = jnp.where(inv_w < 1e-6, 0.0, 1.0 / jnp.maximum(inv_w, 1e-6))
         rmass = rigid_rho * rvol  # ParticleSystem.py:262-263
         msum = jnp.sum(rmass)
@@ -381,20 +376,81 @@ def _max_count_sample(pos_rows: np.ndarray, cells: np.ndarray,
     return best
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _kernel_sum(pos_q: V3, qid, pos_src: V3, table, grid, h, K):
-    """sum_{j != i} W(|x_i - x_j|, h) over the cell list (jitted: eager
-    op-by-op dispatch of the neighbor query costs seconds through a remote
-    TPU tunnel and materializes every unfused intermediate)."""
-    from cfd_taichi_tpu.ops import smoothing
+def _kernel_sum_np(pos_rows: np.ndarray, grid: nb.GridSpec,
+                   h: float) -> np.ndarray:
+    """sum_{j != i} W(|x_i - x_j|, h) of a static particle set against
+    itself — host-side numpy, cell-bucketed.
 
-    nlist = nb.find_neighbors(pos_q, qid, pos_src, table, grid, K=K,
-                              cell_cap=64, exclude_self=True)
-    d = pos_q.expand(1) - pos_src.take(nlist.idx)
-    w = smoothing.cubic_w(d.norm(), h)
-    return jnp.sum(jnp.where(nlist.mask, w, 0.0), axis=1)
+    Runs at scene build for boundary volumes (ParticleSystem.py:309-320)
+    and rigid particle volumes (ParticleSystem.py:252-259). Host numpy is
+    the right tool here: the device path costs a fresh multi-minute
+    remote-compile for every new scene shape, while this vectorized
+    bucket sweep takes ~a second even for 1M-scale boundary shells.
+    """
+    n = pos_rows.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.float32)
+    pos = np.asarray(pos_rows, np.float64)
+    cells = np.asarray(nb.cell_id(V3.from_rows(pos_rows), grid))
+    order = np.argsort(cells, kind="stable")
+    sc = cells[order]
+    occ = np.bincount(cells, minlength=grid.num_cells)
+    cap = int(occ.max())
+    # Dense (num_cells, cap) bucket of sorted indices (-1 = empty slot).
+    rank = np.arange(n) - np.searchsorted(sc, sc, side="left")
+    dense = np.full((grid.num_cells, cap), -1, np.int64)
+    dense[sc, rank] = order
+    dmask = dense >= 0
+    dpos = pos[np.clip(dense, 0, n - 1)]          # (C, cap, 3)
+
+    occ_cells = np.nonzero(occ)[0]                # (M,)
+    gx, gy, gz = grid.dims
+    sx, sy, sz = grid.strides
+    # Decode each occupied cell's coordinates FROM the linear id (exact).
+    # Re-deriving them from positions hits f32-vs-f64 floor mismatches at
+    # lattice-aligned coordinates (0.7f * 10 floors to 7 in f32, 6 in f64)
+    # and silently shifts the stencil.
+    axes = np.argsort(grid.strides)[::-1]         # axes by stride desc
+    rem = occ_cells.copy()
+    coord = [None, None, None]
+    for a in axes:
+        coord[a] = rem // grid.strides[a]
+        rem = rem - coord[a] * grid.strides[a]
+    cx, cy, cz = coord
+
+    qpos = dpos[occ_cells]                        # (M, cap, 3)
+    qmask = dmask[occ_cells]
+    qidx = dense[occ_cells]
+    acc = np.zeros(qpos.shape[:2], np.float64)    # (M, cap)
+    h2 = h * h
+    k8 = 8.0 / (np.pi * h ** 3)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                nx, ny, nz = cx + ox, cy + oy, cz + oz
+                ok = ((nx >= 0) & (nx < gx) & (ny >= 0) & (ny < gy)
+                      & (nz >= 0) & (nz < gz))
+                ncid = np.clip(nx * sx + ny * sy + nz * sz, 0,
+                               grid.num_cells - 1)
+                spos = dpos[ncid]                 # (M, cap, 3)
+                smask = dmask[ncid] & ok[:, None]
+                d2 = ((qpos[:, :, None, :] - spos[:, None, :, :]) ** 2
+                      ).sum(axis=3)               # (M, cap, cap)
+                q = np.sqrt(d2) / h
+                w = np.where(q <= 0.5, k8 * (6.0 * (q ** 3 - q ** 2) + 1.0),
+                             2.0 * k8 * (1.0 - q) ** 3)
+                # d2 > 0 excludes self; static sets (boundary shell, rigid
+                # voxels) have no coincident duplicates, so this matches the
+                # reference's by-index exclusion.
+                w = np.where((d2 <= h2) & (d2 > 0.0), w, 0.0)
+                w = np.where(smask[:, None, :], w, 0.0)
+                acc += w.sum(axis=2)
+    out = np.zeros((n,), np.float64)
+    out[qidx[qmask]] = acc[qmask]                 # slots are unique
+    return out.astype(np.float32)
 
 
-def _inverse_kernel_sum(pos_q, qid, pos_src, table, grid, h, K):
-    s = _kernel_sum(pos_q, qid, pos_src, table, grid, h, K)
+def _inverse_kernel_sum_np(pos_rows: np.ndarray, grid: nb.GridSpec,
+                           h: float) -> np.ndarray:
+    s = _kernel_sum_np(pos_rows, grid, h)
     return 1.0 / s  # reference divides unguarded (ParticleSystem.py:314)
