@@ -177,6 +177,12 @@ def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
                 print(f"frame {frame_cnt}  t={stats['t']:.4f}  dt={stats['dt']:.2e}  "
                       f"steps/s={stats['steps_per_sec']:.2f}  "
                       f"rho_avg={stats['rho_avg']:.1f}")
+                if stats["window_overflow"] > 0:
+                    # Dropped neighbor pairs: the analogue of the reference's
+                    # silent 512-entry cell-capacity truncation, made loud.
+                    print(f"WARNING: neighbor capacity overflow "
+                          f"{stats['window_overflow']} — pairs dropped; "
+                          f"results degraded (check scene geometry/caps)")
 
             t = sim.t
             if sc.is_output_ply and (t / frame_time) > ply_cnt:

@@ -137,3 +137,31 @@ def test_voxelize_ball_volume():
     # exact sphere and a sphere dilated by one pitch.
     dilated_vol = 4 / 3 * np.pi * (radius + pitch) ** 3
     assert 0.9 * sphere_vol < vol < 1.1 * dilated_vol
+
+
+def test_kernel_sum_np_matches_brute_force():
+    """Host-numpy kernel sums (scene-build boundary/rigid volumes) vs O(N^2),
+    on a lattice-aligned set — pins the f32-vs-f64 floor regression where
+    cell coords re-derived from positions shifted the 27-stencil (0.7f*10
+    floors to 7 in f32, 6 in f64)."""
+    import numpy as np
+
+    from cfd_taichi_tpu.ops import neighbors as nb
+    from cfd_taichi_tpu.scene import _kernel_sum_np
+
+    h = 0.1
+    xs, ys = np.meshgrid(np.arange(14) * 0.05, np.arange(14) * 0.05)
+    plate = np.stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)],
+                     axis=1).astype(np.float32)
+    pts = np.concatenate([plate,
+                          plate + np.array([0.012, 0.007, 0.05], np.float32)])
+    grid = nb.grid_for_box([0, 0, 0], [0.8, 0.8, 0.4], h)
+    got = _kernel_sum_np(pts, grid, h)
+
+    d2 = ((pts[:, None, :].astype(np.float64) - pts[None, :, :]) ** 2).sum(2)
+    q = np.sqrt(d2) / h
+    k8 = 8.0 / (np.pi * h ** 3)
+    w = np.where(q <= 0.5, k8 * (6 * (q ** 3 - q ** 2) + 1),
+                 2 * k8 * (1 - q) ** 3)
+    w = np.where((d2 <= h * h) & (d2 > 0), w, 0.0)
+    np.testing.assert_allclose(got, w.sum(1), rtol=1e-4)
