@@ -136,3 +136,57 @@ def test_unknown_solver_rejected():
 
     with pytest.raises(ValueError, match="Unknown solver"):
         models.get_solver("nope")
+
+
+def test_overflow_telemetry_reports_drops():
+    """Force a neighbor-capacity overflow and check it surfaces through
+    SimState.overflow + runner telemetry (the loud version of the
+    reference's silent 512-entry cell truncation)."""
+    import dataclasses
+
+    sim = make_sim("wcsph")
+    st = sim.scene.static
+    # Shrink K far below the true neighbor count.
+    sim.scene = dataclasses.replace(
+        sim.scene, static=dataclasses.replace(st, K=16, k2=0))
+    sim.step()
+    assert int(sim.state.overflow) > 0
+    stats = sim.telemetry()
+    assert stats["window_overflow"] > 0
+
+
+def test_penetration_check_counts_inside_particles():
+    from cfd_taichi_tpu.models import rigid as rigid_mod
+
+    raw = copy.deepcopy(TINY)
+    raw["solver"]["name"] = "pcisph"
+    raw["solid"] = {"mesh": "builtin:cube", "voxel_radius": 0.025,
+                    "rho_0": 2000.0, "scale": [0.15, 0.15, 0.15],
+                    "pos_offset": [0.35, 0.5, 0.35],
+                    "attitude_offset": [0.0, 0.0, 0.0], "active": True}
+    sim = Simulation(parse_config(raw))
+    cnt_out = rigid_mod.check_penetration(sim.scene.static, sim.state.rigid,
+                                          sim.state.fluid.pos)
+    # Fluid starts below the body: no penetration at t=0.
+    assert int(cnt_out) == 0
+    # A fluid particle teleported to the centroid must be counted.
+    f = sim.state.fluid
+    import jax.numpy as jnp
+
+    c = sim.state.rigid.centroid
+    pos2 = f.pos._replace(x=f.pos.x.at[0].set(c[0]),
+                          y=f.pos.y.at[0].set(c[1]),
+                          z=f.pos.z.at[0].set(c[2]))
+    cnt_in = rigid_mod.check_penetration(sim.scene.static, sim.state.rigid,
+                                         pos2)
+    assert int(cnt_in) >= 1
+
+
+def test_color_by_modes():
+    """visualize_rho / visualize_neighbour parity hooks (solver_base.py:219-245)."""
+    sim = make_sim("wcsph")
+    sim.step()
+    for mode in ("rho", "neighbors", "none"):
+        rgb = sim.particle_colors(mode)
+        assert rgb.shape == (sim.scene.static.n_fluid, 3)
+        assert np.isfinite(rgb).all() and rgb.min() >= 0.0 and rgb.max() <= 1.0
