@@ -41,8 +41,9 @@ MIN_WALL_S = 10.0
 BATCH = 20
 
 
-def time_solver(cfg, solver_name: str) -> tuple[float, int]:
-    """steps/sec for one solver on `cfg` (>= MIN_STEPS and >= MIN_WALL_S)."""
+def time_solver(cfg, solver_name: str) -> tuple[float, int, dict]:
+    """steps/sec for one solver on `cfg` (>= MIN_STEPS and >= MIN_WALL_S),
+    plus end-of-window telemetry (density-error parity, overflow)."""
     cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
         cfg.solver, name=solver_name))
     sim = Simulation(cfg)
@@ -59,14 +60,15 @@ def time_solver(cfg, solver_name: str) -> tuple[float, int]:
         steps += BATCH
         wall = time.perf_counter() - t0
         if steps >= MIN_STEPS and wall >= MIN_WALL_S:
-            return steps / wall, sim.scene.static.n_fluid
+            stats = sim.telemetry()
+            return steps / wall, sim.scene.static.n_fluid, stats
 
 
 def main():
     cfg = read_config(os.path.join(REPO, "configs", "breaking_dam_30k.json"))
 
-    dfsph_sps, n = time_solver(cfg, "dfsph")
-    wcsph_sps, _ = time_solver(cfg, "wcsph")
+    dfsph_sps, n, dstats = time_solver(cfg, "dfsph")
+    wcsph_sps, _, _ = time_solver(cfg, "wcsph")
 
     vs = None
     baseline_path = os.path.join(REPO, "BENCH_BASELINE.json")
@@ -85,6 +87,15 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "wcsph_steps_per_sec": round(wcsph_sps, 3),
+        # Parity evidence (north star requires <0.1% avg positive density
+        # error — the reference's own tolerance, dfsph_solver.py:21-22):
+        # average of max(rho - rho0, 0) over over-dense particles, as % of
+        # rho0, at the end of the timed window; plus dropped-pair count
+        # (must be 0 for a clean run).
+        "dfsph_avg_pos_density_err_pct": round(
+            float(dstats["avg_pos_err"]) / 1000.0 * 100.0, 4),
+        "dfsph_overflow": int(dstats["window_overflow"]),
+        "dfsph_iters": dstats["solver_iters"],
     }))
 
 

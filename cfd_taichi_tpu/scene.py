@@ -303,9 +303,12 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
     if akinci and len(boundary_pos_rows):
         bcells = np.asarray(nb.cell_id(V3.from_rows(boundary_pos_rows), grid))
         bmax = _max_count_sample(boundary_pos_rows, bcells, grid, h)
-        # Boundary shell is static: fluid queries can see at most the shell's
-        # own worst within-h population (+1 for the query cell offset).
-        bK = max(_round_up(int(bmax * 1.25), 8), 16)
+        # The shell's own worst within-h self-count underestimates what a
+        # FLUID query can see: fluid pressed against a wall sits closer to
+        # the plane than the shell's in-plane spacing, and corner-adjacent
+        # fluid sees up to three plates (measured: dam-break floor contact
+        # reaches ~20 boundary neighbors where the shell self-count is 12).
+        bK = max(_round_up(int(bmax * 1.6) + 8, 8), 24)
         # Exact static per-cell bound — the shell never moves.
         bcell_cap = max(_round_up(
             int(np.bincount(bcells, minlength=grid.num_cells).max()), 4), 4)
