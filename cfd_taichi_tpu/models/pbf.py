@@ -87,8 +87,10 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     s2 = s * s
     s_corr = -TENSION_K * s2 * s2                        # quartic
     lam_q = lam[:, None]
+    # 4-lane packed gather with distinct riders (base.jf_pack note).
+    lam_j, _, _, _ = base.jf_pack(st, nbh, lam, rho, constraint, denom)
     pair_scale = jnp.where(
-        mask_f, (lam_q + base.jf(st, nbh, lam) + s_corr) * spiky_c, 0.0)
+        mask_f, (lam_q + lam_j + s_corr) * spiky_c, 0.0)
     delta_pos = base.sum_vec(nbh.x, pair_scale)
     if st.akinci:
         bs = bpoly_w / w_ref

@@ -55,7 +55,11 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     p_over_rho2 = p / (rho * rho)
 
     gcoef = sm.cubic_grad_coeff(nbh.r, st.h)
-    sym = p_over_rho2[:, None] + base.jf(st, nbh, p_over_rho2)
+    # 4-lane packed gather with distinct riders: the single-lane gather
+    # emitter is ~5x slower per index (models/base.jf_pack note).
+    p_j, _, _, _ = base.jf_pack(st, nbh, p_over_rho2, rho, p,
+                                p_over_rho2 * rho)
+    sym = p_over_rho2[:, None] + p_j
     scale = jnp.where(nbh.mask_f, -st.particle_m * sym * gcoef, 0.0)
 
     force = rigid.force
