@@ -53,6 +53,11 @@ class FluidState(NamedTuple):
     pos: V3   # components (Nf,)
     vel: V3
     acc: V3
+    # Original (seeding-order) id of the particle in each slot. The state is
+    # kept cell-sorted across steps; `oid` gives every particle a stable
+    # identity matching the reference's fixed fluid array order — used for
+    # order-faithful quirk replication (nbh_viscosity) and stable export.
+    oid: jnp.ndarray  # (Nf,) int32
 
 
 class RigidBodyState(NamedTuple):
@@ -121,6 +126,7 @@ def init_sim_state(scene: Scene, extra: tuple = ()) -> SimState:
             pos=scene.fluid_pos0,
             vel=V3.zeros((n,)),
             acc=V3.zeros((n,)),
+            oid=jnp.arange(n, dtype=jnp.int32),
         ),
         rigid=init_rigid_state(scene),
         dt=jnp.asarray(scene.static.dt0, jnp.float32),
@@ -333,7 +339,8 @@ def rigid_contact_vel(st: SceneStatic, rigid: RigidBodyState, dt,
 
 def nbh_viscosity(st: SceneStatic, nbh: Nbh, vel: V3, rho: jnp.ndarray,
                   rigid: RigidBodyState, c_s: float, alpha: float,
-                  eps: float = 0.01) -> V3:
+                  eps: float = 0.01,
+                  oid: Optional[jnp.ndarray] = None) -> V3:
     """Monaghan artificial viscosity, applied only under compression
     (shear < 0); solid neighbors use V_j rho0 in place of m and the body
     linear velocity (reference solver_base.py:170-202, rigid_solver.py:97).
@@ -358,9 +365,15 @@ def nbh_viscosity(st: SceneStatic, nbh: Nbh, vel: V3, rho: jnp.ndarray,
         # Reference quirk: rho of a solid neighbor is read from the *fluid*
         # rho field at the rigid-local index (solver_base.py:187,199) — an
         # unrelated fluid particle's density. The reference's rho lives in
-        # fluid order; ours is cell-sorted, so restore original order first
-        # to read the same arbitrary particle every step.
-        rho_orig = unsort(nbh, rho)
+        # the fixed seeding order; ours is cell-sorted, so scatter back to
+        # seeding order via the persistent `oid` identity so the SAME
+        # arbitrary particle is read every step, exactly like the reference.
+        # (Without oid, `unsort` only restores the previous step's order,
+        # which drifts — kept as a fallback for oid-less callers.)
+        if oid is not None:
+            rho_orig = jnp.zeros_like(rho).at[oid].set(rho)
+        else:
+            rho_orig = unsort(nbh, rho)
         rho_quirk = rho_orig[jnp.clip(rigid_lid(st, nbh.idx), 0,
                                       st.n_fluid - 1)]
         pi_s = -(nu_num / (rho[:, None] + rho_quirk)) * shear_s / q2e

@@ -66,6 +66,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
     pos = nbh.pos
     vel = fluid.vel.take(nbh.perm)
+    oid = fluid.oid[nbh.perm]
     warm_k = warm_k[nbh.perm]
     n = st.n_fluid
     has_rigid = nbh.rigid_vol is not None
@@ -189,7 +190,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     # --- external forces + v_adv + adaptive dt (dfsph_solver.py:91-122) -----
     tension = base.nbh_tension(st, nbh, TENSION_K)
     viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
-                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
+                                   oid=oid)
     force_ext = base.gravity_acc(st) + tension + viscosity
     vel_adv = vel + force_ext * (dt / st.particle_m)
 
@@ -254,7 +256,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     return state._replace(
         overflow=nbh.overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(nbh.perm)),
+                              acc=fluid.acc.take(nbh.perm), oid=oid),
         rigid=rigid._replace(force=rigid_force),
         dt=dt,
         t=state.t + dt,

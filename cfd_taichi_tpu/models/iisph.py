@@ -52,6 +52,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
     pos = nbh.pos
     vel = fluid.vel.take(nbh.perm)
+    oid = fluid.oid[nbh.perm]
     p_past = p_past[nbh.perm]
     has_rigid = nbh.rigid_vol is not None
 
@@ -64,7 +65,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     rho = base.nbh_rho(st, nbh)
     tension = base.nbh_tension(st, nbh, TENSION_K)
     viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
-                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
+                                   oid=oid)
     f_adv = base.gravity_acc(st) + tension + viscosity
     v_adv = vel + f_adv * (dt / st.particle_m)
 
@@ -222,7 +224,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     return state._replace(
         overflow=nbh.overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(nbh.perm)),
+                              acc=fluid.acc.take(nbh.perm), oid=oid),
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,

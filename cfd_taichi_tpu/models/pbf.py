@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
 from cfd_taichi_tpu.ops import smoothing as sm
+from cfd_taichi_tpu.ops.vec import V3
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
 
 EPSILON = 1.0e-6          # pbf_solver.py:17
@@ -49,6 +50,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
     pos = nbh.pos
+    oid = fluid.oid[nbh.perm]
 
     # PBF is fluid-fluid (+ Akinci boundary) only.
     mask_f = nbh.mask_f
@@ -110,18 +112,22 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     new_pos = pos_predict
 
     # XSPH over updated positions/velocities (deterministic resolution of
-    # the reference's in-kernel race, see module docstring).
-    d_new = (new_pos.expand(1) - base.jf_v3(st, nbh, new_pos)).norm()
+    # the reference's in-kernel race, see module docstring). ONE 6-lane
+    # packed row gather for both fields: six single-lane gathers measure
+    # ~5x slower per index (base.jf_pack note).
+    pjx, pjy, pjz, vjx, vjy, vjz = base.jf_pack(
+        st, nbh, new_pos.x, new_pos.y, new_pos.z,
+        new_vel.x, new_vel.y, new_vel.z)
+    d_new = (new_pos.expand(1) - V3(pjx, pjy, pjz)).norm()
     w_x = sm.poly6_w(d_new, st.h)
-    v_j = base.jf_v3(st, nbh, new_vel)
-    dv = v_j - new_vel.expand(1)
+    dv = V3(vjx, vjy, vjz) - new_vel.expand(1)
     xsph = (dv * w_x).msum(mask_f)
     new_vel = new_vel + XSPH_C * xsph
 
     return state._replace(
         overflow=nbh.overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(nbh.perm)),
+                              acc=fluid.acc.take(nbh.perm), oid=oid),
         t=state.t + dt,
         step_count=state.step_count + 1,
     )

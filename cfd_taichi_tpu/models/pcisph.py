@@ -73,13 +73,15 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
     pos = nbh.pos
     vel = fluid.vel.take(nbh.perm)
+    oid = fluid.oid[nbh.perm]
     has_rigid = nbh.rigid_vol is not None
 
     # --- external forces (pcisph_solver.py:220-226) -------------------------
     rho = base.nbh_rho(st, nbh)
     tension = base.nbh_tension(st, nbh, TENSION_K)
     viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
-                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
+                                   oid=oid)
     ext_force = base.gravity_acc(st) + tension + viscosity
 
     # Loop-invariant pair geometry (the pressure-force pass always evaluates
@@ -187,7 +189,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     return state._replace(
         overflow=nbh.overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(nbh.perm)),
+                              acc=fluid.acc.take(nbh.perm), oid=oid),
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,

@@ -48,6 +48,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
     pos = nbh.pos
     vel = fluid.vel.take(nbh.perm)
+    oid = fluid.oid[nbh.perm]
 
     # --- pressure phase (reference wcsph_solver.py:32-38) -------------------
     rho = base.nbh_rho(st, nbh)
@@ -74,7 +75,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     pressure_acc = base.sum_vec(nbh.x, scale)
 
     viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
-                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
+                                   oid=oid)
     tension = base.nbh_tension(st, nbh, TENSION_K)
 
     # --- kinematic phase (reference wcsph_solver.py:40-63) ------------------
@@ -90,7 +92,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     return state._replace(
         overflow=nbh.overflow,
-        fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=acc),
+        fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=acc, oid=oid),
         rigid=rigid._replace(force=force),
         t=state.t + dt,
         step_count=state.step_count + 1,

@@ -87,9 +87,12 @@ class NeighborList(NamedTuple):
     # callers need no further per-element gathers: Optional V3 of (Nq, K).
     spos: Optional[V3] = None
     # Max candidates dropped by the stencil-prune phase (k2 cap) across all
-    # queries: () int32. Nonzero means `count` undercounts and pairs were
-    # lost — surfaced through the same overflow telemetry as K/cell caps.
-    dropped: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # queries: () int32 (None when no prune ran, e.g. brute force). Nonzero
+    # means `count` undercounts and pairs were lost — surfaced through the
+    # same overflow telemetry as K/cell caps. Default is None (not a device
+    # array): a device-array class default would materialize at import time
+    # and force backend init for host-only work.
+    dropped: Optional[jnp.ndarray] = None
 
 
 def cell_id(pos: V3, grid: GridSpec) -> jnp.ndarray:
@@ -279,6 +282,14 @@ def find_neighbors(pos_q: V3, qid, pos_src: V3, table: CellTable,
     count or candidate width.
     """
     Nq = pos_q.x.shape[0]
+    if 0 < k2 <= K:
+        # The final top_k compacts the k2-wide pruned candidates to K slots;
+        # k2 <= K would make top_k's k exceed its axis size and crash at
+        # trace time with an opaque XLA error. (scene.neighbor_capacities
+        # already guards this for its own outputs; validate for direct
+        # callers of the public API too.)
+        raise ValueError(f"k2 ({k2}) must exceed K ({K}) when the "
+                         f"stencil-prune phase is enabled, or be 0")
     width = k2 if 0 < k2 < 27 * cell_cap else 27 * cell_cap
     if block is None:
         block = max(1024, (1 << 21) // width)
@@ -298,7 +309,14 @@ def find_neighbors(pos_q: V3, qid, pos_src: V3, table: CellTable,
 
     nblk = -(-Nq // block)
     pad = nblk * block - Nq
-    pos_b = V3(*(jnp.pad(c, (0, pad)).reshape(nblk, block)
+    # Pad queries with the LAST real query (edge mode), not zeros: a
+    # zero-padded row queries the (0,0,0) corner — where the boundary shell
+    # is densest — and the `dropped` reduction is a max over all rows
+    # including pads, so zero pads could report phantom stencil-prune drops
+    # for a k2 sized to the real queries. An edge pad duplicates a real row
+    # and cannot exceed its drop count. (count/mask/idx are sliced to [:Nq]
+    # either way; only the telemetry scalar was exposed.)
+    pos_b = V3(*(jnp.pad(c, (0, pad), mode="edge").reshape(nblk, block)
                  for c in pos_q.astuple()))
     qid_b = jnp.pad(qid, (0, pad), constant_values=-2).reshape(nblk, block)
     idx, mask, count, spos_v, dropped = jax.lax.map(

@@ -90,6 +90,38 @@ def test_lattice_neighbor_count():
     assert counts[0, 0, 0] < 32   # corner has fewer
 
 
+def test_k2_must_exceed_K():
+    # 0 < k2 <= K would crash the final top_k at trace time with an opaque
+    # XLA error; find_neighbors validates it for direct API callers.
+    import pytest
+
+    pos = V3.from_rows(_random_cloud(50, (1, 1, 1), seed=7))
+    grid = nb.grid_for_box((0, 0, 0), (1, 1, 1), 0.1)
+    table = nb.build_cell_table(pos, grid)
+    with pytest.raises(ValueError, match="k2"):
+        nb.find_neighbors(pos, None, pos, table, grid, K=48, cell_cap=32,
+                          k2=32)
+
+
+def test_block_pad_rows_cannot_inflate_dropped():
+    # Blockwise queries pad the tail block with the LAST query (edge mode).
+    # Cluster the sources in one dense corner cell and place the queries far
+    # away: a zero-pad would query the dense (0,0,0) corner and report
+    # phantom stencil-prune drops for a k2 sized to the real queries.
+    h = 0.1
+    rng = np.random.default_rng(11)
+    dense = rng.uniform(0.0, h, size=(120, 3)).astype(np.float32)
+    src = V3.from_rows(dense)
+    q = V3.from_rows(
+        rng.uniform(0.8, 0.9, size=(37, 3)).astype(np.float32))  # 37 % 16 != 0
+    grid = nb.grid_for_box((0, 0, 0), (1, 1, 1), h)
+    table = nb.build_cell_table(src, grid)
+    res = nb.find_neighbors(q, None, src, table, grid, K=16, cell_cap=128,
+                            k2=32, block=16)
+    assert int(np.asarray(res.dropped)) == 0
+    assert int(np.asarray(res.count).max()) == 0  # queries are empty space
+
+
 def test_cell_table_is_permutation():
     h = 0.1
     pos = V3.from_rows(_random_cloud(300, (1, 1, 1), seed=4))
