@@ -161,6 +161,15 @@ def builtin_mesh(name: str):
       * ``box:<x>x<y>x<z>``   — axis-aligned box of the given extents
       * ``ball``              — sphere of diameter 0.5 in [0,0.5]^3
                                 (obj/ball.STL extents)
+      * ``torus``             — non-convex torus, major R=0.15 minor r=0.06,
+                                hole along +y, shifted into the positive
+                                octant (bbox [0,0.42]x[0,0.12]x[0,0.42]).
+                                The non-convex analogue of the reference's
+                                spot.obj / stanford-bunny.obj assets
+                                (reference ParticleSystem.py:42-50) —
+                                exercises the parity-fill voxelizer on a
+                                body whose convex hull differs from it.
+      * ``torus:<R>x<r>``     — torus with given major/minor radii
     """
     if name == "cube":
         return _box_mesh(1.0, 1.0, 1.0)
@@ -174,6 +183,18 @@ def builtin_mesh(name: str):
     if name == "ball":
         verts, faces = _icosphere(subdiv=3)
         return (verts * 0.25 + 0.25).astype(np.float32), faces
+    if name == "torus" or name.startswith("torus:"):
+        if name == "torus":
+            R, r = 0.15, 0.06
+        else:
+            parts = name[len("torus:"):].split("x")
+            if len(parts) != 2:
+                raise ValueError(f"builtin torus needs RxR: {name}")
+            R, r = float(parts[0]), float(parts[1])
+        verts, faces = _torus_mesh(R, r)
+        # Shift into the positive octant like the other builtins.
+        verts = verts - verts.min(axis=0, keepdims=True)
+        return verts.astype(np.float32), faces
     raise ValueError(f"Unknown builtin mesh: {name!r}")
 
 
@@ -191,6 +212,28 @@ def _box_mesh(ex: float, ey: float, ez: float):
         [1, 5, 7], [1, 7, 3],   # z = ez
     ], np.int32)
     return corners, faces
+
+
+def _torus_mesh(R: float, r: float, n_u: int = 48, n_v: int = 24):
+    """Torus of major radius R (in the xz plane, hole along +y) and minor
+    radius r, centered at the origin: n_u x n_v quad lattice split into
+    triangles with outward orientation."""
+    u = np.arange(n_u, dtype=np.float64) * (2.0 * np.pi / n_u)
+    v = np.arange(n_v, dtype=np.float64) * (2.0 * np.pi / n_v)
+    uu, vv = np.meshgrid(u, v, indexing="ij")         # (n_u, n_v)
+    ring = R + r * np.cos(vv)
+    verts = np.stack([ring * np.cos(uu),
+                      r * np.sin(vv),
+                      ring * np.sin(uu)], axis=-1).reshape(-1, 3)
+    faces = []
+    for i in range(n_u):
+        for k in range(n_v):
+            a = i * n_v + k
+            b = ((i + 1) % n_u) * n_v + k
+            c = ((i + 1) % n_u) * n_v + (k + 1) % n_v
+            d = i * n_v + (k + 1) % n_v
+            faces += [[a, b, c], [a, c, d]]
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
 
 
 def _icosphere(subdiv: int = 3):

@@ -139,6 +139,34 @@ def test_voxelize_ball_volume():
     assert 0.9 * sphere_vol < vol < 1.1 * dilated_vol
 
 
+def test_voxelize_torus_nonconvex():
+    """The parity fill on a genuinely NON-convex body (the builtin torus —
+    the repo's analogue of the reference's spot.obj/stanford-bunny.obj,
+    reference ParticleSystem.py:42-50): the hole must stay empty even
+    though it is inside the convex hull, and the filled volume must match
+    the analytic torus volume 2 pi^2 R r^2."""
+    R, r = 0.15, 0.06
+    verts, faces = geo.load_mesh("builtin:torus")
+    ext = verts.max(0) - verts.min(0)
+    np.testing.assert_allclose(ext, [2 * (R + r), 2 * r, 2 * (R + r)],
+                               atol=2e-3)
+    pitch = r / 4.0
+    pts = geo.voxelize_mesh(verts, faces, pitch, fill=True)
+    vol = pts.shape[0] * pitch**3
+    torus_vol = 2 * np.pi**2 * R * r**2
+    dilated_vol = 2 * np.pi**2 * (R) * (r + pitch) ** 2
+    assert 0.9 * torus_vol < vol < 1.1 * dilated_vol
+    # Non-convexity: no voxel near the hole axis (center of the bbox),
+    # although that point is deep inside the convex hull.
+    center = (verts.min(0) + verts.max(0)) / 2.0
+    d_axis = np.linalg.norm(pts[:, [0, 2]] - center[None, [0, 2]], axis=1)
+    near_axis = d_axis < (R - r) * 0.5
+    assert not near_axis.any()
+    # And the fill is not just a shell: strictly more voxels than unfilled.
+    shell = geo.voxelize_mesh(verts, faces, pitch, fill=False)
+    assert pts.shape[0] > shell.shape[0] * 1.3
+
+
 def test_kernel_sum_np_matches_brute_force():
     """Host-numpy kernel sums (scene-build boundary/rigid volumes) vs O(N^2),
     on a lattice-aligned set — pins the f32-vs-f64 floor regression where

@@ -109,3 +109,27 @@ def test_inactive_rigid_is_ignored():
     # Rigid body untouched; fluid unaffected by it.
     np.testing.assert_array_equal(np.asarray(sim.state.rigid.vel), 0.0)
     assert sim.telemetry()["nan_particles"] == 0
+
+
+def test_nonconvex_torus_coupling():
+    """Rigid-fluid coupling with a genuinely NON-convex voxelized body (the
+    builtin torus; the reference ships spot.obj/stanford-bunny.obj for this
+    role, ParticleSystem.py:42-50): scene builds through the parity-fill
+    voxelizer, mass properties are sane, and the coupled sim stays finite."""
+    sim = make_rigid_sim(**{"solid.mesh": "builtin:torus",
+                            "solid.scale": 1.0,
+                            "solid.voxel_radius": 0.015,
+                            "solid.rho_0": 400,
+                            "solid.pos_offset": [0.4, 0.6, 0.4]})
+    st = sim.scene.static
+    assert st.n_rigid > 100
+    # Torus inertia about the hole axis (y) exceeds the transverse ones.
+    inertia = np.asarray(sim.scene.rigid.inertia)
+    assert inertia[1, 1] > inertia[0, 0]
+    assert inertia[1, 1] > inertia[2, 2]
+    c0 = np.asarray(sim.state.rigid.centroid).copy()
+    for _ in range(25):
+        sim.frame()
+    assert np.asarray(sim.state.rigid.centroid)[1] < c0[1]  # falls
+    assert sim.telemetry()["nan_particles"] == 0
+    assert np.isfinite(sim.state.rigid.pos.to_numpy()).all()
