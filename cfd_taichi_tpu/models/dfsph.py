@@ -19,11 +19,22 @@ Functional parity with the reference `dfsph_solver` (dfsph_solver.py:1-445):
   * position update with 0.9999 friction      (dfsph_solver.py:235-250)
 
 All three host loops (reference dfsph_solver.py:221-233, 393-416 with a
-device->host scalar sync per iteration) become on-device `lax.while_loop`s
-over the step's compact (N, K) neighbor lists (models/base.Nbh). The pair
-geometry and gradW factors are loop-invariant (positions are fixed during
-both solves) and are computed once outside the loops; each iteration is then
-a handful of (N, K) gathers + fused VPU math.
+device->host scalar sync per iteration) become on-device `lax.while_loop`s.
+Both loop operators are LINEAR in the per-particle field being iterated
+(the stiffness k and the velocity v) against coefficients that are fixed
+for the whole step (positions are frozen during the solves), so the
+iterations run as block-banded MXU matvecs over a per-step coefficient
+matrix (ops/bandmat — measured ~5x cheaper per iteration than the round-2
+(N, K) packed gathers; see bandmat's module docstring for the design and
+the documented 1e-5 pair-guard deviation). Solid/boundary contributions
+enter through per-particle constant vectors hoisted out of the loops:
+
+  delta(k) = k * (S_f + S_s + S_b) + bandmat.matvec(band, k)
+  drho(v)  = v . (S_f + S_s + S_b) - bandmat.matvec_dot(band, v) - C_s
+
+with S_f = Sigma_f wf gradW (the band row sums), S_s = Sigma_s ws gradW,
+S_b = Sigma_b wb gradW, and C_s = Sigma_s ws v_contact_j . gradW (constant
+within each loop because the rigid contact velocity is).
 """
 
 from __future__ import annotations
@@ -32,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
+from cfd_taichi_tpu.ops import bandmat
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
@@ -56,6 +68,55 @@ ADAPTIVE_DT = True
 def init_state(scene: Scene) -> base.SimState:
     warm_k = jnp.zeros(scene.static.n_fluid, jnp.float32)
     return base.init_sim_state(scene, extra=(warm_k,))
+
+
+def loop_operators(band: bandmat.BandA, S: V3, counts: jnp.ndarray,
+                   resid_mask=None, allreduce=None):
+    """The DFSPH loop algebra, defined ONCE for both the single-chip and
+    the sharded solver (parallel/domain.py) so the two can never drift:
+
+      stiff_vel_delta(k) = k * S + band matvec          (velocity change
+          per unit dt for a stiffness field k; dfsph_solver.py:302-379)
+      rho_derivative(v, c_s) -> (dr, avg)               (clamped density
+          rate + its positive average; dfsph_solver.py:252-300)
+
+    `S` must already include the solid/boundary self-side sums; `c_s` is
+    the loop-constant solid contact-velocity dot (0 when fluid-only).
+    `resid_mask` restricts the residual average to locally-owned rows
+    (sharded path); `allreduce` sums residual scalars across shards
+    (lax.psum) — identity when None."""
+    red = allreduce if allreduce is not None else (lambda x: x)
+
+    def stiff_vel_delta(k_over_rho):
+        return S * k_over_rho + bandmat.matvec(band, k_over_rho)
+
+    def vel_dot_terms(v: V3, c_s):
+        return (v.x * S.x + v.y * S.y + v.z * S.z
+                - bandmat.matvec_dot(band, v) - c_s)
+
+    def rho_derivative(v: V3, c_s):
+        dr = vel_dot_terms(v, c_s)
+        dr = jnp.where(counts < MIN_NEIGHBORS, 0.0, jnp.maximum(dr, 0.0))
+        pos = dr > 0.0
+        sel = pos if resid_mask is None else (resid_mask & pos)
+        cnt = red(jnp.sum(sel))
+        tot = red(jnp.sum(jnp.where(sel, dr, 0.0)))
+        avg = jnp.where(cnt > 0, tot / cnt, 0.0)
+        return dr, avg
+
+    def rho_adv_residual(rho, dt, v_adv: V3, c_s):
+        """rho_adv = max(rho + dt*drho, rho0) + its unclamped average
+        (dfsph_solver.py:125-152)."""
+        d = vel_dot_terms(v_adv, c_s)
+        rho_adv = jnp.maximum(rho + dt * d, RHO_0)
+        uncl = rho_adv != RHO_0
+        sel = uncl if resid_mask is None else (resid_mask & uncl)
+        cnt = red(jnp.sum(sel))
+        tot = red(jnp.sum(jnp.where(sel, rho_adv, 0.0)))
+        avg = jnp.where(cnt > 0, tot / cnt, jnp.float32(RHO_0))
+        return rho_adv, avg
+
+    return stiff_vel_delta, vel_dot_terms, rho_derivative, rho_adv_residual
 
 
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
@@ -98,74 +159,43 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         denom = denom + qb + sb_vec.dot(sb_vec)
     alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
 
-    def stiff_vel_delta(k_over_rho, extra_fluid_guard=False):
-        """Sum_f m (ki/ri + kj/rj) gradW + Sum_s V rho0 ki/ri gradW + rho0 *
-        Sum_b V_b ki/ri gradW. Returns (delta V3 (N,), solid pair scale or
-        None). One (N, K) gather + fused VPU math per call.
+    # --- per-step band matrix + hoisted loop-constant vectors ---------------
+    # Both loop operators are linear maps against step-fixed coefficients
+    # (module docstring): S = S_f + S_s + S_b is the self-side coefficient,
+    # the band matvec carries the neighbor side.
+    band = bandmat.build_band(nbh.pos, nbh.idx, nbh.mask_f, h=st.h,
+                              m=st.particle_m, nbcap=st.band_nb,
+                              B=st.band_B)
+    S = band.s
+    if has_rigid:
+        S = S + base.sum_vec(gx, ws)
+    if st.akinci:
+        S = S + sb_vec
 
-        The gather is a 4-lane pack with distinct rider fields: XLA rewrites
-        single-lane gathers inside while bodies to a ~2.5x-slower emitter
-        (measured 15 ms vs 6 ms per in-loop (N,64) gather on-chip), and
-        dedups packs of identical arrays back to single-lane."""
-        ki = k_over_rho[:, None]
-        kj, _, _, _ = base.jf_pack(st, nbh, k_over_rho, rho, alpha,
-                                   k_over_rho * alpha)
-        kij = ki + kj
-        w = wf * kij
-        if extra_fluid_guard:
-            w = jnp.where(kij > 1e-5, w, 0.0)
-        s_scale = None
-        if has_rigid:
-            s_scale = ws * ki
-            w = w + s_scale
-        if st.akinci:
-            out_b = base.sum_vec(gb, wb * ki)
-        delta = base.sum_vec(gx, w)
-        if st.akinci:
-            delta = delta + out_b
-        return delta, s_scale
+    stiff_vel_delta, vel_dot_terms, rho_derivative, rho_adv_residual = \
+        loop_operators(band, S, nbh.count)
 
-    def vel_dot_terms(v: V3, v_r: V3 | None):
-        """sum w_j (v_i - v_j) . gradW (+ boundary with v_j = 0) -> (N,)
-        density-rate. v_r: per-rigid-particle contact velocity (Nr,)."""
-        if has_rigid:
-            v_all = V3(jnp.concatenate([v.x, v_r.x]),
-                       jnp.concatenate([v.y, v_r.y]),
-                       jnp.concatenate([v.z, v_r.z]))
-        else:
-            v_all = v
-        # 4-lane pack (see stiff_vel_delta note); the 4th lane is a distinct
-        # rider so XLA can neither dedup nor split the pack.
-        vjx, vjy, vjz, _ = base.jall_pack(nbh, v_all.x, v_all.y, v_all.z,
-                                          v_all.x + v_all.y)
-        v_ij = v.expand(1) - V3(vjx, vjy, vjz)
-        d = jnp.sum(coeff_fs * v_ij.dot(gx), axis=1)
-        if st.akinci:
-            d = d + jnp.sum(
-                wb * (v.x[:, None] * gb.x + v.y[:, None] * gb.y
-                      + v.z[:, None] * gb.z), axis=1)
-        return d
-
-    def rho_derivative(v: V3, include_alpha: bool):
-        """max(drho/dt, 0) with the <20-neighbor skip and positive-average
-        residual (dfsph_solver.py:252-300)."""
-        v_r = (base.rigid_contact_vel(st, rigid, dt, include_alpha)
-               if has_rigid else None)
-        dr = vel_dot_terms(v, v_r)
-        dr = jnp.where(nbh.count < MIN_NEIGHBORS, 0.0, jnp.maximum(dr, 0.0))
-        pos_mask = dr > 0.0
-        cnt = jnp.sum(pos_mask)
-        avg = jnp.where(cnt > 0,
-                        jnp.sum(jnp.where(pos_mask, dr, 0.0)) / cnt, 0.0)
-        return dr, avg
+    def solid_dot_const(include_alpha: bool):
+        """C_s = Sum_s ws (v_contact_j . gradW) — constant within each
+        pressure loop (the rigid contact velocity only depends on dt and
+        the rigid state, reference dfsph_solver.py:163-170,288-294)."""
+        if not has_rigid:
+            return jnp.float32(0.0)
+        v_r = base.rigid_contact_vel(st, rigid, dt, include_alpha)
+        lid = base.rigid_lid(st, nbh.idx)
+        tbl = jnp.stack([v_r.x, v_r.y, v_r.z, v_r.x + v_r.y], axis=0)
+        rows = tbl[:, lid]
+        return jnp.sum(jnp.where(nbh.mask_s,
+                                 ws * (rows[0] * gx.x + rows[1] * gx.y
+                                       + rows[2] * gx.z), 0.0), axis=1)
 
     # --- divergence solve (dfsph_solver.py:393-416) -------------------------
     if WARM_START:
-        delta, _ = stiff_vel_delta((warm_k / dt) / rho)
-        vel = vel - delta * dt
+        vel = vel - stiff_vel_delta((warm_k / dt) / rho) * dt
         warm_k = jnp.zeros_like(warm_k)
 
-    dr0, avg0 = rho_derivative(vel, include_alpha=False)
+    cs_div = solid_dot_const(include_alpha=False)
+    dr0, avg0 = rho_derivative(vel, cs_div)
 
     def div_cond(carry):
         _, _, _, avg, _, stop, it = carry
@@ -175,10 +205,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     def div_body(carry):
         v, wk, dr, avg, past, _, it = carry
         k_over_rho = (dr * alpha / dt) / rho
-        delta, _ = stiff_vel_delta(k_over_rho, extra_fluid_guard=True)
-        v = v - delta * dt
+        v = v - stiff_vel_delta(k_over_rho) * dt
         wk = wk + dr * alpha          # sum_up_stiff (dfsph_solver.py:381-384)
-        new_dr, new_avg = rho_derivative(v, include_alpha=False)
+        new_dr, new_avg = rho_derivative(v, cs_div)
         stop = jnp.abs(new_avg - avg) < STALL_EPS
         return (v, wk, new_dr, new_avg, avg, stop, it + 1)
 
@@ -208,18 +237,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     dt2 = dt * dt
 
     # --- density solve (dfsph_solver.py:221-233) ----------------------------
-    def rho_adv_of(v_adv: V3):
-        d = vel_dot_terms(
-            v_adv, base.rigid_contact_vel(st, rigid, dt, include_alpha=True)
-            if has_rigid else None)
-        rho_adv = jnp.maximum(rho + dt * d, RHO_0)
-        unclamped = rho_adv != RHO_0
-        cnt = jnp.sum(unclamped)
-        avg = jnp.where(cnt > 0,
-                        jnp.sum(jnp.where(unclamped, rho_adv, 0.0)) / cnt,
-                        jnp.float32(RHO_0))  # dfsph_solver.py:128
-        return rho_adv, avg
-
+    cs_den = solid_dot_const(include_alpha=True)
     den_thresh = DENSITY_THRESHOLD * RHO_0 * 0.01
 
     def den_cond(carry):
@@ -229,16 +247,15 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     def den_body(carry):
         v_adv, _, rforce, it = carry
-        rho_adv, avg = rho_adv_of(v_adv)
+        rho_adv, avg = rho_adv_residual(rho, dt, v_adv, cs_den)
         k_over_rho = ((rho_adv - RHO_0) * alpha / dt2) / rho
-        delta, s_scale = stiff_vel_delta(k_over_rho)
-        if s_scale is not None:
+        if has_rigid:
             # Rigid reaction accumulates every density iteration
             # (dfsph_solver.py:204-212).
-            contrib = gx * (s_scale * st.particle_m)
+            contrib = gx * (ws * k_over_rho[:, None] * st.particle_m)
             rforce = base.nbh_scatter_rigid_force(st, nbh, contrib,
                                                   nbh.mask_s, rforce)
-        v_adv = v_adv - delta * dt
+        v_adv = v_adv - stiff_vel_delta(k_over_rho) * dt
         return (v_adv, avg, rforce, it + 1)
 
     vel_adv, den_avg, rigid_force, den_iters = jax.lax.while_loop(
@@ -254,7 +271,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        overflow=nbh.overflow,
+        overflow=jnp.maximum(nbh.overflow, band.overflow),
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
                               acc=fluid.acc.take(nbh.perm), oid=oid),
         rigid=rigid._replace(force=rigid_force),

@@ -1,0 +1,195 @@
+"""Block-banded pair-coefficient matrices: the MXU formulation of the
+solver-loop SpMVs.
+
+Why this exists (measured on-chip, 2026-08-17, breaking_dam_30k hot phase):
+the iterative solvers' inner loops are linear in the neighbor values —
+each DFSPH iteration needs Sigma_j wf_ij (k_i + k_j) gradW_ij and
+Sigma_j wf_ij (v_i - v_j) . gradW_ij, i.e. two sparse matrix-vector
+products against a FIXED per-step coefficient matrix (positions are frozen
+during the pressure solves, reference dfsph_solver.py:221-233,393-416).
+The round-2 engine evaluated them as (N, K) packed gathers at ~382 M
+indices/s inside `lax.while_loop` bodies: ~7 ms per iteration at 29k
+particles, ~70% of the hot step. TPU gathers pay a fixed per-index cost
+(an 8-lane row gather costs only 1.28x a 4-lane one), so the fix is to
+stop paying per-pair indices every iteration.
+
+Formulation: queries live in cell-sorted order, so the neighbors of B=8
+consecutive queries cluster tightly in the sorted source index space —
+measured over a violent dam-break neighborhood: they fit in <= 11 blocks
+of 128 consecutive source slots (avg 7.4). Per query block we store the
+covering source-block list (the "block plan") and a DENSE (B, nb*128)
+coefficient matrix A = wf * gradW (zero for non-pairs). A solver
+iteration is then:
+
+    window = vals.reshape(nblocks, 128)[blk]        # nb row-indices/group
+    out    = einsum('qbw,qw->qb', A, window)        # MXU, HBM-bound on A
+
+~44k row indices + ~1 GB of sequential A reads per iteration instead of
+2.8M gathered indices: ~1.3 ms vs ~7 ms per iteration. A is built once
+per step by a dense (QB, B, W) pair pass over the block windows (~45M
+slot evaluations at dense-VPU rates), not by scattering the (N, K) list.
+
+Correctness: the dense pass masks by distance <= h, slot validity, and
+self-exclusion — the same criteria as `ops.neighbors.find_neighbors` — so
+when no capacity overflows anywhere (K, cell caps, and the block-plan
+capacity `nbcap`, all counted), the covered pair set is IDENTICAL to the
+compact (N, K) list's. Plan overflow is counted on-device and must be
+surfaced like every other capacity (analogue of the reference's 512-entry
+cell capacity, ParticleSystem.py:103).
+
+Parity note (documented deviation): DFSPH's divergence iteration guards
+pair terms by (k_i + k_j) > 1e-5 (reference dfsph_solver.py — the
+`stiff_vel_delta` fluid guard). That per-pair nonlinearity cannot ride a
+fixed matrix. Since k >= 0 always holds in both loops (dr and rho_adv
+excesses are clamped at 0), the guarded-out terms are each bounded by
+1e-5 * wf * |gradW|, i.e. orders of magnitude below f32 round-off of the
+accumulated delta; the matvec path omits the guard.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cfd_taichi_tpu.ops import smoothing as sm
+from cfd_taichi_tpu.ops.vec import V3
+
+BLOCK = 128          # source slots per block (one lane row)
+BLOCK_SHIFT = 7
+
+
+class BandA(NamedTuple):
+    """Per-step block-banded coefficient matrix over fluid-fluid pairs."""
+    blk: jnp.ndarray       # (QB, nbcap) int32 — covering source-block ids,
+    #                        ascending; 0 (and masked) beyond the real count
+    nb_mask: jnp.ndarray   # (QB, nbcap) bool
+    ax: jnp.ndarray        # (QB, B, W) f32 — wf * dW/dx  (W = nbcap * 128)
+    ay: jnp.ndarray
+    az: jnp.ndarray
+    s: V3                  # (N,) row sums Sigma_j wf gradW_ij
+    overflow: jnp.ndarray  # () int32 — block-plan capacity overflow
+
+    @property
+    def B(self) -> int:
+        return self.ax.shape[1]
+
+    @property
+    def n(self) -> int:
+        return self.s.x.shape[0]
+
+
+def plan_blocks(idx: jnp.ndarray, mask: jnp.ndarray, n: int,
+                B: int, nbcap: int):
+    """Covering source-block lists per B-query group, from the step's
+    compact (N, K) neighbor list (fluid pairs only: `mask` must already
+    exclude rigid/boundary slots).
+
+    Returns (blk (QB, nbcap) ascending ids, nb_mask, overflow)."""
+    N, K = idx.shape
+    nblocks = -(-n // BLOCK)
+    QB = -(-N // B)
+    pad_rows = QB * B - N
+    b = jnp.where(mask, idx >> BLOCK_SHIFT, nblocks).astype(jnp.int32)
+    if pad_rows:
+        b = jnp.pad(b, ((0, pad_rows), (0, 0)), constant_values=nblocks)
+    bq = b.reshape(QB, B * K)
+    bs = jnp.sort(bq, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((QB, 1), bool), bs[:, 1:] != bs[:, :-1]], axis=1)
+    uniq = first & (bs < nblocks)
+    overflow = jnp.maximum(
+        jnp.max(jnp.sum(uniq, axis=1)) - nbcap, 0).astype(jnp.int32)
+    # top_k over (nblocks - id) keeps the SMALLEST block ids and returns
+    # them in ascending order; invalid slots get non-positive keys.
+    col = jnp.arange(B * K, dtype=jnp.int32)[None, :]
+    key = jnp.where(uniq, nblocks - bs, -col)
+    topkey, _ = jax.lax.top_k(key, nbcap)
+    nb_mask = topkey > 0
+    blk = jnp.where(nb_mask, nblocks - topkey, 0)
+    return blk, nb_mask, overflow
+
+
+def _window(blk: jnp.ndarray, vals: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Gather the per-group value windows: (n,) -> (QB, nbcap*128)."""
+    nblocks = -(-n // BLOCK)
+    vb = jnp.pad(vals, (0, nblocks * BLOCK - n)).reshape(nblocks, BLOCK)
+    QB, nbcap = blk.shape
+    return vb[blk].reshape(QB, nbcap * BLOCK)
+
+
+def build_band(pos_s: V3, idx: jnp.ndarray, mask_f: jnp.ndarray,
+               *, h: float, m: float, nbcap: int, B: int = 8,
+               src_valid: jnp.ndarray | None = None) -> BandA:
+    """Build the step's band matrix from CELL-SORTED fluid positions and
+    the compact list's fluid pairs (sorted order is what makes the block
+    plan small). The coefficients are recomputed densely from positions
+    over the block windows (NOT scattered from the (N, K) list): one
+    (QB, B, W) VPU pass, no per-pair scatter.
+
+    `src_valid` masks capacity-padding slots in fixed-capacity source sets
+    (the sharded path): padded slots sit at position 0 and would otherwise
+    alias real near-origin pairs."""
+    n = pos_s.x.shape[0]
+    nblocks = -(-n // BLOCK)
+    nbcap = min(nbcap, nblocks)
+    blk, nb_mask, overflow = plan_blocks(idx, mask_f, n, B, nbcap)
+    QB = blk.shape[0]
+    W = nbcap * BLOCK
+
+    wx = _window(blk, pos_s.x, n).reshape(QB, 1, W)
+    wy = _window(blk, pos_s.y, n).reshape(QB, 1, W)
+    wz = _window(blk, pos_s.z, n).reshape(QB, 1, W)
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n)).reshape(QB, B, 1)
+
+    dx = q(pos_s.x) - wx
+    dy = q(pos_s.y) - wy
+    dz = q(pos_s.z) - wz
+    r2 = dx * dx + dy * dy + dz * dz
+
+    scol = (blk[:, :, None] * BLOCK
+            + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+            ).reshape(QB, 1, W)
+    qslot = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B, 1)
+    valid = (jnp.broadcast_to(nb_mask[:, :, None],
+                              (QB, nbcap, BLOCK)).reshape(QB, 1, W)
+             & (scol < n) & (qslot < n) & (scol != qslot)
+             & (r2 <= jnp.float32(h) * jnp.float32(h)))
+    if src_valid is not None:
+        valid &= _window(blk, src_valid, n).reshape(QB, 1, W)
+        vq = jnp.pad(src_valid, (0, QB * B - n)).reshape(QB, B, 1)
+        valid &= vq
+
+    r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+    w = jnp.where(valid, jnp.float32(m) * sm.cubic_grad_coeff(r, h), 0.0)
+    ax, ay, az = w * dx, w * dy, w * dz
+    s = V3(ax.sum(axis=2).reshape(-1)[:n],
+           ay.sum(axis=2).reshape(-1)[:n],
+           az.sum(axis=2).reshape(-1)[:n])
+    return BandA(blk=blk, nb_mask=nb_mask, ax=ax, ay=ay, az=az, s=s,
+                 overflow=overflow)
+
+
+def matvec(band: BandA, vals: jnp.ndarray) -> V3:
+    """(Sigma_j A_c,ij vals_j) per component c -> V3 of (N,)."""
+    n = band.n
+    win = _window(band.blk, vals, n)
+    out = [jnp.einsum("qbw,qw->qb", a, win,
+                      preferred_element_type=jnp.float32).reshape(-1)[:n]
+           for a in (band.ax, band.ay, band.az)]
+    return V3(*out)
+
+
+def matvec_dot(band: BandA, v: V3) -> jnp.ndarray:
+    """Sigma_c Sigma_j A_c,ij v_c,j -> (N,) — the gradW-dot-velocity sum."""
+    n = band.n
+    acc = None
+    for a, c in ((band.ax, v.x), (band.ay, v.y), (band.az, v.z)):
+        win = _window(band.blk, c, n)
+        t = jnp.einsum("qbw,qw->qb", a, win,
+                       preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    return acc.reshape(-1)[:n]

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from cfd_taichi_tpu.ops import bandmat
 from cfd_taichi_tpu.ops import neighbors as nb
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
@@ -65,6 +66,11 @@ class ShardedFluid(NamedTuple):
     pos: V3             # components (ndev*cap,)
     vel: V3
     mask: jnp.ndarray   # (ndev*cap,) bool — slot validity
+    # Max capacity overflow observed across shards in the last step (halo
+    # band / migration / neighbor-list / block-plan drops): () int32, or
+    # None before the first step. Nonzero means pairs or particles were
+    # LOST — the sharded analogue of the single-chip SimState.overflow.
+    overflow: jnp.ndarray | None = None
 
 
 def make_spec(st: SceneStatic, n_devices: int, slack: float = 1.7) -> ShardSpec:
@@ -133,11 +139,16 @@ def unshard(fluid: ShardedFluid):
 # ---------------------------------------------------------------------------
 
 def _pack_idx(select: jnp.ndarray, out_cap: int):
-    """Stable indices of the first `out_cap` selected rows + their validity."""
+    """Stable indices of the first `out_cap` selected rows + their validity
+    + the number of selected rows that did NOT fit (silent loss otherwise —
+    every capacity drop must be counted, like the single-chip
+    SimState.overflow)."""
     key = select.astype(jnp.int32)
     _, idx = jax.lax.top_k(key, out_cap)          # stable: first selected rows
     got = jnp.take(select, idx)
-    return idx, got
+    dropped = (jnp.sum(select.astype(jnp.int32))
+               - jnp.sum(got.astype(jnp.int32)))
+    return idx, got, dropped
 
 
 def _pack_with(idx, got, arrays: list):
@@ -146,9 +157,9 @@ def _pack_with(idx, got, arrays: list):
 
 def _pack(select: jnp.ndarray, arrays: list, out_cap: int):
     """Compact rows where `select` is True into the first slots of fixed-size
-    (out_cap,) buffers. Returns (packed_arrays, out_mask)."""
-    idx, got = _pack_idx(select, out_cap)
-    return _pack_with(idx, got, arrays), got
+    (out_cap,) buffers. Returns (packed_arrays, out_mask, dropped)."""
+    idx, got, dropped = _pack_idx(select, out_cap)
+    return _pack_with(idx, got, arrays), got, dropped
 
 
 def _ring_shift(x, direction: int):
@@ -165,15 +176,15 @@ def _exchange(spec: ShardSpec, arrays: list, select_left, select_right):
     from_right_mask) with the wrap-around edges masked off."""
     me = jax.lax.axis_index(AXIS)
     n = jax.lax.axis_size(AXIS)
-    packed_l, ml = _pack(select_left, arrays, spec.hcap)
-    packed_r, mr = _pack(select_right, arrays, spec.hcap)
+    packed_l, ml, drop_l = _pack(select_left, arrays, spec.hcap)
+    packed_r, mr, drop_r = _pack(select_right, arrays, spec.hcap)
     # Payload going right (right-edge band / right-crossers) arrives as the
     # receiver's from_left; symmetric for the other direction.
     from_left = [_ring_shift(t, +1) for t in packed_r + [mr]]
     from_right = [_ring_shift(t, -1) for t in packed_l + [ml]]
     fl_mask = jnp.where(me == 0, False, from_left[-1])
     fr_mask = jnp.where(me == n - 1, False, from_right[-1])
-    return from_left[:-1], fl_mask, from_right[:-1], fr_mask
+    return from_left[:-1], fl_mask, from_right[:-1], fr_mask, drop_l + drop_r
 
 
 class BandPlan(NamedTuple):
@@ -184,6 +195,7 @@ class BandPlan(NamedTuple):
     got_l: jnp.ndarray
     idx_r: jnp.ndarray
     got_r: jnp.ndarray
+    dropped: jnp.ndarray  # () int32 — band particles beyond hcap (lost!)
 
 
 def _band_plan(spec: ShardSpec, pos: V3, mask, h: float) -> BandPlan:
@@ -193,9 +205,9 @@ def _band_plan(spec: ShardSpec, pos: V3, mask, h: float) -> BandPlan:
     slab_hi = slab_lo + spec.slab_w
     send_left = mask & (x < slab_lo + 2.0 * h)
     send_right = mask & (x >= slab_hi - 2.0 * h)
-    idx_l, got_l = _pack_idx(send_left, spec.hcap)
-    idx_r, got_r = _pack_idx(send_right, spec.hcap)
-    return BandPlan(idx_l, got_l, idx_r, got_r)
+    idx_l, got_l, drop_l = _pack_idx(send_left, spec.hcap)
+    idx_r, got_r, drop_r = _pack_idx(send_right, spec.hcap)
+    return BandPlan(idx_l, got_l, idx_r, got_r, drop_l + drop_r)
 
 
 def _plan_exchange(spec: ShardSpec, plan: BandPlan, arrays: list):
@@ -228,7 +240,9 @@ def _halo_exchange(spec: ShardSpec, pos: V3, vel: V3, mask, h: float):
 def _migrate(spec: ShardSpec, arrays: list, mask):
     """Send boundary-crossing particles to ring neighbors and re-compact.
     `arrays[0:3]` must be the position components; extra per-particle state
-    (velocity, warm-start scalars, ...) rides along."""
+    (velocity, warm-start scalars, ...) rides along. Returns
+    (arrays, mask, dropped) — dropped counts particles lost to hcap/cap
+    capacity (surfaced as overflow; silent loss is not allowed)."""
     me = jax.lax.axis_index(AXIS)
     x = arrays[spec.axis]
     dev_of = jnp.clip(((x - spec.lo) / spec.slab_w).astype(jnp.int32),
@@ -237,14 +251,14 @@ def _migrate(spec: ShardSpec, arrays: list, mask):
     go_right = mask & (dev_of > me)
     stay = mask & ~go_left & ~go_right
 
-    fl, fl_m, fr, fr_m = _exchange(spec, arrays, go_left, go_right)
-    packed_stay, ms = _pack(stay, arrays, spec.cap)
+    fl, fl_m, fr, fr_m, drop_x = _exchange(spec, arrays, go_left, go_right)
+    packed_stay, ms, drop_s = _pack(stay, arrays, spec.cap)
 
     merged = [jnp.concatenate([s, a, b])
               for s, a, b in zip(packed_stay, fl, fr)]
     merged_mask = jnp.concatenate([ms, fl_m, fr_m])
-    final, mf = _pack(merged_mask, merged, spec.cap)
-    return final, mf
+    final, mf, drop_m = _pack(merged_mask, merged, spec.cap)
+    return final, mf, drop_x + drop_s + drop_m
 
 
 # ---------------------------------------------------------------------------
@@ -270,8 +284,8 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         pos = V3(px, py, pz)
         vel = V3(vx, vy, vz)
         bpos = V3(bx, by, bz)
-        halo_pos, halo_vel, halo_mask, _ = _halo_exchange(spec, pos, vel,
-                                                          mask, h)
+        halo_pos, halo_vel, halo_mask, plan = _halo_exchange(spec, pos, vel,
+                                                             mask, h)
         src_pos = V3(*(jnp.concatenate([a, b]) for a, b in
                        zip(pos.astuple(), halo_pos.astuple())))
         src_vel = V3(*(jnp.concatenate([a, b]) for a, b in
@@ -288,6 +302,15 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
                                   exclude_self=True, k2=st.k2)
         j = nlist.idx
         pair_mask = nlist.mask & src_mask[j] & src_mask[:, None]
+        # Every silent-loss channel counted (single-chip precedent:
+        # models/base.build_nbh overflow): K-list overflow on VALID rows,
+        # stencil-prune drops, cell occupancy, halo-band capacity.
+        k_over = jnp.max(jnp.where(src_mask, nlist.count, 0)) - st.K
+        occ = table.starts[1:] - table.starts[:-1]
+        cell_over = jnp.max(occ) - st.cell_cap
+        overflow = jnp.maximum(jnp.maximum(k_over, cell_over), 0)
+        overflow = jnp.maximum(overflow, nlist.dropped)
+        overflow = jnp.maximum(overflow, plan.dropped)
 
         x_ij = src_pos.expand(1) - nlist.spos
         r = x_ij.norm()
@@ -296,8 +319,10 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
             jnp.where(pair_mask, wk, 0.0), axis=1)
 
         if st.akinci:
-            btab = nb.build_cell_table(bpos, st.grid)
-            blist = nb.find_neighbors(src_pos, None, bpos, btab, st.grid,
+            # Static shell: reuse the scene's one-time boundary table
+            # (ParticleSystem.py:237-238) — do NOT rebuild per step.
+            blist = nb.find_neighbors(src_pos, None, bpos,
+                                      arrays.boundary_table, st.grid,
                                       K=st.bK, cell_cap=st.bcell_cap,
                                       k2=st.bk2)
             bj, bm = blist.idx, blist.mask
@@ -362,14 +387,16 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         new_pos = new_pos.where(mask, pos)
         new_vel = new_vel.where(mask, 0.0)
 
-        out, out_mask = _migrate(
+        out, out_mask, mig_drop = _migrate(
             spec, [*new_pos.astuple(), *new_vel.astuple()], mask)
-        return (*out, out_mask)
+        overflow = jax.lax.pmax(
+            jnp.maximum(overflow, mig_drop).astype(jnp.int32), AXIS)
+        return (*out, out_mask, overflow)
 
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(AXIS),) * 7 + (P(), P(), P(), P()),
-        out_specs=(P(AXIS),) * 7,
+        out_specs=(P(AXIS),) * 7 + (P(),),
         check_rep=False,
     )
 
@@ -378,7 +405,8 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         out = mapped(*fluid.pos.astuple(), *fluid.vel.astuple(), fluid.mask,
                      *arrays.boundary_pos.astuple(), arrays.boundary_volume)
         return ShardedFluid(pos=V3(out[0], out[1], out[2]),
-                            vel=V3(out[3], out[4], out[5]), mask=out[6])
+                            vel=V3(out[3], out[4], out[5]), mask=out[6],
+                            overflow=out[7])
 
     return step
 
@@ -394,6 +422,9 @@ class ShardedDFSPH(NamedTuple):
     dt: jnp.ndarray         # () — globally uniform (CFL via pmax)
     t: jnp.ndarray          # ()
     diag: jnp.ndarray       # (4,) [div_iters, div_avg, den_iters, den_err]
+    # Max capacity overflow across shards in the last step (halo band /
+    # migration / neighbor list / block plan): () int32. Nonzero = LOSS.
+    overflow: jnp.ndarray | None = None
 
 
 def init_sharded_dfsph(mesh: Mesh, spec: ShardSpec, st: SceneStatic,
@@ -451,8 +482,8 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         src_pos = V3(*(jnp.concatenate([a, b]) for a, b in
                        zip(pos.astuple(), halo_pos.astuple())))
         src_mask = jnp.concatenate([mask, halo_mask])
-        v = V3(*(jnp.concatenate([a, b]) for a, b in
-                 zip(vel0.astuple(), halo_vel.astuple())))
+        v_orig = V3(*(jnp.concatenate([a, b]) for a, b in
+                      zip(vel0.astuple(), halo_vel.astuple())))
         ns = src_mask.shape[0]
         slot = jnp.arange(ns, dtype=jnp.int32)
         owned = src_mask & (slot < cap)
@@ -472,35 +503,70 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
             out, _ = _plan_exchange(spec, plan, [vals_own])
             return out[0]
 
-        def full(vals_own):
-            return jnp.concatenate([vals_own, exch(vals_own)])
+        # --- local cell sort ------------------------------------------------
+        # The slab's slot order is migration-packed, i.e. arbitrary; the
+        # band-matrix engine (ops/bandmat) needs CELL-SORTED queries for its
+        # block locality, exactly like the single-chip build_nbh. Sort the
+        # local+halo set each step; owner<->sorted translation is two small
+        # index gathers per loop iteration.
+        cid = nb.cell_id(src_pos, st.grid)
+        cid = jnp.where(src_mask, cid, st.grid.num_cells)
+        perm = jnp.argsort(cid, stable=True).astype(jnp.int32)  # sorted->orig
+        inv = jnp.zeros((ns,), jnp.int32).at[perm].set(
+            jnp.arange(ns, dtype=jnp.int32))                    # orig->sorted
+        inv_own = inv[:cap]
+        spos = src_pos.take(perm)
+        smask = src_mask[perm]
+        s_upd = upd[perm]
+        s_owned = owned[perm]
+        sv = v_orig.take(perm)
 
-        # --- neighborhood (built once per step) -----------------------------
-        table = nb.build_cell_table(src_pos, st.grid, valid=src_mask)
+        def full_sorted(vals_own):
+            """Owner values (cap,) in ORIG slot order -> full sorted-space
+            vector (ns,): ghosts receive the owner-computed values through
+            the planned halo slots (one ppermute)."""
+            return jnp.concatenate([vals_own, exch(vals_own)])[perm]
+
+        def own_of(sorted_vals):
+            """Sorted-space field -> ORIG-order owned values (cap,)."""
+            return sorted_vals[inv_own]
+
+        # --- neighborhood + band matrix (built once per step) ---------------
+        table = nb.build_cell_table(spos, st.grid, valid=smask)
         qid = jnp.arange(ns, dtype=jnp.int32)
-        nl = nb.find_neighbors(src_pos, qid, src_pos, table, st.grid,
+        nl = nb.find_neighbors(spos, qid, spos, table, st.grid,
                                K=st.K, cell_cap=st.cell_cap,
                                exclude_self=True, k2=st.k2)
-        jmask = nl.mask & src_mask[nl.idx] & src_mask[:, None]
-        x_ij = src_pos.expand(1) - nl.spos
+        jmask = nl.mask & smask[nl.idx] & smask[:, None]
+        x_ij = spos.expand(1) - nl.spos
         r = x_ij.norm()
         gc = sm.cubic_grad_coeff(r, h)
         gx = V3(x_ij.x * gc, x_ij.y * gc, x_ij.z * gc)
         wf = jnp.where(jmask, jnp.float32(m), 0.0)
-        # Dynamic-set neighbor count (the reference's get_neighbour_count
-        # counts grid neighbors only, ParticleSystem.py:424-445).
         counts = jnp.sum(jmask, axis=1)
 
+        # Silent-loss channels counted (ADVICE r2; single-chip precedent:
+        # SimState.overflow): K overflow, prune drops, cell occupancy,
+        # halo-band capacity. Migration drops added after integration.
+        occ = table.starts[1:] - table.starts[:-1]
+        overflow = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.where(smask, nl.count, 0)) - st.K,
+                        jnp.max(occ) - st.cell_cap), 0)
+        overflow = jnp.maximum(overflow, nl.dropped)
+        overflow = jnp.maximum(overflow, plan.dropped)
+
         if st.akinci:
-            btab = arrays.boundary_table
-            blist = nb.find_neighbors(src_pos, None, bpos, btab, st.grid,
+            blist = nb.find_neighbors(spos, None, bpos,
+                                      arrays.boundary_table, st.grid,
                                       K=st.bK, cell_cap=st.bcell_cap,
                                       k2=st.bk2)
-            bxv = src_pos.expand(1) - blist.spos
+            bxv = spos.expand(1) - blist.spos
             br = bxv.norm()
             gcb = sm.cubic_grad_coeff(br, h)
             gb = V3(bxv.x * gcb, bxv.y * gcb, bxv.z * gcb)
             wb = jnp.where(blist.mask, RHO_0 * bvol[blist.idx], 0.0)
+            overflow = jnp.maximum(
+                overflow, jnp.max(jnp.where(smask, blist.count, 0)) - st.bK)
 
         # --- rho + alpha (dfsph_solver.py:423-426, 32-51) -------------------
         wkern = sm.cubic_w(r, h)
@@ -518,54 +584,36 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
             qb = jnp.sum((wb * gcb * br) ** 2, axis=1)
             denom = denom + qb + sb.dot(sb)
         alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
+        rho_own = own_of(rho)
+        alpha_own = own_of(alpha)
 
-        def stiff_delta(k_src, guard=False):
-            ki = k_src[:, None]
-            # 4-lane packed gather with distinct riders: in-loop single-lane
-            # gathers lower to a ~2.5x-slower emitter (models/dfsph.py note).
-            ktbl = jnp.stack([k_src, rho, alpha, k_src * alpha], axis=0)
-            kij = ki + ktbl[:, nl.idx][0]
-            w_ = wf * kij
-            if guard:
-                w_ = jnp.where(kij > 1e-5, w_, 0.0)
-            d = V3(jnp.sum(gx.x * w_, axis=1), jnp.sum(gx.y * w_, axis=1),
-                   jnp.sum(gx.z * w_, axis=1))
-            if st.akinci:
-                wbi = wb * ki
-                d = d + V3(jnp.sum(gb.x * wbi, axis=1),
-                           jnp.sum(gb.y * wbi, axis=1),
-                           jnp.sum(gb.z * wbi, axis=1))
-            return d
+        # The SAME loop algebra as the single-chip solver (D.loop_operators
+        # — defined once, cannot drift), with psum residuals over owned
+        # rows and the per-iteration owner->ghost stiffness exchange.
+        band = bandmat.build_band(spos, nl.idx, jmask, h=h, m=m,
+                                  nbcap=st.band_nb, B=st.band_B,
+                                  src_valid=smask)
+        overflow = jnp.maximum(overflow, band.overflow)
+        S = band.s
+        if st.akinci:
+            S = S + sb
+        psum = lambda x: jax.lax.psum(x, AXIS)  # noqa: E731
+        stiff_vel_delta, _, rho_derivative, rho_adv_residual = \
+            D.loop_operators(band, S, counts, resid_mask=s_owned,
+                             allreduce=psum)
 
-        def drho_of(vv: V3):
-            vtbl = jnp.stack([vv.x, vv.y, vv.z, vv.x + vv.y], axis=0)
-            vrows = vtbl[:, nl.idx]
-            vij = vv.expand(1) - V3(vrows[0], vrows[1], vrows[2])
-            d = jnp.sum(wf * vij.dot(gx), axis=1)
-            if st.akinci:
-                d = d + jnp.sum(wb * (vv.x[:, None] * gb.x
-                                      + vv.y[:, None] * gb.y
-                                      + vv.z[:, None] * gb.z), axis=1)
-            return d
-
-        def dr_resid(vv: V3):
-            dr = drho_of(vv)
-            dr = jnp.where(counts < D.MIN_NEIGHBORS, 0.0, jnp.maximum(dr, 0.0))
-            drp = jnp.where(owned & (dr > 0.0), dr, 0.0)
-            cnt = jax.lax.psum(jnp.sum(owned & (dr > 0.0)), AXIS)
-            tot = jax.lax.psum(jnp.sum(drp), AXIS)
-            return dr, jnp.where(cnt > 0, tot / cnt, 0.0)
+        def masked_step(vv: V3, delta: V3, dt_):
+            return V3(jnp.where(s_upd, vv.x - delta.x * dt_, vv.x),
+                      jnp.where(s_upd, vv.y - delta.y * dt_, vv.y),
+                      jnp.where(s_upd, vv.z - delta.z * dt_, vv.z))
 
         # --- divergence solve (dfsph_solver.py:393-416) ---------------------
         if D.WARM_START:
-            wk_k = (wk / dt) / rho[:cap]
-            delta = stiff_delta(full(wk_k))
-            v = V3(jnp.where(upd, v.x - delta.x * dt, v.x),
-                   jnp.where(upd, v.y - delta.y * dt, v.y),
-                   jnp.where(upd, v.z - delta.z * dt, v.z))
+            wk_k = (wk / dt) / rho_own
+            sv = masked_step(sv, stiff_vel_delta(full_sorted(wk_k)), dt)
             wk = jnp.zeros_like(wk)
 
-        dr0, avg0 = dr_resid(v)
+        dr0, avg0 = rho_derivative(sv, jnp.float32(0.0))
 
         def div_cond(c):
             _, _, _, avg, _, stop, it = c
@@ -574,25 +622,23 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
 
         def div_body(c):
             vv, wkk, dr, avg, past, _, it = c
-            k_own = (dr[:cap] * alpha[:cap] / dt) / rho[:cap]
-            delta = stiff_delta(full(k_own), guard=True)
-            vv = V3(jnp.where(upd, vv.x - delta.x * dt, vv.x),
-                    jnp.where(upd, vv.y - delta.y * dt, vv.y),
-                    jnp.where(upd, vv.z - delta.z * dt, vv.z))
-            wkk = wkk + dr[:cap] * alpha[:cap]
-            new_dr, new_avg = dr_resid(vv)
+            dr_own = own_of(dr)
+            k_own = (dr_own * alpha_own / dt) / rho_own
+            vv = masked_step(vv, stiff_vel_delta(full_sorted(k_own)), dt)
+            wkk = wkk + dr_own * alpha_own  # sum_up_stiff (381-384)
+            new_dr, new_avg = rho_derivative(vv, jnp.float32(0.0))
             stop = jnp.abs(new_avg - avg) < D.STALL_EPS
             return (vv, wkk, new_dr, new_avg, avg, stop, it + 1)
 
-        v, wk, _, div_avg, _, _, div_iters = jax.lax.while_loop(
+        sv, wk, _, div_avg, _, _, div_iters = jax.lax.while_loop(
             div_cond, div_body,
-            (v, wk, dr0, avg0, jnp.zeros(()), jnp.zeros((), bool),
+            (sv, wk, dr0, avg0, jnp.zeros(()), jnp.zeros((), bool),
              jnp.zeros((), jnp.int32)))
 
         # --- external forces + v_adv + CFL dt (dfsph_solver.py:91-122) ------
         tens = V3(*(jnp.sum(jnp.where(jmask, -D.TENSION_K * wkern, 0.0) * c,
                             axis=1) for c in x_ij.astuple())) * m
-        vij = v.expand(1) - v.take(nl.idx)
+        vij = sv.expand(1) - sv.take(nl.idx)
         shear = vij.dot(x_ij)
         q2e = r * r + 0.01 * h * h
         rho_j = rho[nl.idx]
@@ -604,9 +650,9 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
                   jnp.sum(vsc * x_ij.z, axis=1)) * m
         fext = tens + visc + V3(jnp.float32(0.0), jnp.float32(-st.gravity),
                                 jnp.float32(0.0))
-        v_adv_own = V3(*(vv[:cap] + fe[:cap] * (dt / m)
-                         for vv, fe in zip(v.astuple(), fext.astuple())))
-        v_adv = V3(*(full(c) for c in v_adv_own.astuple()))
+        v_adv_own = V3(*(own_of(vv) + own_of(fe) * (dt / m)
+                         for vv, fe in zip(sv.astuple(), fext.astuple())))
+        v_adv = V3(*(full_sorted(c) for c in v_adv_own.astuple()))
 
         max_vel = jax.lax.pmax(
             jnp.max(jnp.where(owned[:cap], v_adv_own.norm(), 0.0)), AXIS)
@@ -617,14 +663,6 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         dt2 = dt * dt
 
         # --- density solve (dfsph_solver.py:221-233) ------------------------
-        def rho_adv_of(vv: V3):
-            d = drho_of(vv)
-            rho_adv = jnp.maximum(rho + dt * d, RHO_0)
-            uncl = owned & (rho_adv != RHO_0)
-            cnt = jax.lax.psum(jnp.sum(uncl), AXIS)
-            tot = jax.lax.psum(jnp.sum(jnp.where(uncl, rho_adv, 0.0)), AXIS)
-            return rho_adv, jnp.where(cnt > 0, tot / cnt, jnp.float32(RHO_0))
-
         def den_cond(c):
             _, avg, it = c
             return (((it < D.MIN_ITER_DENSITY)
@@ -633,12 +671,9 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
 
         def den_body(c):
             vv, _, it = c
-            rho_adv, avg = rho_adv_of(vv)
-            k_own = ((rho_adv[:cap] - RHO_0) * alpha[:cap] / dt2) / rho[:cap]
-            delta = stiff_delta(full(k_own))
-            vv = V3(jnp.where(upd, vv.x - delta.x * dt, vv.x),
-                    jnp.where(upd, vv.y - delta.y * dt, vv.y),
-                    jnp.where(upd, vv.z - delta.z * dt, vv.z))
+            rho_adv, avg = rho_adv_residual(rho, dt, vv, jnp.float32(0.0))
+            k_own = ((own_of(rho_adv) - RHO_0) * alpha_own / dt2) / rho_own
+            vv = masked_step(vv, stiff_vel_delta(full_sorted(k_own)), dt)
             return (vv, avg, it + 1)
 
         v_adv, den_avg, den_iters = jax.lax.while_loop(
@@ -647,7 +682,7 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
 
         # --- integrate owned + migrate (dfsph_solver.py:235-250) ------------
         f = jnp.float32(0.9999)  # base.ARTIFICIAL_FRICTION
-        new_vel = V3(*(c[:cap] * f for c in v_adv.astuple()))
+        new_vel = V3(*(own_of(c) * f for c in v_adv.astuple()))
         new_pos = V3(*(pc + nv * dt
                        for pc, nv in zip(pos.astuple(), new_vel.astuple())))
         if not st.akinci:
@@ -663,16 +698,18 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         new_pos = new_pos.where(mask, pos)
         new_vel = new_vel.where(mask, 0.0)
 
-        out, out_mask = _migrate(
+        out, out_mask, mig_drop = _migrate(
             spec, [*new_pos.astuple(), *new_vel.astuple(), wk], mask)
+        overflow = jax.lax.pmax(
+            jnp.maximum(overflow, mig_drop).astype(jnp.int32), AXIS)
         diag = jnp.stack([div_iters.astype(jnp.float32), div_avg,
                           den_iters.astype(jnp.float32), den_avg - RHO_0])
-        return (*out[:6], out_mask, out[6], dt, diag)
+        return (*out[:6], out_mask, out[6], dt, diag, overflow)
 
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(AXIS),) * 8 + (P(), P(), P(), P(), P()),
-        out_specs=(P(AXIS),) * 8 + (P(), P()),
+        out_specs=(P(AXIS),) * 8 + (P(), P(), P()),
         check_rep=False,
     )
 
@@ -684,7 +721,9 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
                      *arrays.boundary_pos.astuple(), arrays.boundary_volume)
         return ShardedDFSPH(
             fluid=ShardedFluid(pos=V3(out[0], out[1], out[2]),
-                               vel=V3(out[3], out[4], out[5]), mask=out[6]),
-            warm_k=out[7], dt=out[8], t=state.t + out[8], diag=out[9])
+                               vel=V3(out[3], out[4], out[5]), mask=out[6],
+                               overflow=out[10]),
+            warm_k=out[7], dt=out[8], t=state.t + out[8], diag=out[9],
+            overflow=out[10])
 
     return step

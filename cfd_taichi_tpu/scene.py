@@ -62,6 +62,11 @@ class SceneStatic:
     # slots compacted by cell membership before the position fetch. 0 = off.
     k2: int = 0               # fluid/dynamic stencil population cap
     bk2: int = 0              # boundary stencil population cap (exact)
+    # Block-plan capacity for the solver-loop band matrices (ops/bandmat):
+    # max 128-slot source blocks covering the neighbors of band_B
+    # consecutive cell-sorted queries. Overflow counted on-device.
+    band_nb: int = 12
+    band_B: int = 8
 
     @property
     def diameter(self) -> float:
@@ -222,6 +227,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         np.asarray(fluid_pos), np.asarray(boundary_pos), grid, h,
         akinci=sv.boundary_handle,
         rigid=rigid_active and n_rigid > 0)
+    band_nb = band_plan_capacity(np.asarray(fluid_pos), grid)
 
     static = SceneStatic(
         n_fluid=n_fluid, n_boundary=n_boundary, n_rigid=n_rigid,
@@ -231,6 +237,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         has_rigid=so is not None, rigid_active=rigid_active,
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
         K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap, k2=k2, bk2=bk2,
+        band_nb=band_nb,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,
@@ -319,6 +326,65 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
         if bk2 >= int(0.8 * 27 * bcell_cap) or bk2 <= bK:
             bk2 = 0
     return K, bK, cell_cap, bcell_cap, k2, bk2
+
+
+def band_plan_capacity(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
+                       B: int = 8, block: int = 128) -> int:
+    """Static capacity for the solver-loop block plans (ops/bandmat): the
+    max number of `block`-slot source blocks covering the stencil of B
+    consecutive CELL-SORTED queries, measured on the initial seed and given
+    compression/mixing headroom (runtime overflow is counted on-device).
+
+    Vectorized over all groups: each group's member cells span contiguous
+    ids [c0, c1]; for each of the 9 (mid, slow)-axis stencil offsets the
+    candidate slots are one contiguous sorted-index run
+    [starts[c0 + o - 1], starts[c1 + o + 2]) (fast axis has stride 1), and
+    the group's block count is the size of the union of the 9 runs'
+    block-id ranges (exact interval-union arithmetic below)."""
+    n = fluid_pos_rows.shape[0]
+    if n == 0:
+        return 6
+    cells = np.asarray(nb.cell_id(V3.from_rows(fluid_pos_rows), grid))
+    order = np.argsort(cells, kind="stable")
+    sc = cells[order]
+    counts = np.bincount(cells, minlength=grid.num_cells)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    ncells = grid.num_cells
+
+    QB = -(-n // B)
+    g0 = np.arange(QB) * B
+    g1 = np.minimum(g0 + B - 1, n - 1)
+    c0, c1 = sc[g0].astype(np.int64), sc[g1].astype(np.int64)
+
+    fast_axes = sorted(range(3), key=lambda a: grid.strides[a])
+    smid = grid.strides[fast_axes[1]]
+    sslow = grid.strides[fast_axes[2]]
+    offs = [dm * smid + ds * sslow for dm in (-1, 0, 1) for ds in (-1, 0, 1)]
+
+    # Block-id intervals [lo, hi) per (group, offset).
+    lo = np.empty((QB, 9), np.int64)
+    hi = np.empty((QB, 9), np.int64)
+    for j, o in enumerate(offs):
+        a = np.clip(c0 + o - 1, 0, ncells)
+        b = np.clip(c1 + o + 2, 0, ncells)
+        s = starts[a]
+        e = starts[b]
+        lo[:, j] = s // block
+        hi[:, j] = np.where(e > s, (e - 1) // block + 1, s // block)
+    # Union size of integer intervals per group: sort by lo, subtract overlap
+    # with the running max of hi.
+    ordj = np.argsort(lo, axis=1)
+    lo = np.take_along_axis(lo, ordj, axis=1)
+    hi = np.take_along_axis(hi, ordj, axis=1)
+    total = np.zeros(QB, np.int64)
+    run_end = np.full(QB, -1, np.int64)
+    for j in range(9):
+        s = np.maximum(lo[:, j], run_end)
+        total += np.maximum(hi[:, j] - s, 0)
+        run_end = np.maximum(run_end, hi[:, j])
+    nb_max = int(total.max())
+    # x1.6 mixing/compression headroom + 2; overflow counted at runtime.
+    return max(int(np.ceil(nb_max * 1.6)) + 2, 6)
 
 
 def _stencil_3d(cells: np.ndarray, grid: nb.GridSpec):

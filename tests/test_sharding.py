@@ -121,6 +121,28 @@ def test_sharded_dfsph_conserves_particles(setup_dfsph):
     assert np.isfinite(pos).all()
 
 
+def test_halo_overflow_is_counted(setup):
+    """Deliberately undersized halo capacity: the step must COUNT the
+    dropped band particles (silent loss is forbidden — the sharded
+    analogue of SimState.overflow)."""
+    import dataclasses
+
+    sim, mesh, spec, fluid, _ = setup
+    tiny = dataclasses.replace(spec, hcap=8)
+    step = domain.make_sharded_wcsph_step(sim.scene.static, sim.scene.arrays,
+                                          mesh, tiny)
+    fluid2 = domain.shard_fluid(mesh, tiny, sim.scene.fluid_pos0)
+    out = step(fluid2)
+    assert int(np.asarray(out.overflow)) > 0
+
+
+def test_sharded_overflow_zero_on_healthy_scene(setup_dfsph):
+    sim, spec, state, step = setup_dfsph
+    out = step(state)
+    assert int(np.asarray(out.overflow)) == 0
+    assert int(np.asarray(out.fluid.overflow)) == 0
+
+
 def test_too_many_devices_rejected():
     sim_cfg = parse_config(copy.deepcopy(CFG))
     from cfd_taichi_tpu import build_scene

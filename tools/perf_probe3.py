@@ -136,19 +136,17 @@ def matvec_probe(scene, n, B, blk, nb):
                  .reshape(-1)[:n] for m in mats]
         return x + (delta[0] + delta[1] + delta[2]) * 1e-12, dr
 
-    def mk(mats):
-        def run():
-            def body(i, c):
-                acc, x = c
-                x, dr = one_iter(mats, x, None)
-                return acc + jnp.sum(dr), x
-            acc, x = jax.lax.fori_loop(0, ITERS, body,
-                                       (jnp.zeros(()), base_v[3]))
-            return acc + jnp.sum(x)
-        return jax.jit(run)
+    @jax.jit
+    def run(mats, x0):
+        def body(i, c):
+            acc, x = c
+            x, dr = one_iter(mats, x, None)
+            return acc + jnp.sum(dr), x
+        acc, x = jax.lax.fori_loop(0, ITERS, body, (jnp.zeros(()), x0))
+        return acc + jnp.sum(x)
 
     for name, mats in [("f32", A), ("bf16", Ab)]:
-        t = sync_time(mk(mats)) / ITERS
+        t = sync_time(run, mats, base_v[3]) / ITERS
         print(f"[matvec {name}] B={B} blk={blk} nb={nb} (W={W}): "
               f"{t*1e3:.3f} ms/iter", flush=True)
 
@@ -229,14 +227,14 @@ def main():
     measure_floor()
     scene, state = hot_state()
     n = scene.static.n_fluid
-    stats = block_stats(scene, state)
-    nbs8 = stats[(8, 128)]
-    nb = int(np.ceil(np.percentile(nbs8, 99.9) / 2) * 2)
-    print(f"chosen probe nb={nb}", flush=True)
+    if os.environ.get("PROBE_STATS"):
+        block_stats(scene, state)
+    # Measured on 2026-08-17: B=8/16 blk=128 -> nb max 11, p99 9, avg 7.4.
+    nb = 12
     matvec_probe(scene, n, 8, 128, nb)
-    matvec_probe(scene, n, 8, 128, max(nb - 4, 4))
-    matvec_probe(scene, n, 16, 128, nb + 4)
+    matvec_probe(scene, n, 16, 128, nb)
     abuild_probe(scene, state, n, 8, 128, nb)
+    abuild_probe(scene, state, n, 16, 128, nb)
     carry_probe(n)
     print("done", flush=True)
 
