@@ -171,12 +171,26 @@ class Nbh(NamedTuple):
     br: Optional[jnp.ndarray]
     bvol: Optional[jnp.ndarray]  # (N, bK) V_b of boundary neighbors
     overflow: jnp.ndarray        # () int32 — max dropped-pair indicator
+    # Grouped-window block plan of the fluid list build (blk, nb_mask,
+    # overflow) — reusable by bandmat.build_band when the dynamic set is
+    # fluid-only (sorted space == fluid space); None in coupled scenes.
+    plan: Optional[tuple] = None
 
 
 def _cell_overflow(starts: jnp.ndarray, cap: int) -> jnp.ndarray:
     """Max cell occupancy beyond `cap` (candidates silently skipped)."""
     occ = starts[1:] - starts[:-1]
     return jnp.maximum(jnp.max(occ) - cap, 0).astype(jnp.int32)
+
+
+# List-build engine policy (measured on-chip, breaking_dam_30k hot phase):
+# the per-query stencil-prune engine beats the grouped-window engine at
+# small N (its top_k runs over k2~480 candidates vs nbcap*128~2300, and
+# its 14M-index packed fetch is affordable), while at large N the
+# per-query fetch dominates everything (1.3G indices at 1M) and the
+# grouped engine's QB x nbcap row fetch + dense pass wins. Tests may
+# monkeypatch to force either path.
+GROUPED_BUILD_MIN_N = 150_000
 
 
 def build_nbh(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
@@ -201,9 +215,21 @@ def build_nbh(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
         pos_all = pos_s
     table = nb.build_cell_table(pos_all, st.grid)
     qid = jnp.arange(n, dtype=jnp.int32)
-    nl = nb.find_neighbors(pos_s, qid, pos_all, table, st.grid,
-                           K=st.K, cell_cap=st.cell_cap, exclude_self=True,
-                           k2=st.k2)
+    grouped = st.n_dynamic >= GROUPED_BUILD_MIN_N
+    if grouped:
+        # Grouped-window engine (large N): the fluid queries are
+        # cell-sorted, so the candidate fetch collapses to QB x band_nb
+        # block-row indices + one dense distance pass.
+        nl, fplan = nb.find_neighbors_grouped(
+            pos_s, qid, pos_all, table, st.grid, K=st.K, nbcap=st.band_nb,
+            B=st.band_B, exclude_self=True)
+        extra_overflow = jnp.zeros((), jnp.int32)
+    else:
+        nl = nb.find_neighbors(pos_s, qid, pos_all, table, st.grid,
+                               K=st.K, cell_cap=st.cell_cap,
+                               exclude_self=True, k2=st.k2)
+        fplan = None
+        extra_overflow = _cell_overflow(table.starts, st.cell_cap)
 
     mask = nl.mask
     mask_f = mask & (nl.idx < n)
@@ -219,16 +245,24 @@ def build_nbh(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     if with_rigid and st.fs_couple:
         rigid_vol = arrays.rigid_volume[rigid_lid(st, nl.idx)]
 
-    overflow = jnp.maximum(jnp.max(nl.count) - st.K,
-                           _cell_overflow(table.starts, st.cell_cap)
-                           ).astype(jnp.int32)
+    # Loss channels counted per engine: K always; cell_cap for the
+    # per-query engine; the block-plan capacity for the grouped engine
+    # (both arrive via nl.dropped / extra_overflow).
+    overflow = jnp.maximum(jnp.max(nl.count) - st.K, 0).astype(jnp.int32)
     overflow = jnp.maximum(overflow, nl.dropped)
+    overflow = jnp.maximum(overflow, extra_overflow)
 
     bidx = bmask = bx = br = bvol = None
     if st.akinci:
-        bl = nb.find_neighbors(pos_s, None, arrays.boundary_pos,
-                               arrays.boundary_table, st.grid,
-                               K=st.bK, cell_cap=st.bcell_cap, k2=st.bk2)
+        if grouped:
+            bl, _ = nb.find_neighbors_grouped(
+                pos_s, None, arrays.boundary_pos, arrays.boundary_table,
+                st.grid, K=st.bK, nbcap=st.bband_nb, B=st.band_B)
+        else:
+            bl = nb.find_neighbors(pos_s, None, arrays.boundary_pos,
+                                   arrays.boundary_table, st.grid,
+                                   K=st.bK, cell_cap=st.bcell_cap,
+                                   k2=st.bk2)
         bidx, bmask = bl.idx, bl.mask
         bx = pos_s.expand(1) - bl.spos
         br = bx.norm()
@@ -239,7 +273,8 @@ def build_nbh(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     return Nbh(pos=pos_s, perm=perm, pos_all=pos_all, idx=nl.idx, mask=mask,
                mask_f=mask_f, mask_s=mask_s, count=nl.count, x=x, r=r,
                rigid_vol=rigid_vol, bidx=bidx, bmask=bmask, bx=bx, br=br,
-               bvol=bvol, overflow=overflow)
+               bvol=bvol, overflow=overflow,
+               plan=None if with_rigid else fplan)
 
 
 def rigid_lid(st: SceneStatic, j: jnp.ndarray) -> jnp.ndarray:

@@ -70,16 +70,59 @@ def init_state(scene: Scene) -> base.SimState:
     return base.init_sim_state(scene, extra=(warm_k,))
 
 
-def loop_operators(band: bandmat.BandA, S: V3, counts: jnp.ndarray,
+# Byte budget for the per-step band matrix (3 f32 components of
+# (N, band_nb*128)): above this, the loops fall back to (N, K) packed
+# gathers — slower per iteration but O(N*K) memory (the 1M-particle
+# regime, where the band matrix would not fit HBM).
+BAND_BYTE_BUDGET = 3.5e9
+# Storage dtype of the band matrix: bf16 halves the per-iteration HBM
+# reads (measured 2.3x matvec speedup); accumulation stays f32 on the MXU.
+# Validated against the density contract (<0.1% avg positive error) on the
+# hot breaking_dam_30k phase — flip to jnp.float32 if a scene needs it.
+BAND_DTYPE = jnp.bfloat16
+
+
+def use_band_engine(n: int, band_nb: int) -> bool:
+    return 3 * 4 * n * band_nb * bandmat.BLOCK <= BAND_BYTE_BUDGET
+
+
+def band_matvec_ops(band: bandmat.BandA):
+    """(matvec, matvec_dot) over the per-step band matrix — MXU einsums,
+    HBM-bound on the A reads (~1 ms/iter at 29k)."""
+    return (lambda k: bandmat.matvec(band, k),
+            lambda v: bandmat.matvec_dot(band, v))
+
+
+def gather_matvec_ops(st: SceneStatic, nbh, wf: jnp.ndarray, gx: V3,
+                      rho: jnp.ndarray, alpha: jnp.ndarray):
+    """(matvec, matvec_dot) over the compact (N, K) list — 4-lane packed
+    in-loop gathers (the round-2 engine; ~7 ms/iter at 29k but O(N*K)
+    memory). `rho`/`alpha` ride as distinct pack lanes: XLA dedups packs
+    of identical arrays back to the ~2.5x-slower single-lane emitter."""
+    def matvec(k):
+        kj, _, _, _ = base.jf_pack(st, nbh, k, rho, alpha, k * alpha)
+        w = wf * kj
+        return base.sum_vec(gx, w)
+
+    def matvec_dot(v: V3):
+        vjx, vjy, vjz, _ = base.jf_pack(st, nbh, v.x, v.y, v.z, v.x + v.y)
+        return jnp.sum(wf * (vjx * gx.x + vjy * gx.y + vjz * gx.z), axis=1)
+
+    return matvec, matvec_dot
+
+
+def loop_operators(matvec, matvec_dot, S: V3, counts: jnp.ndarray,
                    resid_mask=None, allreduce=None):
     """The DFSPH loop algebra, defined ONCE for both the single-chip and
     the sharded solver (parallel/domain.py) so the two can never drift:
 
-      stiff_vel_delta(k) = k * S + band matvec          (velocity change
+      stiff_vel_delta(k) = k * S + matvec(k)            (velocity change
           per unit dt for a stiffness field k; dfsph_solver.py:302-379)
       rho_derivative(v, c_s) -> (dr, avg)               (clamped density
           rate + its positive average; dfsph_solver.py:252-300)
 
+    `matvec`/`matvec_dot` evaluate Sigma_j wf_ij gradW_ij k_j and
+    Sigma_j wf_ij gradW_ij . v_j (band_matvec_ops or gather_matvec_ops).
     `S` must already include the solid/boundary self-side sums; `c_s` is
     the loop-constant solid contact-velocity dot (0 when fluid-only).
     `resid_mask` restricts the residual average to locally-owned rows
@@ -88,11 +131,11 @@ def loop_operators(band: bandmat.BandA, S: V3, counts: jnp.ndarray,
     red = allreduce if allreduce is not None else (lambda x: x)
 
     def stiff_vel_delta(k_over_rho):
-        return S * k_over_rho + bandmat.matvec(band, k_over_rho)
+        return S * k_over_rho + matvec(k_over_rho)
 
     def vel_dot_terms(v: V3, c_s):
         return (v.x * S.x + v.y * S.y + v.z * S.z
-                - bandmat.matvec_dot(band, v) - c_s)
+                - matvec_dot(v) - c_s)
 
     def rho_derivative(v: V3, c_s):
         dr = vel_dot_terms(v, c_s)
@@ -159,21 +202,30 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         denom = denom + qb + sb_vec.dot(sb_vec)
     alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
 
-    # --- per-step band matrix + hoisted loop-constant vectors ---------------
+    # --- per-step loop engine + hoisted loop-constant vectors ---------------
     # Both loop operators are linear maps against step-fixed coefficients
     # (module docstring): S = S_f + S_s + S_b is the self-side coefficient,
-    # the band matvec carries the neighbor side.
-    band = bandmat.build_band(nbh.pos, nbh.idx, nbh.mask_f, h=st.h,
-                              m=st.particle_m, nbcap=st.band_nb,
-                              B=st.band_B)
-    S = band.s
+    # the matvec carries the neighbor side. Band (MXU) engine when the
+    # matrix fits the byte budget, (N, K) gather engine beyond (1M scale).
+    if use_band_engine(n, st.band_nb):
+        band = bandmat.build_band(
+            nbh.pos, nbh.idx, nbh.mask_f, h=st.h, m=st.particle_m,
+            nbcap=st.band_nb if nbh.plan is not None else st.pair_nb,
+            B=st.band_B, plan=nbh.plan, dtype=BAND_DTYPE)
+        S = band.s
+        mv, mvd = band_matvec_ops(band)
+        engine_overflow = band.overflow
+    else:
+        S = base.sum_vec(gx, wf)
+        mv, mvd = gather_matvec_ops(st, nbh, wf, gx, rho, alpha)
+        engine_overflow = jnp.zeros((), jnp.int32)
     if has_rigid:
         S = S + base.sum_vec(gx, ws)
     if st.akinci:
         S = S + sb_vec
 
     stiff_vel_delta, vel_dot_terms, rho_derivative, rho_adv_residual = \
-        loop_operators(band, S, nbh.count)
+        loop_operators(mv, mvd, S, nbh.count)
 
     def solid_dot_const(include_alpha: bool):
         """C_s = Sum_s ws (v_contact_j . gradW) — constant within each
@@ -271,7 +323,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        overflow=jnp.maximum(nbh.overflow, band.overflow),
+        overflow=jnp.maximum(nbh.overflow, engine_overflow),
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
                               acc=fluid.acc.take(nbh.perm), oid=oid),
         rigid=rigid._replace(force=rigid_force),

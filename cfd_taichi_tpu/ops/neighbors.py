@@ -332,6 +332,148 @@ def find_neighbors(pos_q: V3, qid, pos_src: V3, table: CellTable,
     )
 
 
+def find_neighbors_grouped(pos_q: V3, qid, pos_src: V3, table: CellTable,
+                           grid: GridSpec, K: int, nbcap: int, B: int = 8,
+                           exclude_self: bool = False,
+                           src_valid: Optional[jnp.ndarray] = None,
+                           group_chunk: int | None = None):
+    """Compact (Nq, K) neighbor list via GROUPED block windows: B
+    consecutive CELL-SORTED queries share one CSR-derived candidate
+    window of `nbcap` 128-slot source blocks (ops/bandmat.plan_from_csr).
+
+    Measured rationale (on-chip, 2026-08-17): the per-query candidate
+    fetch of `find_neighbors` pays ~6 ns per gathered index (N x k2 =
+    14M indices at 29k particles); the grouped form fetches QB x nbcap
+    row indices (~44k) plus a dense (QB, B, W) distance pass at dense-VPU
+    rates — the candidate-fetch cost collapses.
+
+    REQUIRES `pos_q` in cell-sorted order (it is, everywhere this is
+    used: queries are the cell-sorted fluid). Correctness does not depend
+    on plan tightness — the 9 CSR runs cover every in-bounds stencil
+    cell, clipped cells only add distance-masked candidates.
+
+    Returns (NeighborList, plan) — the plan (blk, nb_mask, overflow) can
+    be fed to bandmat.build_band when the source set is the query set
+    (fluid-only) so the window fetches CSE.
+
+    `.dropped` carries the plan-capacity overflow: union blocks beyond
+    nbcap mean real candidates were cut (same telemetry contract as the
+    stencil-prune k2)."""
+    from cfd_taichi_tpu.ops import bandmat
+
+    Nq = pos_q.x.shape[0]
+    Ns = pos_src.x.shape[0]
+    BLOCK = bandmat.BLOCK
+    nblocks = -(-Ns // BLOCK)
+    nbcap = min(nbcap, nblocks)
+    W = nbcap * BLOCK
+    QB = -(-Nq // B)
+    padq = QB * B - Nq
+
+    # Sorted-source component tables, padded to whole blocks with +inf so
+    # padding slots always fail the distance cutoff (no slot-validity
+    # arithmetic needed: every window slot is a real particle or +inf).
+    srt = pos_src.take(table.order)
+    padn = nblocks * BLOCK - Ns
+    BIG = jnp.float32(3e38)
+    sx = jnp.pad(srt.x, (0, padn), constant_values=BIG).reshape(nblocks,
+                                                                BLOCK)
+    sy = jnp.pad(srt.y, (0, padn), constant_values=BIG).reshape(nblocks,
+                                                                BLOCK)
+    sz = jnp.pad(srt.z, (0, padn), constant_values=BIG).reshape(nblocks,
+                                                                BLOCK)
+    sidb = jnp.pad(table.order, (0, padn),
+                   constant_values=-1).reshape(nblocks, BLOCK)
+    svalid = None
+    if src_valid is not None:
+        svalid = jnp.pad(src_valid[table.order], (0, padn)
+                         ).reshape(nblocks, BLOCK)
+    packed, _ = pack_table(pos_src, table)
+
+    qx = jnp.pad(pos_q.x, (0, padq), mode="edge")
+    qy = jnp.pad(pos_q.y, (0, padq), mode="edge")
+    qz = jnp.pad(pos_q.z, (0, padq), mode="edge")
+    if qid is None:
+        qid_p = jnp.full((QB * B,), -1, jnp.int32)
+    else:
+        qid_p = jnp.pad(qid.astype(jnp.int32), (0, padq),
+                        constant_values=-2)
+    qcid = cell_id(V3(qx, qy, qz), grid)
+    qc_first = qcid.reshape(QB, B)[:, 0]
+    qc_last = qcid.reshape(QB, B)[:, -1]
+    plan = bandmat.plan_from_csr(qc_first, qc_last, table.starts, grid,
+                                 nbcap)
+    blk, nb_mask, plan_overflow = plan
+
+    h2 = jnp.float32(grid.cell) ** 2
+    col_iota = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+
+    def chunk_fn(args):
+        cblk, cmask, cqx, cqy, cqz, cqid = args
+        G = cblk.shape[0]
+        wx = sx[cblk].reshape(G, 1, W)
+        wy = sy[cblk].reshape(G, 1, W)
+        wz = sz[cblk].reshape(G, 1, W)
+        dx = cqx.reshape(G, B, 1) - wx
+        dy = cqy.reshape(G, B, 1) - wy
+        dz = cqz.reshape(G, B, 1) - wz
+        r2 = dx * dx + dy * dy + dz * dz
+        valid = (r2 <= h2) & jnp.broadcast_to(
+            cmask[:, :, None], (G, nbcap, BLOCK)).reshape(G, 1, W)
+        if exclude_self:
+            wid = sidb[cblk].reshape(G, 1, W)
+            valid &= wid != cqid.reshape(G, B, 1)
+        if svalid is not None:
+            valid &= svalid[cblk].reshape(G, 1, W)
+        count = valid.sum(axis=2).astype(jnp.int32)          # (G, B)
+        key = jnp.where(valid, W - col_iota, -1)
+        topkey, _ = jax.lax.top_k(key.reshape(G * B, W), K)
+        mask = topkey > 0
+        col = jnp.where(mask, W - topkey, 0)                 # (G*B, K)
+        # winner column -> sorted-source slot
+        blk_q = jnp.repeat(cblk, B, axis=0)                  # (G*B, nbcap)
+        slot = (jnp.take_along_axis(blk_q, col >> 7, axis=1) * BLOCK
+                + (col & (BLOCK - 1)))
+        rows = packed[:, slot]                               # (4, G*B, K)
+        idx = jnp.where(mask, _f32_to_id(rows[3]), 0)
+        return (idx, mask, count.reshape(G * B),
+                rows[0], rows[1], rows[2])
+
+    if group_chunk is None:
+        group_chunk = max(32, (1 << 21) // (B * W))
+    if QB <= group_chunk:
+        idx, mask, count, px, py, pz = chunk_fn(
+            (blk, nb_mask, qx.reshape(QB, B), qy.reshape(QB, B),
+             qz.reshape(QB, B), qid_p.reshape(QB, B)))
+    else:
+        nck = -(-QB // group_chunk)
+        padg = nck * group_chunk - QB
+
+        def cpad(a, fill=0):
+            widths = [(0, padg)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, widths, constant_values=fill).reshape(
+                (nck, group_chunk) + a.shape[1:])
+
+        outs = jax.lax.map(chunk_fn, (
+            cpad(blk), cpad(nb_mask), cpad(qx.reshape(QB, B)),
+            cpad(qy.reshape(QB, B)), cpad(qz.reshape(QB, B)),
+            cpad(qid_p.reshape(QB, B), fill=-2)))
+        idx, mask, count, px, py, pz = (
+            o.reshape((nck * group_chunk * B,) + o.shape[2:])
+            if o.ndim > 2 else o.reshape(nck * group_chunk * B)
+            for o in outs)
+        idx = idx[:QB * B]
+        mask = mask[:QB * B]
+        count = count[:QB * B]
+        px, py, pz = px[:QB * B], py[:QB * B], pz[:QB * B]
+
+    nl = NeighborList(
+        idx=idx[:Nq].astype(jnp.int32), mask=mask[:Nq], count=count[:Nq],
+        spos=V3(px[:Nq], py[:Nq], pz[:Nq]),
+        dropped=plan_overflow)
+    return nl, plan
+
+
 def brute_force_neighbors(pos_q: V3, qid, pos_src: V3, h: float, K: int,
                           exclude_self: bool = False) -> NeighborList:
     """O(Nq*Ns) reference implementation for tests (cf. the reference's own

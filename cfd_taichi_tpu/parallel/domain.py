@@ -439,6 +439,28 @@ def init_sharded_dfsph(mesh: Mesh, spec: ShardSpec, st: SceneStatic,
                         diag=jnp.zeros((4,), jnp.float32))
 
 
+def _gather_matvec_ops_local(idx, wf, gx, rho, alpha):
+    """(matvec, matvec_dot) over a local (ns, K) list — the sharded
+    analogue of models.dfsph.gather_matvec_ops (direct idx addressing;
+    the rho/alpha lanes are distinct pack riders, see that docstring)."""
+    import jax.numpy as jnp
+
+    def matvec(k):
+        tbl = jnp.stack([k, rho, alpha, k * alpha], axis=0)
+        kj = tbl[:, idx][0]
+        w = wf * kj
+        return V3(jnp.sum(gx.x * w, axis=1), jnp.sum(gx.y * w, axis=1),
+                  jnp.sum(gx.z * w, axis=1))
+
+    def matvec_dot(v):
+        tbl = jnp.stack([v.x, v.y, v.z, v.x + v.y], axis=0)
+        rows = tbl[:, idx]
+        return jnp.sum(wf * (rows[0] * gx.x + rows[1] * gx.y
+                             + rows[2] * gx.z), axis=1)
+
+    return matvec, matvec_dot
+
+
 def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
                             spec: ShardSpec):
     """Sharded DFSPH with the single-chip algebra of models/dfsph.py.
@@ -534,9 +556,19 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         # --- neighborhood + band matrix (built once per step) ---------------
         table = nb.build_cell_table(spos, st.grid, valid=smask)
         qid = jnp.arange(ns, dtype=jnp.int32)
-        nl = nb.find_neighbors(spos, qid, spos, table, st.grid,
-                               K=st.K, cell_cap=st.cell_cap,
-                               exclude_self=True, k2=st.k2)
+        from cfd_taichi_tpu.models.base import GROUPED_BUILD_MIN_N
+        if ns >= GROUPED_BUILD_MIN_N:
+            nl, wplan = nb.find_neighbors_grouped(
+                spos, qid, spos, table, st.grid, K=st.K, nbcap=st.band_nb,
+                B=st.band_B, exclude_self=True, src_valid=smask)
+            cell_over = jnp.zeros((), jnp.int32)
+        else:
+            nl = nb.find_neighbors(spos, qid, spos, table, st.grid,
+                                   K=st.K, cell_cap=st.cell_cap,
+                                   exclude_self=True, k2=st.k2)
+            wplan = None
+            occ = table.starts[1:] - table.starts[:-1]
+            cell_over = jnp.maximum(jnp.max(occ) - st.cell_cap, 0)
         jmask = nl.mask & smask[nl.idx] & smask[:, None]
         x_ij = spos.expand(1) - nl.spos
         r = x_ij.norm()
@@ -546,20 +578,24 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         counts = jnp.sum(jmask, axis=1)
 
         # Silent-loss channels counted (ADVICE r2; single-chip precedent:
-        # SimState.overflow): K overflow, prune drops, cell occupancy,
+        # SimState.overflow): K overflow, block-plan/cell-cap drops,
         # halo-band capacity. Migration drops added after integration.
-        occ = table.starts[1:] - table.starts[:-1]
         overflow = jnp.maximum(
-            jnp.maximum(jnp.max(jnp.where(smask, nl.count, 0)) - st.K,
-                        jnp.max(occ) - st.cell_cap), 0)
+            jnp.max(jnp.where(smask, nl.count, 0)) - st.K, 0)
         overflow = jnp.maximum(overflow, nl.dropped)
+        overflow = jnp.maximum(overflow, cell_over)
         overflow = jnp.maximum(overflow, plan.dropped)
 
         if st.akinci:
-            blist = nb.find_neighbors(spos, None, bpos,
-                                      arrays.boundary_table, st.grid,
-                                      K=st.bK, cell_cap=st.bcell_cap,
-                                      k2=st.bk2)
+            if ns >= GROUPED_BUILD_MIN_N:
+                blist, _ = nb.find_neighbors_grouped(
+                    spos, None, bpos, arrays.boundary_table, st.grid,
+                    K=st.bK, nbcap=st.bband_nb, B=st.band_B)
+            else:
+                blist = nb.find_neighbors(spos, None, bpos,
+                                          arrays.boundary_table, st.grid,
+                                          K=st.bK, cell_cap=st.bcell_cap,
+                                          k2=st.bk2)
             bxv = spos.expand(1) - blist.spos
             br = bxv.norm()
             gcb = sm.cubic_grad_coeff(br, h)
@@ -590,16 +626,28 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         # The SAME loop algebra as the single-chip solver (D.loop_operators
         # — defined once, cannot drift), with psum residuals over owned
         # rows and the per-iteration owner->ghost stiffness exchange.
-        band = bandmat.build_band(spos, nl.idx, jmask, h=h, m=m,
-                                  nbcap=st.band_nb, B=st.band_B,
-                                  src_valid=smask)
-        overflow = jnp.maximum(overflow, band.overflow)
-        S = band.s
+        # Same engine policy too: band matrix within the byte budget,
+        # (N, K) gathers beyond (per-shard N divides with the mesh, so
+        # multi-chip re-enables the band engine at scales where a single
+        # chip cannot hold it).
+        if D.use_band_engine(ns, st.band_nb):
+            band = bandmat.build_band(
+                spos, nl.idx, jmask, h=h, m=m,
+                nbcap=st.band_nb if wplan is not None else st.pair_nb,
+                B=st.band_B, src_valid=smask, plan=wplan,
+                dtype=D.BAND_DTYPE)
+            overflow = jnp.maximum(overflow, band.overflow)
+            S = band.s
+            mv, mvd = D.band_matvec_ops(band)
+        else:
+            S = V3(jnp.sum(gx.x * wf, axis=1), jnp.sum(gx.y * wf, axis=1),
+                   jnp.sum(gx.z * wf, axis=1))
+            mv, mvd = _gather_matvec_ops_local(nl.idx, wf, gx, rho, alpha)
         if st.akinci:
             S = S + sb
         psum = lambda x: jax.lax.psum(x, AXIS)  # noqa: E731
         stiff_vel_delta, _, rho_derivative, rho_adv_residual = \
-            D.loop_operators(band, S, counts, resid_mask=s_owned,
+            D.loop_operators(mv, mvd, S, counts, resid_mask=s_owned,
                              allreduce=psum)
 
         def masked_step(vv: V3, delta: V3, dt_):

@@ -62,11 +62,19 @@ class SceneStatic:
     # slots compacted by cell membership before the position fetch. 0 = off.
     k2: int = 0               # fluid/dynamic stencil population cap
     bk2: int = 0              # boundary stencil population cap (exact)
-    # Block-plan capacity for the solver-loop band matrices (ops/bandmat):
-    # max 128-slot source blocks covering the neighbors of band_B
-    # consecutive cell-sorted queries. Overflow counted on-device.
+    # Block-plan capacities for the grouped-window neighbor engine and the
+    # solver-loop band matrices (ops/bandmat, ops/neighbors
+    # find_neighbors_grouped): max 128-slot source blocks covering the
+    # stencil of band_B consecutive cell-sorted queries. band_nb is sized
+    # from the seed with mixing headroom (overflow counted on-device);
+    # bband_nb is an EXACT static bound (the boundary shell never moves).
     band_nb: int = 12
-    band_B: int = 8
+    band_B: int = 16
+    bband_nb: int = 12
+    # Tighter capacity for PAIR-derived plans (bandmat.plan_blocks: blocks
+    # that contain actual neighbors, a subset of the CSR stencil cover) —
+    # sizes the solver-loop A matrices, whose HBM reads scale with it.
+    pair_nb: int = 12
 
     @property
     def diameter(self) -> float:
@@ -227,7 +235,23 @@ def build_scene(cfg: SimConfig) -> Scene:
         np.asarray(fluid_pos), np.asarray(boundary_pos), grid, h,
         akinci=sv.boundary_handle,
         rigid=rigid_active and n_rigid > 0)
-    band_nb = band_plan_capacity(np.asarray(fluid_pos), grid)
+    if rigid_active and n_rigid > 0:
+        # The dynamic set interleaves rigid particles into the sorted
+        # source space; size the plan over the combined seed.
+        _src = np.concatenate([np.asarray(fluid_pos),
+                               rigid_init.pos.to_numpy()], axis=0)
+    else:
+        _src = np.asarray(fluid_pos)
+    _nb_seed = band_plan_raw_max(np.asarray(fluid_pos), grid, B=16,
+                                 src_rows=_src)
+    # CSR plans cover whole stencil runs (sparse straddle groups inflate
+    # them): x1.6 + 2. Pair plans only cover blocks holding true
+    # neighbors (measured hot-phase max = 1.1x the seed CSR cover):
+    # x1.2 + 2. Overflow beyond either is counted on-device.
+    band_nb = max(int(np.ceil(_nb_seed * 1.6)) + 2, 6)
+    pair_nb = max(int(np.ceil(_nb_seed * 1.2)) + 2, 6)
+    bband_nb = boundary_band_capacity(np.asarray(boundary_pos), grid) \
+        if sv.boundary_handle else 6
 
     static = SceneStatic(
         n_fluid=n_fluid, n_boundary=n_boundary, n_rigid=n_rigid,
@@ -237,7 +261,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         has_rigid=so is not None, rigid_active=rigid_active,
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
         K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap, k2=k2, bk2=bk2,
-        band_nb=band_nb,
+        band_nb=band_nb, bband_nb=bband_nb, pair_nb=pair_nb,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,
@@ -328,12 +352,13 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
     return K, bK, cell_cap, bcell_cap, k2, bk2
 
 
-def band_plan_capacity(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
-                       B: int = 8, block: int = 128) -> int:
-    """Static capacity for the solver-loop block plans (ops/bandmat): the
-    max number of `block`-slot source blocks covering the stencil of B
-    consecutive CELL-SORTED queries, measured on the initial seed and given
-    compression/mixing headroom (runtime overflow is counted on-device).
+def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
+                      B: int = 8, block: int = 128,
+                      src_rows: np.ndarray | None = None) -> int:
+    """Raw seed measurement for the block-plan capacities (ops/bandmat):
+    the max number of `block`-slot source blocks covering the stencil of B
+    consecutive CELL-SORTED queries on the initial seed (callers apply
+    engine-specific headroom; runtime overflow is counted on-device).
 
     Vectorized over all groups: each group's member cells span contiguous
     ids [c0, c1]; for each of the 9 (mid, slow)-axis stencil offsets the
@@ -343,11 +368,13 @@ def band_plan_capacity(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
     block-id ranges (exact interval-union arithmetic below)."""
     n = fluid_pos_rows.shape[0]
     if n == 0:
-        return 6
+        return 4
     cells = np.asarray(nb.cell_id(V3.from_rows(fluid_pos_rows), grid))
     order = np.argsort(cells, kind="stable")
     sc = cells[order]
-    counts = np.bincount(cells, minlength=grid.num_cells)
+    src_cells = cells if src_rows is None else np.asarray(
+        nb.cell_id(V3.from_rows(src_rows), grid))
+    counts = np.bincount(src_cells, minlength=grid.num_cells)
     starts = np.concatenate([[0], np.cumsum(counts)])
     ncells = grid.num_cells
 
@@ -382,9 +409,50 @@ def band_plan_capacity(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
         s = np.maximum(lo[:, j], run_end)
         total += np.maximum(hi[:, j] - s, 0)
         run_end = np.maximum(run_end, hi[:, j])
-    nb_max = int(total.max())
-    # x1.6 mixing/compression headroom + 2; overflow counted at runtime.
-    return max(int(np.ceil(nb_max * 1.6)) + 2, 6)
+    return int(total.max())
+
+
+def boundary_band_capacity(boundary_pos_rows: np.ndarray, grid: nb.GridSpec,
+                           block: int = 128) -> int:
+    """Static bound on the grouped-window plan size against the boundary
+    shell: the shell never moves, so take the worst 9-run block union
+    over EVERY possible query-group cell span [c, c+1]. Exact for groups
+    spanning <= 2 consecutive cell ids (the dense-fluid norm); sparse
+    spray groups can span more and overflow — which the runtime counts
+    (NeighborList.dropped) like every other capacity."""
+    if boundary_pos_rows.shape[0] == 0:
+        return 6
+    bcells = np.asarray(nb.cell_id(V3.from_rows(boundary_pos_rows), grid))
+    counts = np.bincount(bcells, minlength=grid.num_cells)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    ncells = grid.num_cells
+
+    fast_axes = sorted(range(3), key=lambda a: grid.strides[a])
+    smid = grid.strides[fast_axes[1]]
+    sslow = grid.strides[fast_axes[2]]
+    offs = [dm * smid + ds * sslow for dm in (-1, 0, 1) for ds in (-1, 0, 1)]
+
+    c0 = np.arange(ncells, dtype=np.int64)
+    c1 = c0 + 1
+    lo = np.empty((ncells, 9), np.int64)
+    hi = np.empty((ncells, 9), np.int64)
+    for j, o in enumerate(offs):
+        a = np.clip(c0 + o - 1, 0, ncells)
+        b = np.clip(c1 + o + 2, 0, ncells)
+        s = starts[a]
+        e = np.maximum(starts[b], s)
+        lo[:, j] = s // block
+        hi[:, j] = np.where(e > s, (e - 1) // block + 1, s // block)
+    ordj = np.argsort(lo, axis=1)
+    lo = np.take_along_axis(lo, ordj, axis=1)
+    hi = np.take_along_axis(hi, ordj, axis=1)
+    total = np.zeros(ncells, np.int64)
+    run_end = np.full(ncells, -1, np.int64)
+    for j in range(9):
+        s = np.maximum(lo[:, j], run_end)
+        total += np.maximum(hi[:, j] - s, 0)
+        run_end = np.maximum(run_end, hi[:, j])
+    return max(int(total.max()) + 1, 4)
 
 
 def _stencil_3d(cells: np.ndarray, grid: nb.GridSpec):

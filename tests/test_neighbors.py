@@ -132,3 +132,70 @@ def test_cell_table_is_permutation():
     assert sorted(np.asarray(table.order).tolist()) == list(range(300))
     sizes = np.diff(np.asarray(table.starts))
     assert sizes.sum() == 300
+
+
+def _cell_sorted(pos_rows, grid):
+    pos = V3.from_rows(pos_rows)
+    order = np.asarray(jnp.argsort(nb.cell_id(pos, grid), stable=True))
+    return V3.from_rows(pos_rows[order])
+
+
+def test_grouped_self_query_matches_brute_force():
+    h = 0.1
+    box = (1.0, 1.0, 1.0)
+    grid = nb.grid_for_box((0, 0, 0), box, h)
+    pos = _cell_sorted(_random_cloud(700, box, seed=21), grid)
+    table = nb.build_cell_table(pos, grid)
+    qid = jnp.arange(700, dtype=jnp.int32)
+    got, plan = nb.find_neighbors_grouped(pos, qid, pos, table, grid,
+                                          K=64, nbcap=12, exclude_self=True)
+    assert int(np.asarray(got.dropped)) == 0
+    slow = nb.brute_force_neighbors(pos, qid, pos, h, K=64,
+                                    exclude_self=True)
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(slow.count))
+    assert _sets(got) == _sets(slow)
+
+
+def test_grouped_cross_query_matches_brute_force():
+    h = 0.1
+    box = (1.0, 0.5, 1.0)
+    grid = nb.grid_for_box((0, 0, 0), box, h)
+    src = V3.from_rows(_random_cloud(400, box, seed=22))
+    q = _cell_sorted(_random_cloud(130, box, seed=23), grid)
+    table = nb.build_cell_table(src, grid)
+    got, _ = nb.find_neighbors_grouped(q, None, src, table, grid,
+                                       K=64, nbcap=12)
+    slow = nb.brute_force_neighbors(q, None, src, h, K=64)
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(slow.count))
+    assert _sets(got) == _sets(slow)
+
+
+def test_grouped_chunked_equals_single_shot():
+    h = 0.1
+    box = (1.0, 1.0, 1.0)
+    grid = nb.grid_for_box((0, 0, 0), box, h)
+    pos = _cell_sorted(_random_cloud(900, box, seed=24), grid)
+    table = nb.build_cell_table(pos, grid)
+    qid = jnp.arange(900, dtype=jnp.int32)
+    one, _ = nb.find_neighbors_grouped(pos, qid, pos, table, grid, K=48,
+                                       nbcap=12, exclude_self=True,
+                                       group_chunk=10**6)
+    blk, _ = nb.find_neighbors_grouped(pos, qid, pos, table, grid, K=48,
+                                       nbcap=12, exclude_self=True,
+                                       group_chunk=7)
+    np.testing.assert_array_equal(np.asarray(one.count),
+                                  np.asarray(blk.count))
+    assert _sets(one) == _sets(blk)
+
+
+def test_grouped_plan_overflow_counted():
+    h = 0.1
+    box = (1.0, 1.0, 1.0)
+    grid = nb.grid_for_box((0, 0, 0), box, h)
+    pos = _cell_sorted(_random_cloud(800, box, seed=25), grid)
+    table = nb.build_cell_table(pos, grid)
+    got, _ = nb.find_neighbors_grouped(pos, None, pos, table, grid,
+                                       K=16, nbcap=2)
+    assert int(np.asarray(got.dropped)) > 0

@@ -190,3 +190,23 @@ def test_color_by_modes():
         rgb = sim.particle_colors(mode)
         assert rgb.shape == (sim.scene.static.n_fluid, 3)
         assert np.isfinite(rgb).all() and rgb.min() >= 0.0 and rgb.max() <= 1.0
+
+
+def test_grouped_build_engine_matches_default(monkeypatch):
+    """The two list-build engines (per-query stencil-prune vs grouped
+    block windows; chosen by particle count) must produce identical
+    physics — run the same DFSPH scene through both and compare."""
+    sim1 = make_sim("dfsph")
+    for _ in range(5):
+        sim1.step()
+    import cfd_taichi_tpu.models.base as mbase
+
+    monkeypatch.setattr(mbase, "GROUPED_BUILD_MIN_N", 0)
+    sim2 = make_sim("dfsph")
+    for _ in range(5):
+        sim2.step()
+    assert int(sim2.state.overflow) == 0
+    np.testing.assert_allclose(sim2.state.fluid.pos.to_numpy(),
+                               sim1.state.fluid.pos.to_numpy(), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sim2.state.diag),
+                               np.asarray(sim1.state.diag), atol=1e-3)

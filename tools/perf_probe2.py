@@ -173,7 +173,8 @@ def main():
     print("devices:", jax.devices(), flush=True)
     measure_floor()
     scene, state, step = hot_state()
-    loop_probes(scene, state)
+    if os.environ.get('LOOPS'):
+        loop_probes(scene, state)
     trace_step(scene, state, step)
     print("done", flush=True)
 
