@@ -86,6 +86,24 @@ def use_band_engine(n: int, band_nb: int) -> bool:
     return 3 * 4 * n * band_nb * bandmat.BLOCK <= BAND_BYTE_BUDGET
 
 
+def alpha_terms(st: SceneStatic, nbh, rho, gx: V3, gc_f, wf, ws=None,
+                gb=None, gc_b=None, wb=None):
+    """alpha_i = rho_i / (|S_f+s|^2 + Q_f+s + Q_b + |S_b|^2), guard < 1e-6
+    (dfsph_solver.py:32-51; the boundary vector sum is squared SEPARATELY
+    from the fluid one — reference quirk kept). Shared by the single-chip
+    and sharded solvers. Returns (alpha, sb_vec or None)."""
+    coeff_fs = wf + (ws if ws is not None else 0.0)
+    s_vec = base.sum_vec(gx, coeff_fs)
+    qsum = jnp.sum((coeff_fs * gc_f * nbh.r) ** 2, axis=1)
+    denom = s_vec.dot(s_vec) + qsum
+    sb_vec = None
+    if st.akinci:
+        sb_vec = base.sum_vec(gb, wb)
+        qb = jnp.sum((wb * gc_b * nbh.br) ** 2, axis=1)
+        denom = denom + qb + sb_vec.dot(sb_vec)
+    return jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom), sb_vec
+
+
 def band_matvec_ops(band: bandmat.BandA):
     """(matvec, matvec_dot) over the per-step band matrix — MXU einsums,
     HBM-bound on the A reads (~1 ms/iter at 29k)."""
@@ -187,20 +205,12 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         gb = V3(nbh.bx.x * gc_b, nbh.bx.y * gc_b, nbh.bx.z * gc_b)
         wb = jnp.where(nbh.bmask, RHO_0 * nbh.bvol, 0.0)         # V_b rho0
 
-    # --- initialize: rho + alpha (dfsph_solver.py:423-426) ------------------
+    # --- initialize: rho + alpha (dfsph_solver.py:423-426, 32-51) -----------
     rho = base.nbh_rho(st, nbh)
-
-    # alpha_i = rho_i / (|S_f+s|^2 + Q_f+s + Q_b + |S_b|^2), guard < 1e-6
-    # (dfsph_solver.py:32-51; boundary vector sum squared separately — quirk).
-    coeff_fs = wf + (ws if has_rigid else 0.0)
-    s_vec = base.sum_vec(gx, coeff_fs)
-    qsum = jnp.sum((coeff_fs * gc_f * nbh.r) ** 2, axis=1)
-    denom = s_vec.dot(s_vec) + qsum
-    if st.akinci:
-        sb_vec = base.sum_vec(gb, wb)
-        qb = jnp.sum((wb * gc_b * nbh.br) ** 2, axis=1)
-        denom = denom + qb + sb_vec.dot(sb_vec)
-    alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
+    alpha, sb_vec = alpha_terms(
+        st, nbh, rho, gx, gc_f, wf, ws=ws if has_rigid else None,
+        gb=gb if st.akinci else None, gc_b=gc_b if st.akinci else None,
+        wb=wb if st.akinci else None)
 
     # --- per-step loop engine + hoisted loop-constant vectors ---------------
     # Both loop operators are linear maps against step-fixed coefficients

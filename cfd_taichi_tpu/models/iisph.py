@@ -44,32 +44,15 @@ def init_state(scene: Scene) -> base.SimState:
     return base.init_sim_state(scene, extra=(p_past,))
 
 
-def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
-    fluid, rigid, dt = state.fluid, state.rigid, state.dt
-    (p_past,) = state.extra
+def predict_advection(st: SceneStatic, nbh, rho, v_adv: V3, rigid, dt,
+                      has_rigid: bool):
+    """d_ii displacement factors, advected density rho_adv, and diagonal
+    a_ii with the d_ji correction (iisph_solver.py:36-75,255-340) — shared
+    by the single-chip and sharded solvers. Returns (d_ii, rho_adv, a_ii,
+    pair tensors reused by the loop: gc_f, gc_b, inv_rho2, r2)."""
     dt2 = dt * dt
-
-    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
-    pos = nbh.pos
-    vel = fluid.vel.take(nbh.perm)
-    oid = fluid.oid[nbh.perm]
-    p_past = p_past[nbh.perm]
-    has_rigid = nbh.rigid_vol is not None
-
-    # Loop-invariant pair geometry.
     gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
-    if st.akinci:
-        gc_b = sm.cubic_grad_coeff(nbh.br, st.h)
-
-    # --- predict advection (iisph_solver.py:36-75) --------------------------
-    rho = base.nbh_rho(st, nbh)
-    tension = base.nbh_tension(st, nbh, TENSION_K)
-    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
-                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
-                                   oid=oid)
-    f_adv = base.gravity_acc(st) + tension + viscosity
-    v_adv = vel + f_adv * (dt / st.particle_m)
-
+    gc_b = sm.cubic_grad_coeff(nbh.br, st.h) if st.akinci else None
     inv_rho2 = (1.0 / (rho * rho))[:, None]   # (N, 1)
 
     # d_ii = dt^2 [ -sum_f m/rho_i^2 gradW - sum_s V rho0/rho_i^2 gradW
@@ -123,12 +106,16 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         dji_b = dt2 * st.particle_m * inv_rho2 * gc_b
         ddot_b = (dii_dot_b - dji_b * (nbh.br * nbh.br)) * gc_b
         a_ii = a_ii + RHO_0 * base.msum(nbh.bvol * ddot_b, nbh.bmask)
+    return d_ii, rho_adv, a_ii, gc_f, gc_b, inv_rho2, r2
 
-    p0 = 0.5 * p_past  # warm start (iisph_solver.py:67)
 
-    # --- relaxed Jacobi solve (iisph_solver.py:78-147) ----------------------
-    err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
-    n = st.n_fluid
+def loop_operators(st: SceneStatic, nbh, rho, d_ii: V3, a_ii, rho_adv,
+                   gc_f, gc_b, inv_rho2, r2, dt2, has_rigid: bool,
+                   resid_mask=None, allreduce=None):
+    """The relaxed-Jacobi loop algebra (iisph_solver.py:78-147,229-253),
+    defined ONCE for the single-chip and sharded solvers. Returns
+    (d_ij_of(p), r_sum_of(p, d_ij), residual_of(p, r_sum))."""
+    red = allreduce if allreduce is not None else (lambda x: x)
 
     # d_ii is fixed during the solve: gather its neighbor values ONCE and
     # close over the (N, K) tensors instead of re-gathering per iteration.
@@ -170,10 +157,49 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     def residual_of(p, r_sum):
         active = p > 0.0
-        cnt = jnp.sum(active)
-        total = jnp.sum(jnp.where(
-            active, a_ii * p + r_sum + rho_adv - RESIDUAL_REF, 0.0))
+        if resid_mask is not None:
+            active = active & resid_mask
+        cnt = red(jnp.sum(active))
+        total = red(jnp.sum(jnp.where(
+            active, a_ii * p + r_sum + rho_adv - RESIDUAL_REF, 0.0)))
         return jnp.where(cnt > 0, total / cnt, 0.0)
+
+    return d_ij_of, r_sum_of, residual_of
+
+
+def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
+    fluid, rigid, dt = state.fluid, state.rigid, state.dt
+    (p_past,) = state.extra
+    dt2 = dt * dt
+
+    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
+    pos = nbh.pos
+    vel = fluid.vel.take(nbh.perm)
+    oid = fluid.oid[nbh.perm]
+    p_past = p_past[nbh.perm]
+    has_rigid = nbh.rigid_vol is not None
+
+    # --- predict advection (iisph_solver.py:36-75) --------------------------
+    rho = base.nbh_rho(st, nbh)
+    tension = base.nbh_tension(st, nbh, TENSION_K)
+    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
+                                   oid=oid)
+    f_adv = base.gravity_acc(st) + tension + viscosity
+    v_adv = vel + f_adv * (dt / st.particle_m)
+
+    d_ii, rho_adv, a_ii, gc_f, gc_b, inv_rho2, r2 = predict_advection(
+        st, nbh, rho, v_adv, rigid, dt, has_rigid)
+
+    p0 = 0.5 * p_past  # warm start (iisph_solver.py:67)
+
+    # --- relaxed Jacobi solve (iisph_solver.py:78-147) ----------------------
+    err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
+    n = st.n_fluid
+
+    d_ij_of, r_sum_of, residual_of = loop_operators(
+        st, nbh, rho, d_ii, a_ii, rho_adv, gc_f, gc_b, inv_rho2, r2, dt2,
+        has_rigid)
 
     def cond(carry):
         _, _, _, res, _, stop, l = carry

@@ -58,34 +58,26 @@ def init_state(scene: Scene) -> base.SimState:
     return base.init_sim_state(scene, extra=(delta.astype(jnp.float32),))
 
 
-def _positive_avg(err):
-    """Average of strictly-positive density errors (pcisph_solver.py:122-133)."""
+def _positive_avg(err, resid_mask=None, allreduce=None):
+    """Average of strictly-positive density errors (pcisph_solver.py:122-133).
+    `resid_mask`/`allreduce` restrict to owned rows and psum across shards
+    in the sharded path (identity when None)."""
+    red = allreduce if allreduce is not None else (lambda x: x)
     pos_mask = err > 0.0
-    cnt = jnp.sum(pos_mask)
-    total = jnp.sum(jnp.where(pos_mask, err, 0.0))
+    if resid_mask is not None:
+        pos_mask = pos_mask & resid_mask
+    cnt = red(jnp.sum(pos_mask))
+    total = red(jnp.sum(jnp.where(pos_mask, err, 0.0)))
     return jnp.where(cnt > 0, total / cnt, 0.0)
 
 
-def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
-    fluid, rigid, dt = state.fluid, state.rigid, state.dt
-    (delta,) = state.extra
+def loop_operators(st: SceneStatic, nbh, rho, pos, vel, ext_force, dt,
+                   has_rigid: bool):
+    """The PCISPH predict/correct loop algebra, defined ONCE for the
+    single-chip and sharded solvers (cf. dfsph.loop_operators). Works on
+    any Nbh-shaped neighborhood (the sharded path builds a local one).
 
-    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
-    pos = nbh.pos
-    vel = fluid.vel.take(nbh.perm)
-    oid = fluid.oid[nbh.perm]
-    has_rigid = nbh.rigid_vol is not None
-
-    # --- external forces (pcisph_solver.py:220-226) -------------------------
-    rho = base.nbh_rho(st, nbh)
-    tension = base.nbh_tension(st, nbh, TENSION_K)
-    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
-                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
-                                   oid=oid)
-    ext_force = base.gravity_acc(st) + tension + viscosity
-
-    # Loop-invariant pair geometry (the pressure-force pass always evaluates
-    # gradW at step-initial positions, pcisph_solver.py:169-198).
+    Returns (press_force_of(p, rigid_force), predict(press_force))."""
     gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
     inv_rho2 = (1.0 / (rho * rho))[:, None]
     if st.akinci:
@@ -152,6 +144,30 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
             rho_p = rho_p + RHO_0 * base.msum(
                 nbh.bvol * sm.cubic_w(d_b, st.h), nbh.bmask)
         return rho_p - RHO_0
+
+    return press_force_of, predict
+
+
+def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
+    fluid, rigid, dt = state.fluid, state.rigid, state.dt
+    (delta,) = state.extra
+
+    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
+    pos = nbh.pos
+    vel = fluid.vel.take(nbh.perm)
+    oid = fluid.oid[nbh.perm]
+    has_rigid = nbh.rigid_vol is not None
+
+    # --- external forces (pcisph_solver.py:220-226) -------------------------
+    rho = base.nbh_rho(st, nbh)
+    tension = base.nbh_tension(st, nbh, TENSION_K)
+    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
+                                   oid=oid)
+    ext_force = base.gravity_acc(st) + tension + viscosity
+
+    press_force_of, predict = loop_operators(st, nbh, rho, pos, vel,
+                                             ext_force, dt, has_rigid)
 
     # --- predictive-corrective loop (pcisph_solver.py:47-70) ----------------
     n = st.n_fluid

@@ -412,93 +412,99 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
 
 
 # ---------------------------------------------------------------------------
-# Sharded DFSPH step (fluid-only; clamp or Akinci boundary)
+# Generic sharded iterative-solver scaffold
 # ---------------------------------------------------------------------------
+#
+# The iterative solvers (DFSPH, PCISPH, IISPH) share one distribution
+# skeleton: exchange a 2h ghost band once per step, cell-sort the local set,
+# build the neighborhood + a models/base.Nbh view over it, run the solver's
+# pressure loop with ONE owner->ghost scalar exchange per iteration (ghosts
+# within h of the slab edge get exact redundant updates: their own
+# neighborhoods are complete inside the 2h halo), integrate owned particles,
+# and migrate slab-crossers. The PHYSICS lives in the model modules
+# (models.{dfsph,pcisph,iisph}.loop_operators etc. — defined once, shared
+# with the single-chip solvers); only the orchestration differs here.
 
-class ShardedDFSPH(NamedTuple):
-    """Cross-step state of the sharded DFSPH solver."""
+class ShardCtx(NamedTuple):
+    """Everything a sharded solver's physics callback needs."""
+    st: SceneStatic          # shimmed: n_fluid = local ns, rigid disabled
+    nbh: object              # models.base.Nbh over the sorted local set
+    wplan: object            # grouped-build plan (None for per-query engine)
+    smask: jnp.ndarray       # (ns,) sorted-slot validity
+    s_owned: jnp.ndarray     # (ns,) sorted-slot locally-owned
+    s_upd: jnp.ndarray       # (ns,) owned | exact-recompute ghost band
+    own_of: object           # sorted field -> (cap,) ORIG-order owned values
+    full_sorted: object      # (cap,) owned ORIG values -> (ns,) sorted full
+    psum: object             # lax.psum over the shard axis
+    pmax: object
+
+
+class ShardedState(NamedTuple):
+    """Cross-step state of a sharded iterative solver."""
     fluid: ShardedFluid
-    warm_k: jnp.ndarray     # (ndev*cap,) — travels with its particle
-    dt: jnp.ndarray         # () — globally uniform (CFL via pmax)
-    t: jnp.ndarray          # ()
-    diag: jnp.ndarray       # (4,) [div_iters, div_avg, den_iters, den_err]
-    # Max capacity overflow across shards in the last step (halo band /
-    # migration / neighbor list / block plan): () int32. Nonzero = LOSS.
+    extras: tuple            # per-particle scalars riding migration
+    dt: jnp.ndarray          # () — globally uniform
+    t: jnp.ndarray
+    diag: jnp.ndarray        # (4,) solver telemetry
     overflow: jnp.ndarray | None = None
 
 
-def init_sharded_dfsph(mesh: Mesh, spec: ShardSpec, st: SceneStatic,
-                       pos, vel=None) -> ShardedDFSPH:
+def _shim_static(st: SceneStatic, ns: int) -> SceneStatic:
+    """A SceneStatic whose fluid set is the shard-local sorted set — lets
+    the sharded path call every models/base operator unchanged."""
+    return dataclasses.replace(st, n_fluid=ns, n_rigid=0, has_rigid=False,
+                               rigid_active=False)
+
+
+_N_EXTRAS = {"dfsph": 1, "pcisph": 0, "iisph": 1}
+
+
+def init_sharded_solver(mesh: Mesh, spec: ShardSpec, st: SceneStatic,
+                        pos, solver: str, vel=None) -> ShardedState:
     fluid = shard_fluid(mesh, spec, pos, vel)
     sh = NamedSharding(mesh, P(AXIS))
-    warm_k = jax.device_put(jnp.zeros((spec.ndev * spec.cap,), jnp.float32),
-                            sh)
-    return ShardedDFSPH(fluid=fluid, warm_k=warm_k,
+    extras = tuple(
+        jax.device_put(jnp.zeros((spec.ndev * spec.cap,), jnp.float32), sh)
+        for _ in range(_N_EXTRAS[solver]))
+    return ShardedState(fluid=fluid, extras=extras,
                         dt=jnp.asarray(st.dt0, jnp.float32),
                         t=jnp.zeros((), jnp.float32),
                         diag=jnp.zeros((4,), jnp.float32))
 
 
-def _gather_matvec_ops_local(idx, wf, gx, rho, alpha):
-    """(matvec, matvec_dot) over a local (ns, K) list — the sharded
-    analogue of models.dfsph.gather_matvec_ops (direct idx addressing;
-    the rho/alpha lanes are distinct pack riders, see that docstring)."""
-    import jax.numpy as jnp
+def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
+                             mesh: Mesh, spec: ShardSpec, solver: str,
+                             consts: dict | None = None):
+    """Build a jitted sharded step for an iterative solver.
 
-    def matvec(k):
-        tbl = jnp.stack([k, rho, alpha, k * alpha], axis=0)
-        kj = tbl[:, idx][0]
-        w = wf * kj
-        return V3(jnp.sum(gx.x * w, axis=1), jnp.sum(gx.y * w, axis=1),
-                  jnp.sum(gx.z * w, axis=1))
-
-    def matvec_dot(v):
-        tbl = jnp.stack([v.x, v.y, v.z, v.x + v.y], axis=0)
-        rows = tbl[:, idx]
-        return jnp.sum(wf * (rows[0] * gx.x + rows[1] * gx.y
-                             + rows[2] * gx.z), axis=1)
-
-    return matvec, matvec_dot
-
-
-def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
-                            spec: ShardSpec):
-    """Sharded DFSPH with the single-chip algebra of models/dfsph.py.
-
-    Distribution design (the TPU answer to the reference's host-driven
-    solver loops, dfsph_solver.py:221-233, 393-416):
-      * the 2h ghost band is exchanged ONCE per step (positions +
-        velocities) and its pack slots are captured in a BandPlan;
-      * inside both pressure loops, each iteration exchanges exactly ONE
-        scalar field — the owner-computed stiffness k — through the same
-        planned slots (`lax.ppermute` over ICI), and velocities of ghosts
-        within h of the slab edge are updated redundantly from the exact
-        exchanged k, so owned-particle updates stay bit-consistent with a
-        wider halo without re-exchanging velocities;
-      * every residual/average/CFL reduction is a `lax.psum`/`pmax` over
-        the mesh axis, replacing the reference's per-iteration
-        kernel-scalar host syncs (dfsph_solver.py:125,253).
-
-    Rigid coupling stays single-chip (the rigid body is a few thousand
-    particles; sharding it buys nothing).
-    """
+    `consts` carries solver-global scalars (PCISPH: the init-time stiffness
+    `delta`, computed once from the global seed exactly like the
+    single-chip models.pcisph.init_state)."""
     from jax.experimental.shard_map import shard_map
 
-    from cfd_taichi_tpu.models import dfsph as D
+    from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.models.base import GROUPED_BUILD_MIN_N
 
     if st.rigid_active:
-        raise ValueError("sharded DFSPH covers the fluid path only; run "
+        raise ValueError("sharded solvers cover the fluid path only; run "
                          "rigid-coupled scenes single-chip")
+    physics = {"dfsph": _dfsph_physics, "pcisph": _pcisph_physics,
+               "iisph": _iisph_physics}[solver]
+    n_extras = _N_EXTRAS[solver]
+    consts = consts or {}
 
     h = st.h
-    m = st.particle_m
-    cap, hcap = spec.cap, spec.hcap
+    cap = spec.cap
 
-    def local_step(px, py, pz, vx, vy, vz, mask, wk, dt,
-                   bx, by, bz, bvol):
+    def local_step(*args):
+        px, py, pz, vx, vy, vz, mask = args[:7]
+        extras = list(args[7:7 + n_extras])
+        dt = args[7 + n_extras]
+        bx, by, bz, bvol = args[8 + n_extras:12 + n_extras]
         pos = V3(px, py, pz)
         vel0 = V3(vx, vy, vz)
         bpos = V3(bx, by, bz)
+
         halo_pos, halo_vel, halo_mask, plan = _halo_exchange(
             spec, pos, vel0, mask, h)
         src_pos = V3(*(jnp.concatenate([a, b]) for a, b in
@@ -514,49 +520,39 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         xc = (src_pos.x, src_pos.y, src_pos.z)[spec.axis]
         slab_lo = spec.lo + me.astype(jnp.float32) * spec.slab_w
         slab_hi = slab_lo + spec.slab_w
-        # Ghosts within h of my slab get locally-redundant velocity updates
-        # (exact: their stiffness arrives from the owner each iteration).
+        # Ghosts within h of my slab get locally-exact redundant updates
+        # (their full neighborhood lies inside the 2h halo, and their
+        # per-iteration scalar arrives from the owner).
         hband = src_mask & (slot >= cap) & (xc > slab_lo - h) \
             & (xc < slab_hi + h)
         upd = owned | hband
 
         def exch(vals_own):
-            """Owner values (cap,) -> halo-aligned ghost values (2*hcap,)."""
             out, _ = _plan_exchange(spec, plan, [vals_own])
             return out[0]
 
-        # --- local cell sort ------------------------------------------------
-        # The slab's slot order is migration-packed, i.e. arbitrary; the
-        # band-matrix engine (ops/bandmat) needs CELL-SORTED queries for its
-        # block locality, exactly like the single-chip build_nbh. Sort the
-        # local+halo set each step; owner<->sorted translation is two small
-        # index gathers per loop iteration.
+        # --- local cell sort (band locality; see git history for why) ----
         cid = nb.cell_id(src_pos, st.grid)
         cid = jnp.where(src_mask, cid, st.grid.num_cells)
-        perm = jnp.argsort(cid, stable=True).astype(jnp.int32)  # sorted->orig
+        perm = jnp.argsort(cid, stable=True).astype(jnp.int32)
         inv = jnp.zeros((ns,), jnp.int32).at[perm].set(
-            jnp.arange(ns, dtype=jnp.int32))                    # orig->sorted
+            jnp.arange(ns, dtype=jnp.int32))
         inv_own = inv[:cap]
         spos = src_pos.take(perm)
         smask = src_mask[perm]
-        s_upd = upd[perm]
         s_owned = owned[perm]
+        s_upd = upd[perm]
         sv = v_orig.take(perm)
 
         def full_sorted(vals_own):
-            """Owner values (cap,) in ORIG slot order -> full sorted-space
-            vector (ns,): ghosts receive the owner-computed values through
-            the planned halo slots (one ppermute)."""
             return jnp.concatenate([vals_own, exch(vals_own)])[perm]
 
         def own_of(sorted_vals):
-            """Sorted-space field -> ORIG-order owned values (cap,)."""
             return sorted_vals[inv_own]
 
-        # --- neighborhood + band matrix (built once per step) ---------------
+        # --- neighborhood (engine policy identical to build_nbh) ---------
         table = nb.build_cell_table(spos, st.grid, valid=smask)
         qid = jnp.arange(ns, dtype=jnp.int32)
-        from cfd_taichi_tpu.models.base import GROUPED_BUILD_MIN_N
         if ns >= GROUPED_BUILD_MIN_N:
             nl, wplan = nb.find_neighbors_grouped(
                 spos, qid, spos, table, st.grid, K=st.K, nbcap=st.band_nb,
@@ -571,21 +567,14 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
             cell_over = jnp.maximum(jnp.max(occ) - st.cell_cap, 0)
         jmask = nl.mask & smask[nl.idx] & smask[:, None]
         x_ij = spos.expand(1) - nl.spos
-        r = x_ij.norm()
-        gc = sm.cubic_grad_coeff(r, h)
-        gx = V3(x_ij.x * gc, x_ij.y * gc, x_ij.z * gc)
-        wf = jnp.where(jmask, jnp.float32(m), 0.0)
-        counts = jnp.sum(jmask, axis=1)
 
-        # Silent-loss channels counted (ADVICE r2; single-chip precedent:
-        # SimState.overflow): K overflow, block-plan/cell-cap drops,
-        # halo-band capacity. Migration drops added after integration.
         overflow = jnp.maximum(
             jnp.max(jnp.where(smask, nl.count, 0)) - st.K, 0)
         overflow = jnp.maximum(overflow, nl.dropped)
         overflow = jnp.maximum(overflow, cell_over)
         overflow = jnp.maximum(overflow, plan.dropped)
 
+        bidx = bmask = bxv = br = bvolg = None
         if st.akinci:
             if ns >= GROUPED_BUILD_MIN_N:
                 blist, _ = nb.find_neighbors_grouped(
@@ -596,146 +585,39 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
                                           arrays.boundary_table, st.grid,
                                           K=st.bK, cell_cap=st.bcell_cap,
                                           k2=st.bk2)
+            bidx = blist.idx
+            bmask = blist.mask & smask[:, None]
             bxv = spos.expand(1) - blist.spos
             br = bxv.norm()
-            gcb = sm.cubic_grad_coeff(br, h)
-            gb = V3(bxv.x * gcb, bxv.y * gcb, bxv.z * gcb)
-            wb = jnp.where(blist.mask, RHO_0 * bvol[blist.idx], 0.0)
+            bvolg = bvol[bidx]
             overflow = jnp.maximum(
                 overflow, jnp.max(jnp.where(smask, blist.count, 0)) - st.bK)
 
-        # --- rho + alpha (dfsph_solver.py:423-426, 32-51) -------------------
-        wkern = sm.cubic_w(r, h)
-        rho = 0.001 + m * jnp.sum(jnp.where(jmask, wkern, 0.0), axis=1)
-        if st.akinci:
-            wbk = sm.cubic_w(br, h)
-            rho = rho + jnp.sum(wb * wbk, axis=1)
-        s_vec = V3(jnp.sum(gx.x * wf, axis=1), jnp.sum(gx.y * wf, axis=1),
-                   jnp.sum(gx.z * wf, axis=1))
-        qsum = jnp.sum((wf * gc * r) ** 2, axis=1)
-        denom = s_vec.dot(s_vec) + qsum
-        if st.akinci:
-            sb = V3(jnp.sum(gb.x * wb, axis=1), jnp.sum(gb.y * wb, axis=1),
-                    jnp.sum(gb.z * wb, axis=1))
-            qb = jnp.sum((wb * gcb * br) ** 2, axis=1)
-            denom = denom + qb + sb.dot(sb)
-        alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
-        rho_own = own_of(rho)
-        alpha_own = own_of(alpha)
+        st_local = _shim_static(st, ns)
+        nbh = mbase.Nbh(
+            pos=spos, perm=perm, pos_all=spos, idx=nl.idx, mask=jmask,
+            mask_f=jmask, mask_s=jnp.zeros_like(jmask),
+            count=jnp.sum(jmask, axis=1), x=x_ij, r=x_ij.norm(),
+            rigid_vol=None, bidx=bidx, bmask=bmask, bx=bxv, br=br,
+            bvol=bvolg, overflow=overflow, plan=wplan)
 
-        # The SAME loop algebra as the single-chip solver (D.loop_operators
-        # — defined once, cannot drift), with psum residuals over owned
-        # rows and the per-iteration owner->ghost stiffness exchange.
-        # Same engine policy too: band matrix within the byte budget,
-        # (N, K) gathers beyond (per-shard N divides with the mesh, so
-        # multi-chip re-enables the band engine at scales where a single
-        # chip cannot hold it).
-        if D.use_band_engine(ns, st.band_nb):
-            band = bandmat.build_band(
-                spos, nl.idx, jmask, h=h, m=m,
-                nbcap=st.band_nb if wplan is not None else st.pair_nb,
-                B=st.band_B, src_valid=smask, plan=wplan,
-                dtype=D.BAND_DTYPE)
-            overflow = jnp.maximum(overflow, band.overflow)
-            S = band.s
-            mv, mvd = D.band_matvec_ops(band)
-        else:
-            S = V3(jnp.sum(gx.x * wf, axis=1), jnp.sum(gx.y * wf, axis=1),
-                   jnp.sum(gx.z * wf, axis=1))
-            mv, mvd = _gather_matvec_ops_local(nl.idx, wf, gx, rho, alpha)
-        if st.akinci:
-            S = S + sb
-        psum = lambda x: jax.lax.psum(x, AXIS)  # noqa: E731
-        stiff_vel_delta, _, rho_derivative, rho_adv_residual = \
-            D.loop_operators(mv, mvd, S, counts, resid_mask=s_owned,
-                             allreduce=psum)
+        ctx = ShardCtx(st=st_local, nbh=nbh, wplan=wplan, smask=smask,
+                       s_owned=s_owned, s_upd=s_upd, own_of=own_of,
+                       full_sorted=full_sorted,
+                       psum=lambda x: jax.lax.psum(x, AXIS),
+                       pmax=lambda x: jax.lax.pmax(x, AXIS))
 
-        def masked_step(vv: V3, delta: V3, dt_):
-            return V3(jnp.where(s_upd, vv.x - delta.x * dt_, vv.x),
-                      jnp.where(s_upd, vv.y - delta.y * dt_, vv.y),
-                      jnp.where(s_upd, vv.z - delta.z * dt_, vv.z))
+        new_vel, new_extras, dt, diag, phys_over = physics(
+            ctx, sv, extras, dt, consts)
+        overflow = jnp.maximum(overflow, phys_over)
 
-        # --- divergence solve (dfsph_solver.py:393-416) ---------------------
-        if D.WARM_START:
-            wk_k = (wk / dt) / rho_own
-            sv = masked_step(sv, stiff_vel_delta(full_sorted(wk_k)), dt)
-            wk = jnp.zeros_like(wk)
-
-        dr0, avg0 = rho_derivative(sv, jnp.float32(0.0))
-
-        def div_cond(c):
-            _, _, _, avg, _, stop, it = c
-            return (((it < D.MIN_ITER_DIV) | (avg > D.DIV_THRESHOLD))
-                    & (it < D.MAX_ITER_DIV) & jnp.logical_not(stop))
-
-        def div_body(c):
-            vv, wkk, dr, avg, past, _, it = c
-            dr_own = own_of(dr)
-            k_own = (dr_own * alpha_own / dt) / rho_own
-            vv = masked_step(vv, stiff_vel_delta(full_sorted(k_own)), dt)
-            wkk = wkk + dr_own * alpha_own  # sum_up_stiff (381-384)
-            new_dr, new_avg = rho_derivative(vv, jnp.float32(0.0))
-            stop = jnp.abs(new_avg - avg) < D.STALL_EPS
-            return (vv, wkk, new_dr, new_avg, avg, stop, it + 1)
-
-        sv, wk, _, div_avg, _, _, div_iters = jax.lax.while_loop(
-            div_cond, div_body,
-            (sv, wk, dr0, avg0, jnp.zeros(()), jnp.zeros((), bool),
-             jnp.zeros((), jnp.int32)))
-
-        # --- external forces + v_adv + CFL dt (dfsph_solver.py:91-122) ------
-        tens = V3(*(jnp.sum(jnp.where(jmask, -D.TENSION_K * wkern, 0.0) * c,
-                            axis=1) for c in x_ij.astuple())) * m
-        vij = sv.expand(1) - sv.take(nl.idx)
-        shear = vij.dot(x_ij)
-        q2e = r * r + 0.01 * h * h
-        rho_j = rho[nl.idx]
-        piv = -(2.0 * D.VISCOSITY_ALPHA * h * D.VISCOSITY_C_S
-                / (rho[:, None] + rho_j)) * shear / q2e
-        vsc = jnp.where(jmask & (shear < 0.0), -m * piv * gc, 0.0)
-        visc = V3(jnp.sum(vsc * x_ij.x, axis=1),
-                  jnp.sum(vsc * x_ij.y, axis=1),
-                  jnp.sum(vsc * x_ij.z, axis=1)) * m
-        fext = tens + visc + V3(jnp.float32(0.0), jnp.float32(-st.gravity),
-                                jnp.float32(0.0))
-        v_adv_own = V3(*(own_of(vv) + own_of(fe) * (dt / m)
-                         for vv, fe in zip(sv.astuple(), fext.astuple())))
-        v_adv = V3(*(full_sorted(c) for c in v_adv_own.astuple()))
-
-        max_vel = jax.lax.pmax(
-            jnp.max(jnp.where(owned[:cap], v_adv_own.norm(), 0.0)), AXIS)
-        if D.ADAPTIVE_DT:
-            dt = jnp.clip(0.4 * (2.0 * st.particle_radius)
-                          / jnp.maximum(max_vel, 1e-9) * 0.2,
-                          D.MIN_DT, D.MAX_DT)
-        dt2 = dt * dt
-
-        # --- density solve (dfsph_solver.py:221-233) ------------------------
-        def den_cond(c):
-            _, avg, it = c
-            return (((it < D.MIN_ITER_DENSITY)
-                     | (avg - RHO_0 > D.DENSITY_THRESHOLD * RHO_0 * 0.01))
-                    & (it < D.MAX_ITER_DENSITY))
-
-        def den_body(c):
-            vv, _, it = c
-            rho_adv, avg = rho_adv_residual(rho, dt, vv, jnp.float32(0.0))
-            k_own = ((own_of(rho_adv) - RHO_0) * alpha_own / dt2) / rho_own
-            vv = masked_step(vv, stiff_vel_delta(full_sorted(k_own)), dt)
-            return (vv, avg, it + 1)
-
-        v_adv, den_avg, den_iters = jax.lax.while_loop(
-            den_cond, den_body,
-            (v_adv, jnp.float32(jnp.inf), jnp.zeros((), jnp.int32)))
-
-        # --- integrate owned + migrate (dfsph_solver.py:235-250) ------------
-        f = jnp.float32(0.9999)  # base.ARTIFICIAL_FRICTION
-        new_vel = V3(*(own_of(c) * f for c in v_adv.astuple()))
+        # --- integrate owned + migrate -----------------------------------
         new_pos = V3(*(pc + nv * dt
                        for pc, nv in zip(pos.astuple(), new_vel.astuple())))
         if not st.akinci:
             np_, nv_ = [], []
-            for c, vv, lo_c, hi_c in zip(new_pos.astuple(), new_vel.astuple(),
+            for c, vv, lo_c, hi_c in zip(new_pos.astuple(),
+                                         new_vel.astuple(),
                                          st.box_min, st.box_max):
                 lo = jnp.float32(lo_c + st.particle_radius)
                 hi = jnp.float32(hi_c - st.particle_radius)
@@ -747,31 +629,296 @@ def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         new_vel = new_vel.where(mask, 0.0)
 
         out, out_mask, mig_drop = _migrate(
-            spec, [*new_pos.astuple(), *new_vel.astuple(), wk], mask)
+            spec, [*new_pos.astuple(), *new_vel.astuple(), *new_extras],
+            mask)
         overflow = jax.lax.pmax(
             jnp.maximum(overflow, mig_drop).astype(jnp.int32), AXIS)
-        diag = jnp.stack([div_iters.astype(jnp.float32), div_avg,
-                          den_iters.astype(jnp.float32), den_avg - RHO_0])
-        return (*out[:6], out_mask, out[6], dt, diag, overflow)
+        return (*out[:6], out_mask, *out[6:], dt, diag, overflow)
 
     mapped = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(AXIS),) * 8 + (P(), P(), P(), P(), P()),
-        out_specs=(P(AXIS),) * 8 + (P(), P(), P()),
+        in_specs=(P(AXIS),) * (7 + n_extras) + (P(), P(), P(), P(), P()),
+        out_specs=(P(AXIS),) * (7 + n_extras) + (P(), P(), P()),
         check_rep=False,
     )
 
     @jax.jit
-    def step(state: ShardedDFSPH) -> ShardedDFSPH:
+    def step(state: ShardedState) -> ShardedState:
         f = state.fluid
         out = mapped(*f.pos.astuple(), *f.vel.astuple(), f.mask,
-                     state.warm_k, state.dt,
+                     *state.extras, state.dt,
                      *arrays.boundary_pos.astuple(), arrays.boundary_volume)
-        return ShardedDFSPH(
+        k = 7 + n_extras
+        return ShardedState(
             fluid=ShardedFluid(pos=V3(out[0], out[1], out[2]),
                                vel=V3(out[3], out[4], out[5]), mask=out[6],
-                               overflow=out[10]),
-            warm_k=out[7], dt=out[8], t=state.t + out[8], diag=out[9],
-            overflow=out[10])
+                               overflow=out[k + 2]),
+            extras=tuple(out[7:k]), dt=out[k], t=state.t + out[k],
+            diag=out[k + 1], overflow=out[k + 2])
 
     return step
+
+
+# --- per-solver physics callbacks (orchestration only; algebra is shared
+# with the single-chip modules) ---------------------------------------------
+
+def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
+    """Sharded DFSPH: models.dfsph loop algebra + per-iteration stiffness
+    exchange + psum residuals + pmax CFL (dfsph_solver.py:221-233,393-416)."""
+    from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.models import dfsph as D
+
+    st, nbh = ctx.st, ctx.nbh
+    (wk,) = extras
+    m = st.particle_m
+
+    rho = mbase.nbh_rho(st, nbh)
+    gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
+    gx = V3(nbh.x.x * gc_f, nbh.x.y * gc_f, nbh.x.z * gc_f)
+    wf = jnp.where(nbh.mask_f, jnp.float32(m), 0.0)
+    gb = gc_b = wb = None
+    if st.akinci:
+        gc_b = sm.cubic_grad_coeff(nbh.br, st.h)
+        gb = V3(nbh.bx.x * gc_b, nbh.bx.y * gc_b, nbh.bx.z * gc_b)
+        wb = jnp.where(nbh.bmask, RHO_0 * nbh.bvol, 0.0)
+    alpha, sb_vec = D.alpha_terms(st, nbh, rho, gx, gc_f, wf,
+                                  gb=gb, gc_b=gc_b, wb=wb)
+    rho_own = ctx.own_of(rho)
+    alpha_own = ctx.own_of(alpha)
+
+    if D.use_band_engine(st.n_fluid, st.band_nb):
+        band = bandmat.build_band(
+            nbh.pos, nbh.idx, nbh.mask_f, h=st.h, m=m,
+            nbcap=st.band_nb if ctx.wplan is not None else st.pair_nb,
+            B=st.band_B, src_valid=ctx.smask, plan=ctx.wplan,
+            dtype=D.BAND_DTYPE)
+        engine_over = band.overflow
+        S = band.s
+        mv, mvd = D.band_matvec_ops(band)
+    else:
+        S = mbase.sum_vec(gx, wf)
+        mv, mvd = D.gather_matvec_ops(st, nbh, wf, gx, rho, alpha)
+        engine_over = jnp.zeros((), jnp.int32)
+    if st.akinci:
+        S = S + sb_vec
+    stiff_vel_delta, _, rho_derivative, rho_adv_residual = \
+        D.loop_operators(mv, mvd, S, nbh.count, resid_mask=ctx.s_owned,
+                         allreduce=ctx.psum)
+
+    def masked_step(vv, delta, dt_):
+        return V3(jnp.where(ctx.s_upd, vv.x - delta.x * dt_, vv.x),
+                  jnp.where(ctx.s_upd, vv.y - delta.y * dt_, vv.y),
+                  jnp.where(ctx.s_upd, vv.z - delta.z * dt_, vv.z))
+
+    zero = jnp.float32(0.0)
+
+    # --- divergence solve -------------------------------------------------
+    if D.WARM_START:
+        sv = masked_step(
+            sv, stiff_vel_delta(ctx.full_sorted((wk / dt) / rho_own)), dt)
+        wk = jnp.zeros_like(wk)
+
+    dr0, avg0 = rho_derivative(sv, zero)
+
+    def div_cond(c):
+        _, _, _, avg, _, stop, it = c
+        return (((it < D.MIN_ITER_DIV) | (avg > D.DIV_THRESHOLD))
+                & (it < D.MAX_ITER_DIV) & jnp.logical_not(stop))
+
+    def div_body(c):
+        vv, wkk, dr, avg, past, _, it = c
+        dr_own = ctx.own_of(dr)
+        k_own = (dr_own * alpha_own / dt) / rho_own
+        vv = masked_step(vv, stiff_vel_delta(ctx.full_sorted(k_own)), dt)
+        wkk = wkk + dr_own * alpha_own   # sum_up_stiff (381-384)
+        new_dr, new_avg = rho_derivative(vv, zero)
+        stop = jnp.abs(new_avg - avg) < D.STALL_EPS
+        return (vv, wkk, new_dr, new_avg, avg, stop, it + 1)
+
+    sv, wk, _, div_avg, _, _, div_iters = jax.lax.while_loop(
+        div_cond, div_body,
+        (sv, wk, dr0, avg0, jnp.zeros(()), jnp.zeros((), bool),
+         jnp.zeros((), jnp.int32)))
+
+    # --- external forces + v_adv + CFL dt ---------------------------------
+    tension = mbase.nbh_tension(st, nbh, D.TENSION_K)
+    viscosity = mbase.nbh_viscosity(st, nbh, sv, rho, mbase.empty_rigid(),
+                                    c_s=D.VISCOSITY_C_S,
+                                    alpha=D.VISCOSITY_ALPHA)
+    fext = mbase.gravity_acc(st) + tension + viscosity
+    v_adv_own = V3(*(ctx.own_of(vv) + ctx.own_of(fe) * (dt / m)
+                     for vv, fe in zip(sv.astuple(), fext.astuple())))
+    v_adv = V3(*(ctx.full_sorted(c) for c in v_adv_own.astuple()))
+
+    own_cap = ctx.own_of(ctx.s_owned)
+    max_vel = ctx.pmax(jnp.max(jnp.where(own_cap, v_adv_own.norm(), 0.0)))
+    if D.ADAPTIVE_DT:
+        dt = jnp.clip(0.4 * (2.0 * st.particle_radius)
+                      / jnp.maximum(max_vel, 1e-9) * 0.2,
+                      D.MIN_DT, D.MAX_DT)
+    dt2 = dt * dt
+
+    # --- density solve ----------------------------------------------------
+    den_thresh = D.DENSITY_THRESHOLD * RHO_0 * 0.01
+
+    def den_cond(c):
+        _, avg, it = c
+        return (((it < D.MIN_ITER_DENSITY) | (avg - RHO_0 > den_thresh))
+                & (it < D.MAX_ITER_DENSITY))
+
+    def den_body(c):
+        vv, _, it = c
+        rho_adv, avg = rho_adv_residual(rho, dt, vv, zero)
+        k_own = ((ctx.own_of(rho_adv) - RHO_0) * alpha_own / dt2) / rho_own
+        vv = masked_step(vv, stiff_vel_delta(ctx.full_sorted(k_own)), dt)
+        return (vv, avg, it + 1)
+
+    v_adv, den_avg, den_iters = jax.lax.while_loop(
+        den_cond, den_body,
+        (v_adv, jnp.float32(jnp.inf), jnp.zeros((), jnp.int32)))
+
+    f = jnp.float32(mbase.ARTIFICIAL_FRICTION)
+    new_vel = V3(*(ctx.own_of(c) * f for c in v_adv.astuple()))
+    diag = jnp.stack([div_iters.astype(jnp.float32), div_avg,
+                      den_iters.astype(jnp.float32), den_avg - RHO_0])
+    return new_vel, [wk], dt, diag, engine_over
+
+
+def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
+    """Sharded PCISPH: models.pcisph loop algebra + per-iteration pressure
+    exchange + psum residual (pcisph_solver.py:47-70)."""
+    from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.models import pcisph as PC
+
+    st, nbh = ctx.st, ctx.nbh
+    delta = jnp.float32(consts["delta"])
+
+    rho = mbase.nbh_rho(st, nbh)
+    tension = mbase.nbh_tension(st, nbh, PC.TENSION_K)
+    viscosity = mbase.nbh_viscosity(st, nbh, sv, rho, mbase.empty_rigid(),
+                                    c_s=PC.VISCOSITY_C_S,
+                                    alpha=PC.VISCOSITY_ALPHA)
+    ext_force = mbase.gravity_acc(st) + tension + viscosity
+
+    press_force_of, predict = PC.loop_operators(
+        st, nbh, rho, nbh.pos, sv, ext_force, dt, has_rigid=False)
+
+    def avg_of(err):
+        return PC._positive_avg(err, resid_mask=ctx.s_owned,
+                                allreduce=ctx.psum)
+
+    ns = st.n_fluid
+    press0 = jnp.zeros(ns, jnp.float32)
+    force0 = V3.zeros((ns,))
+    rho_err0 = predict(force0)
+    res0 = avg_of(rho_err0)
+    err_thresh = RHO_0 * PC.RHO_MAX_ERR_PERCENT * 0.01
+
+    def cond(carry):
+        _, _, _, res, it = carry
+        return ((res > err_thresh) | (it < PC.MIN_ITER)) & (it < PC.MAX_ITER)
+
+    def body(carry):
+        p_iter, _, rho_err, _, it = carry
+        # Owner-computed pressure update, exchanged to ghosts (rho_err is
+        # exact for owned rows; ghosts receive the owner's p).
+        p_own = jnp.maximum(ctx.own_of(p_iter)
+                            + ctx.own_of(rho_err) * delta, 0.0)
+        p_iter = ctx.full_sorted(p_own)
+        force, _ = press_force_of(p_iter, None)
+        rho_err = predict(force)
+        return (p_iter, force, rho_err, avg_of(rho_err), it + 1)
+
+    p_iter, press_force, rho_err, res, iters = jax.lax.while_loop(
+        cond, body, (press0, force0, rho_err0, res0,
+                     jnp.zeros((), jnp.int32)))
+
+    f = jnp.float32(mbase.ARTIFICIAL_FRICTION)
+    new_vel = V3(*(
+        (ctx.own_of(vv) + ctx.own_of(fe)
+         * (dt / st.particle_m)) * f
+        for vv, fe in zip(sv.astuple(),
+                          (ext_force + press_force).astuple())))
+    diag = jnp.stack([iters.astype(jnp.float32), res, jnp.zeros(()),
+                      jnp.zeros(())])
+    return new_vel, [], dt, diag, jnp.zeros((), jnp.int32)
+
+
+def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
+    """Sharded IISPH: models.iisph relaxed-Jacobi algebra + per-iteration
+    pressure exchange + psum residual (iisph_solver.py:78-147)."""
+    from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.models import iisph as II
+
+    st, nbh = ctx.st, ctx.nbh
+    (p_past,) = extras
+    dt2 = dt * dt
+
+    rho = mbase.nbh_rho(st, nbh)
+    tension = mbase.nbh_tension(st, nbh, II.TENSION_K)
+    viscosity = mbase.nbh_viscosity(st, nbh, sv, rho, mbase.empty_rigid(),
+                                    c_s=II.VISCOSITY_C_S,
+                                    alpha=II.VISCOSITY_ALPHA)
+    f_adv = mbase.gravity_acc(st) + tension + viscosity
+    v_adv = sv + f_adv * (dt / st.particle_m)
+
+    d_ii, rho_adv, a_ii, gc_f, gc_b, inv_rho2, r2 = II.predict_advection(
+        st, nbh, rho, v_adv, None, dt, has_rigid=False)
+
+    d_ij_of, r_sum_of, residual_of = II.loop_operators(
+        st, nbh, rho, d_ii, a_ii, rho_adv, gc_f, gc_b, inv_rho2, r2, dt2,
+        has_rigid=False, resid_mask=ctx.s_owned, allreduce=ctx.psum)
+
+    p0 = ctx.full_sorted(0.5 * p_past)  # warm start (iisph_solver.py:67)
+    err_thresh = II.RHO_ERR_PERCENT * RHO_0 * 0.01
+    ns = st.n_fluid
+
+    def cond(carry):
+        _, _, _, res, _, stop, l = carry
+        return (((res > err_thresh) | (l < II.MIN_ITER)) & (l < II.MAX_ITER)
+                & jnp.logical_not(stop))
+
+    def body(carry):
+        p, d_ij, r_sum, res, _, _, l = carry
+        d_ij = d_ij_of(p)
+        r_sum = r_sum_of(p, d_ij)
+        p_new = jnp.where(jnp.abs(a_ii) > 1e-7,
+                          (1.0 - II.OMEGA) * p
+                          + II.OMEGA * (RHO_0 - rho_adv - r_sum) / a_ii,
+                          0.0)
+        # Owner values are exact (their r_sum neighborhoods are complete);
+        # exchange them so every ghost carries its owner's pressure.
+        p = ctx.full_sorted(jnp.maximum(ctx.own_of(p_new), 0.0))
+        new_res = residual_of(p, r_sum)
+        stop = (l >= 1) & (new_res - res > 0.0)
+        return (p, d_ij, r_sum, new_res, res, stop, l + 1)
+
+    p_iter, d_ij, r_sum, res, _, _, iters = jax.lax.while_loop(
+        cond, body,
+        (p0, V3.zeros((ns,)), jnp.zeros(ns, jnp.float32),
+         jnp.float32(jnp.inf), jnp.float32(jnp.inf), jnp.zeros((), bool),
+         jnp.zeros((), jnp.int32)))
+
+    f_press = (d_ij + d_ii * p_iter) * (st.particle_m / dt2)
+    f = jnp.float32(mbase.ARTIFICIAL_FRICTION)
+    new_vel = V3(*(
+        (ctx.own_of(vv) + ctx.own_of(fp) * (dt / st.particle_m)) * f
+        for vv, fp in zip(v_adv.astuple(), f_press.astuple())))
+    diag = jnp.stack([iters.astype(jnp.float32), res, jnp.zeros(()),
+                      jnp.zeros(())])
+    return new_vel, [ctx.own_of(p_iter)], dt, diag, jnp.zeros((), jnp.int32)
+
+
+# --- backwards-compatible DFSPH API ----------------------------------------
+
+ShardedDFSPH = ShardedState
+
+
+def init_sharded_dfsph(mesh: Mesh, spec: ShardSpec, st: SceneStatic,
+                       pos, vel=None) -> ShardedState:
+    return init_sharded_solver(mesh, spec, st, pos, "dfsph", vel=vel)
+
+
+def make_sharded_dfsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
+                            spec: ShardSpec):
+    return make_sharded_solver_step(st, arrays, mesh, spec, "dfsph")

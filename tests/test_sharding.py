@@ -162,3 +162,93 @@ def test_too_many_devices_rejected():
     scene = build_scene(sim_cfg)
     with pytest.raises(ValueError, match="thinner than"):
         domain.make_spec(scene.static, 8)  # 1.0/8 = 0.125 < 2h = 0.2
+
+
+def _nearest_match(got_pos, ref_pos, tol):
+    d2 = ((got_pos[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    nearest = np.sqrt(d2.min(axis=1))
+    assert nearest.max() < tol, f"max pairing distance {nearest.max()}"
+
+
+@pytest.mark.parametrize("solver", ["pcisph", "iisph"])
+def test_sharded_iterative_solver_matches_single_chip(solver):
+    """Sharded PCISPH/IISPH (per-iteration pressure exchange through the
+    planned halo slots + psum residuals) agree with the single-chip
+    solvers, with IDENTICAL iteration counts — the same equivalence bar as
+    sharded DFSPH. Reference loops: pcisph_solver.py:47-70,
+    iisph_solver.py:78-147."""
+    cfg = copy.deepcopy(CFG)
+    cfg["solver"]["name"] = solver
+    sim = Simulation(parse_config(cfg))
+    mesh = domain.make_mesh(NDEV)
+    spec = domain.make_spec(sim.scene.static, NDEV)
+    state = domain.init_sharded_solver(mesh, spec, sim.scene.static,
+                                       sim.scene.fluid_pos0, solver)
+    consts = None
+    if solver == "pcisph":
+        from cfd_taichi_tpu.models import pcisph
+
+        consts = {"delta": float(
+            pcisph.init_state(sim.scene).extra[0])}
+    step = domain.make_sharded_solver_step(sim.scene.static,
+                                           sim.scene.arrays, mesh, spec,
+                                           solver, consts=consts)
+    for _ in range(3):
+        sim.step()
+        state = step(state)
+    # Identical iteration counts (the while-loop exchange machinery must
+    # reproduce the single-chip residual trajectory).
+    np.testing.assert_allclose(np.asarray(state.diag)[0],
+                               np.asarray(sim.state.diag)[0], atol=0)
+    assert int(np.asarray(state.overflow)) == 0
+    ref_pos = sim.state.fluid.pos.to_numpy()
+    got_pos, _ = domain.unshard(state.fluid)
+    assert got_pos.shape[0] == ref_pos.shape[0]
+    _nearest_match(got_pos, ref_pos, 1e-4)
+
+
+def test_sharded_migration_stress_dam_break():
+    """Slab-crossing dam break (VERDICT r02 item 6): fluid seeded at one
+    end of a long box with an initial axial velocity floods across all
+    slab boundaries over 60 steps — migration-heavy, while-loop exchange
+    machinery exercised far beyond the gentle 3-step equivalence scenes.
+    Invariants: exact particle conservation, zero capacity overflow,
+    finite state, and substantial cross-slab migration actually
+    happened."""
+    cfg = copy.deepcopy(CFG)
+    cfg["solver"]["name"] = "dfsph"
+    sim = Simulation(parse_config(cfg))
+    mesh = domain.make_mesh(NDEV)
+    spec = domain.make_spec(sim.scene.static, NDEV)
+    vel0 = np.tile(np.asarray([[1.5, -0.5, 0.0]], np.float32),
+                   (sim.scene.static.n_fluid, 1))
+    state = domain.init_sharded_solver(mesh, spec, sim.scene.static,
+                                       sim.scene.fluid_pos0, "dfsph",
+                                       vel=vel0)
+    step = domain.make_sharded_solver_step(sim.scene.static,
+                                           sim.scene.arrays, mesh, spec,
+                                           "dfsph")
+
+    def slab_counts(fl):
+        pos, _ = domain.unshard(fl)
+        dev = np.clip(((pos[:, spec.axis] - spec.lo)
+                       // spec.slab_w).astype(int), 0, spec.ndev - 1)
+        return np.bincount(dev, minlength=spec.ndev)
+
+    n0 = int(np.asarray(state.fluid.mask).sum())
+    c0 = slab_counts(state.fluid)
+    max_overflow = 0
+    for _ in range(60):
+        state = step(state)
+        max_overflow = max(max_overflow, int(np.asarray(state.overflow)))
+    assert int(np.asarray(state.fluid.mask).sum()) == n0, "particles lost"
+    assert max_overflow == 0, f"capacity overflow {max_overflow}"
+    pos, vel = domain.unshard(state.fluid)
+    assert np.isfinite(pos).all() and np.isfinite(vel).all()
+    c1 = slab_counts(state.fluid)
+    # The dam moved: occupancy redistributed across slabs (the seed already
+    # spans all slabs, so net redistribution is bounded; >10% of particles
+    # ending in a different slab demonstrates heavy migration).
+    assert np.abs(c1 - c0).sum() > 0.1 * n0, (c0.tolist(), c1.tolist())
+    # Solver actually iterated (violent flow).
+    assert float(np.asarray(state.diag)[2]) >= 2.0
