@@ -77,16 +77,26 @@ def time_solver(cfg_name: str, solver_name: str, min_steps=MIN_STEPS,
     cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
         cfg.solver, name=solver_name))
     sim = Simulation(cfg)
+
+    import jax.numpy as jnp
+
+    def sync():
+        # Data-dependent scalar fetch per batch: block_until_ready through
+        # the tunnel relay under-reports whenever the enqueued work fits
+        # its pipeline (measured: a 4-step 1M run "took" 0.8 ms). The
+        # ~30 ms dispatch+fetch floor amortizes over the batch.
+        return float(jnp.sum(sim.state.fluid.pos.x))
+
     for _ in range(warmup):
         sim.step()
-    jax.block_until_ready(sim.state.fluid.pos.x)
+    sync()
 
     steps = 0
     t0 = time.perf_counter()
     while True:
         for _ in range(batch):
             sim.step()
-        jax.block_until_ready(sim.state.fluid.pos.x)
+        sync()
         steps += batch
         wall = time.perf_counter() - t0
         if steps >= min_steps and wall >= min_wall:

@@ -82,8 +82,13 @@ BAND_BYTE_BUDGET = 3.5e9
 BAND_DTYPE = jnp.bfloat16
 
 
-def use_band_engine(n: int, band_nb: int) -> bool:
-    return 3 * 4 * n * band_nb * bandmat.BLOCK <= BAND_BYTE_BUDGET
+def band_bytes(n: int, nbcap: int) -> int:
+    itemsize = 2 if BAND_DTYPE == jnp.bfloat16 else 4
+    return 3 * itemsize * n * nbcap * bandmat.BLOCK
+
+
+def use_band_engine(n: int, nbcap: int) -> bool:
+    return band_bytes(n, nbcap) <= BAND_BYTE_BUDGET
 
 
 def alpha_terms(st: SceneStatic, nbh, rho, gx: V3, gc_f, wf, ws=None,
@@ -217,11 +222,16 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     # (module docstring): S = S_f + S_s + S_b is the self-side coefficient,
     # the matvec carries the neighbor side. Band (MXU) engine when the
     # matrix fits the byte budget, (N, K) gather engine beyond (1M scale).
-    if use_band_engine(n, st.band_nb):
+    # Engine choice, cheapest-first: reuse the build's CSR plan when its
+    # matrix fits the budget; else a tighter pair-derived plan (extra
+    # plan_blocks sort, smaller A); else (N, K) gathers (1M scale).
+    use_csr_plan = nbh.plan is not None and use_band_engine(n, st.band_nb)
+    if use_csr_plan or use_band_engine(n, st.pair_nb):
         band = bandmat.build_band(
             nbh.pos, nbh.idx, nbh.mask_f, h=st.h, m=st.particle_m,
-            nbcap=st.band_nb if nbh.plan is not None else st.pair_nb,
-            B=st.band_B, plan=nbh.plan, dtype=BAND_DTYPE)
+            nbcap=st.band_nb if use_csr_plan else st.pair_nb,
+            B=st.band_B, plan=nbh.plan if use_csr_plan else None,
+            dtype=BAND_DTYPE)
         S = band.s
         mv, mvd = band_matvec_ops(band)
         engine_overflow = band.overflow

@@ -111,25 +111,34 @@ def plan_blocks(idx: jnp.ndarray, mask: jnp.ndarray, n: int,
     return blk, nb_mask, overflow
 
 
-def plan_from_csr(qc_first: jnp.ndarray, qc_last: jnp.ndarray,
-                  starts: jnp.ndarray, grid, nbcap: int):
+def plan_from_csr(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
+                  nbcap: int):
     """Block plans derived from the cell table's CSR offsets ALONE — no
-    per-pair data. Each group's queries span contiguous cell ids
-    [c0, c1]; for each of the 9 (mid, slow)-axis stencil offsets the
-    candidate slots form one contiguous sorted-index run
-    [starts[c0 + o - 1], starts[c1 + o + 2]) (fast axis has stride 1), so
-    the group's covering blocks are the union of 9 block-id intervals.
+    per-pair data. For each of the 9 (mid, slow)-axis stencil offsets the
+    candidate slots of a contiguous cell-id span [ca, cb] form one
+    contiguous sorted-index run [starts[ca + o - 1], starts[cb + o + 2])
+    (fast axis has stride 1), so a group's covering blocks are a union of
+    block-id intervals.
+
+    A single span over the whole group is fragile: a group whose sorted
+    members STRADDLE a cell-row boundary (common as soon as the lattice
+    drifts) spans a large id gap, and the span runs then swallow the
+    dense interior rows inside the gap — blowing any static capacity. So
+    each group is split at its TWO largest member cell-id gaps into three
+    spans (3 x 9 intervals — covers straddling both a fast-row and a
+    plane boundary); a group with fewer real gaps just yields overlapping
+    intervals that dedupe away. 3+-gap spray groups can still overflow —
+    counted, like every capacity.
 
     Out-of-grid stencil cells clip/wrap into neighboring runs: the extra
     candidates they admit are geometrically distant and are removed by
     the distance cutoff downstream — correctness never depends on the
     plan being tight, only on it COVERING the true stencil (it does: the
-    9 runs contain every in-bounds stencil cell's slots).
+    runs contain every in-bounds stencil cell's slots).
 
-    qc_first/qc_last: (QB,) int32 cell ids of each group's first/last
-    query. Returns (blk (QB, nbcap) ascending, nb_mask, overflow) where
-    overflow counts union blocks beyond nbcap (truncated = candidates
-    dropped; must be surfaced)."""
+    qcells: (QB, B) int32 cell ids of each group's members (sorted).
+    Returns (blk (QB, nbcap) ascending, nb_mask, overflow) where overflow
+    counts union blocks beyond nbcap (truncated = candidates dropped)."""
     ncells = grid.num_cells
     nblocks_src = starts.shape[0]  # loose bound; real bound applied later
     fast_axes = sorted(range(3), key=lambda a: grid.strides[a])
@@ -138,29 +147,47 @@ def plan_from_csr(qc_first: jnp.ndarray, qc_last: jnp.ndarray,
     offs = [dm * smid + ds * sslow
             for dm in (-1, 0, 1) for ds in (-1, 0, 1)]
 
-    QB = qc_first.shape[0]
-    c0 = qc_first.astype(jnp.int32)
-    c1 = qc_last.astype(jnp.int32)
+    qc = qcells.astype(jnp.int32)
+    QB, B = qc.shape
+    if B > 2:
+        # Split at the TWO largest member gaps (3 sub-spans): covers a
+        # group straddling both a fast-row and a plane boundary. k1 < k2
+        # by construction (second argmax over the masked gaps).
+        gaps = qc[:, 1:] - qc[:, :-1]                      # (QB, B-1)
+        k1 = jnp.argmax(gaps, axis=1)                      # (QB,)
+        ar = jnp.arange(QB)
+        gaps2 = gaps.at[ar, k1].set(-1)
+        k2 = jnp.argmax(gaps2, axis=1)
+        ka = jnp.minimum(k1, k2)
+        kb = jnp.maximum(k1, k2)
+        spans = [(qc[:, 0], qc[ar, ka]),
+                 (qc[ar, ka + 1], qc[ar, kb]),
+                 (qc[ar, kb + 1], qc[:, -1])]
+    else:
+        spans = [(qc[:, 0], qc[:, -1])]
+
     lo = []
     hi = []
-    for o in offs:
-        a = jnp.clip(c0 + (o - 1), 0, ncells)
-        b = jnp.clip(c1 + (o + 2), 0, ncells)
-        s = starts[a]
-        e = jnp.maximum(starts[b], s)
-        lo.append(s >> BLOCK_SHIFT)
-        hi.append(jnp.where(e > s, ((e - 1) >> BLOCK_SHIFT) + 1,
-                            s >> BLOCK_SHIFT))
-    lo = jnp.stack(lo, axis=1)   # (QB, 9) block-interval starts
-    hi = jnp.stack(hi, axis=1)   # (QB, 9) exclusive ends
+    for ca, cb in spans:
+        for o in offs:
+            a = jnp.clip(ca + (o - 1), 0, ncells)
+            b = jnp.clip(cb + (o + 2), 0, ncells)
+            s = starts[a]
+            e = jnp.maximum(starts[b], s)
+            lo.append(s >> BLOCK_SHIFT)
+            hi.append(jnp.where(e > s, ((e - 1) >> BLOCK_SHIFT) + 1,
+                                s >> BLOCK_SHIFT))
+    lo = jnp.stack(lo, axis=1)   # (QB, I) block-interval starts
+    hi = jnp.stack(hi, axis=1)   # (QB, I) exclusive ends
+    n_iv = lo.shape[1]
 
-    # Exact union size per group (intervals sorted by lo; 9-step scan).
+    # Exact union size per group (intervals sorted by lo; I-step scan).
     order = jnp.argsort(lo, axis=1)
     lo_s = jnp.take_along_axis(lo, order, axis=1)
     hi_s = jnp.take_along_axis(hi, order, axis=1)
     total = jnp.zeros((QB,), jnp.int32)
     run_end = jnp.full((QB,), -1, jnp.int32)
-    for j in range(9):
+    for j in range(n_iv):
         s = jnp.maximum(lo_s[:, j], run_end)
         total = total + jnp.maximum(hi_s[:, j] - s, 0)
         run_end = jnp.maximum(run_end, hi_s[:, j])
@@ -169,14 +196,14 @@ def plan_from_csr(qc_first: jnp.ndarray, qc_last: jnp.ndarray,
     # Enumerate candidate block ids (nbcap per interval covers any interval
     # that fits), dedupe ascending via the same sort + top_k as plan_blocks.
     t = jnp.arange(nbcap, dtype=jnp.int32)
-    cand = lo[:, :, None] + t[None, None, :]               # (QB, 9, nbcap)
+    cand = lo[:, :, None] + t[None, None, :]             # (QB, I, nbcap)
     sentinel = jnp.int32(nblocks_src + nbcap)
     cand = jnp.where(cand < hi[:, :, None], cand, sentinel)
-    cand = jnp.sort(cand.reshape(QB, 9 * nbcap), axis=1)
+    cand = jnp.sort(cand.reshape(QB, n_iv * nbcap), axis=1)
     first = jnp.concatenate(
         [jnp.ones((QB, 1), bool), cand[:, 1:] != cand[:, :-1]], axis=1)
     uniq = first & (cand < sentinel)
-    col = jnp.arange(9 * nbcap, dtype=jnp.int32)[None, :]
+    col = jnp.arange(n_iv * nbcap, dtype=jnp.int32)[None, :]
     key = jnp.where(uniq, sentinel - cand, -col)
     topkey, _ = jax.lax.top_k(key, nbcap)
     nb_mask = topkey > 0

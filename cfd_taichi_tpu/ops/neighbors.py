@@ -108,6 +108,21 @@ def cell_id(pos: V3, grid: GridSpec) -> jnp.ndarray:
     return cx * sx + cy * sy + cz * sz
 
 
+def cell_id_np(pos_rows: np.ndarray, grid: GridSpec) -> np.ndarray:
+    """Host-numpy `cell_id` for scene-build-time helpers: identical
+    arithmetic in f32 (floor/clip) without touching the device backend —
+    a jnp call here would round-trip every 1M-row array through the
+    tunneled TPU client."""
+    gx, gy, gz = grid.dims
+    sx, sy, sz = grid.strides
+    p = np.asarray(pos_rows, np.float32)
+    inv = np.float32(1.0 / grid.cell)
+    cx = np.clip(np.floor(p[:, 0] * inv).astype(np.int64), 0, gx - 1)
+    cy = np.clip(np.floor(p[:, 1] * inv).astype(np.int64), 0, gy - 1)
+    cz = np.clip(np.floor(p[:, 2] * inv).astype(np.int64), 0, gz - 1)
+    return cx * sx + cy * sy + cz * sz
+
+
 def build_cell_table(pos: V3, grid: GridSpec,
                      valid: Optional[jnp.ndarray] = None) -> CellTable:
     """Counting sort of source particles by cell id; rebuilt every step like
@@ -399,9 +414,7 @@ def find_neighbors_grouped(pos_q: V3, qid, pos_src: V3, table: CellTable,
         qid_p = jnp.pad(qid.astype(jnp.int32), (0, padq),
                         constant_values=-2)
     qcid = cell_id(V3(qx, qy, qz), grid)
-    qc_first = qcid.reshape(QB, B)[:, 0]
-    qc_last = qcid.reshape(QB, B)[:, -1]
-    plan = bandmat.plan_from_csr(qc_first, qc_last, table.starts, grid,
+    plan = bandmat.plan_from_csr(qcid.reshape(QB, B), table.starts, grid,
                                  nbcap)
     blk, nb_mask, plan_overflow = plan
 

@@ -686,11 +686,14 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     rho_own = ctx.own_of(rho)
     alpha_own = ctx.own_of(alpha)
 
-    if D.use_band_engine(st.n_fluid, st.band_nb):
+    use_csr_plan = ctx.wplan is not None and D.use_band_engine(
+        st.n_fluid, st.band_nb)
+    if use_csr_plan or D.use_band_engine(st.n_fluid, st.pair_nb):
         band = bandmat.build_band(
             nbh.pos, nbh.idx, nbh.mask_f, h=st.h, m=m,
-            nbcap=st.band_nb if ctx.wplan is not None else st.pair_nb,
-            B=st.band_B, src_valid=ctx.smask, plan=ctx.wplan,
+            nbcap=st.band_nb if use_csr_plan else st.pair_nb,
+            B=st.band_B, src_valid=ctx.smask,
+            plan=ctx.wplan if use_csr_plan else None,
             dtype=D.BAND_DTYPE)
         engine_over = band.overflow
         S = band.s

@@ -293,7 +293,7 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
     Runtime overflow beyond any capacity is counted and surfaced in
     telemetry (cf. the reference's 512-entry cell capacity,
     ParticleSystem.py:103)."""
-    cells = np.asarray(nb.cell_id(V3.from_rows(fluid_pos_rows), grid))
+    cells = nb.cell_id_np(fluid_pos_rows, grid)
     occ = np.bincount(cells, minlength=grid.num_cells).max() if len(cells) \
         else 0
     # A drifting lattice with spacing s can align (floor(h/s)+1)^3 particles
@@ -332,7 +332,7 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
     bcell_cap = 8
     bk2 = 0
     if akinci and len(boundary_pos_rows):
-        bcells = np.asarray(nb.cell_id(V3.from_rows(boundary_pos_rows), grid))
+        bcells = nb.cell_id_np(boundary_pos_rows, grid)
         bmax = _max_count_sample(boundary_pos_rows, bcells, grid, h)
         # The shell's own worst within-h self-count underestimates what a
         # FLUID query can see: fluid pressed against a wall sits closer to
@@ -369,35 +369,53 @@ def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
     n = fluid_pos_rows.shape[0]
     if n == 0:
         return 4
-    cells = np.asarray(nb.cell_id(V3.from_rows(fluid_pos_rows), grid))
+    cells = nb.cell_id_np(fluid_pos_rows, grid)
     order = np.argsort(cells, kind="stable")
     sc = cells[order]
-    src_cells = cells if src_rows is None else np.asarray(
-        nb.cell_id(V3.from_rows(src_rows), grid))
+    src_cells = cells if src_rows is None else \
+        nb.cell_id_np(src_rows, grid)
     counts = np.bincount(src_cells, minlength=grid.num_cells)
     starts = np.concatenate([[0], np.cumsum(counts)])
     ncells = grid.num_cells
 
     QB = -(-n // B)
-    g0 = np.arange(QB) * B
-    g1 = np.minimum(g0 + B - 1, n - 1)
-    c0, c1 = sc[g0].astype(np.int64), sc[g1].astype(np.int64)
+    # Member cell ids per group, edge-padded — with the same largest-gap
+    # split as the runtime plans (ops/bandmat.plan_from_csr): groups that
+    # straddle a cell-row boundary are covered by TWO spans so the gap's
+    # interior rows never enter the window.
+    memb = np.full((QB * B,), sc[-1], np.int64)
+    memb[:n] = sc
+    memb = memb.reshape(QB, B)
+    gaps = memb[:, 1:] - memb[:, :-1]
+    k1 = np.argmax(gaps, axis=1)
+    ar = np.arange(QB)
+    gaps2 = gaps.copy()
+    gaps2[ar, k1] = -1
+    k2 = np.argmax(gaps2, axis=1)
+    ka, kb = np.minimum(k1, k2), np.maximum(k1, k2)
+    spans = [(memb[:, 0], memb[ar, ka]),
+             (memb[ar, ka + 1], memb[ar, kb]),
+             (memb[ar, kb + 1], memb[:, -1])]
 
     fast_axes = sorted(range(3), key=lambda a: grid.strides[a])
     smid = grid.strides[fast_axes[1]]
     sslow = grid.strides[fast_axes[2]]
     offs = [dm * smid + ds * sslow for dm in (-1, 0, 1) for ds in (-1, 0, 1)]
 
-    # Block-id intervals [lo, hi) per (group, offset).
-    lo = np.empty((QB, 9), np.int64)
-    hi = np.empty((QB, 9), np.int64)
-    for j, o in enumerate(offs):
-        a = np.clip(c0 + o - 1, 0, ncells)
-        b = np.clip(c1 + o + 2, 0, ncells)
-        s = starts[a]
-        e = starts[b]
-        lo[:, j] = s // block
-        hi[:, j] = np.where(e > s, (e - 1) // block + 1, s // block)
+    # Block-id intervals [lo, hi) per (group, span x offset).
+    n_iv = len(spans) * 9
+    lo = np.empty((QB, n_iv), np.int64)
+    hi = np.empty((QB, n_iv), np.int64)
+    j = 0
+    for ca, cb in spans:
+        for o in offs:
+            a = np.clip(ca + o - 1, 0, ncells)
+            b = np.clip(cb + o + 2, 0, ncells)
+            s = starts[a]
+            e = np.maximum(starts[b], s)
+            lo[:, j] = s // block
+            hi[:, j] = np.where(e > s, (e - 1) // block + 1, s // block)
+            j += 1
     # Union size of integer intervals per group: sort by lo, subtract overlap
     # with the running max of hi.
     ordj = np.argsort(lo, axis=1)
@@ -405,7 +423,7 @@ def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
     hi = np.take_along_axis(hi, ordj, axis=1)
     total = np.zeros(QB, np.int64)
     run_end = np.full(QB, -1, np.int64)
-    for j in range(9):
+    for j in range(n_iv):
         s = np.maximum(lo[:, j], run_end)
         total += np.maximum(hi[:, j] - s, 0)
         run_end = np.maximum(run_end, hi[:, j])
@@ -422,7 +440,7 @@ def boundary_band_capacity(boundary_pos_rows: np.ndarray, grid: nb.GridSpec,
     (NeighborList.dropped) like every other capacity."""
     if boundary_pos_rows.shape[0] == 0:
         return 6
-    bcells = np.asarray(nb.cell_id(V3.from_rows(boundary_pos_rows), grid))
+    bcells = nb.cell_id_np(boundary_pos_rows, grid)
     counts = np.bincount(bcells, minlength=grid.num_cells)
     starts = np.concatenate([[0], np.cumsum(counts)])
     ncells = grid.num_cells
@@ -452,7 +470,9 @@ def boundary_band_capacity(boundary_pos_rows: np.ndarray, grid: nb.GridSpec,
         s = np.maximum(lo[:, j], run_end)
         total += np.maximum(hi[:, j] - s, 0)
         run_end = np.maximum(run_end, hi[:, j])
-    return max(int(total.max()) + 1, 4)
+    # +3: runtime sub-spans (after the largest-gap split) can cover a few
+    # consecutive cells, slightly widening runs beyond this [c, c+1] bound.
+    return max(int(total.max()) + 3, 4)
 
 
 def _stencil_3d(cells: np.ndarray, grid: nb.GridSpec):
@@ -528,7 +548,7 @@ def _kernel_sum_np(pos_rows: np.ndarray, grid: nb.GridSpec,
     if n == 0:
         return np.zeros((0,), np.float32)
     pos = np.asarray(pos_rows, np.float64)
-    cells = np.asarray(nb.cell_id(V3.from_rows(pos_rows), grid))
+    cells = nb.cell_id_np(pos_rows, grid)
     order = np.argsort(cells, kind="stable")
     sc = cells[order]
     occ = np.bincount(cells, minlength=grid.num_cells)

@@ -252,3 +252,24 @@ def test_sharded_migration_stress_dam_break():
     assert np.abs(c1 - c0).sum() > 0.1 * n0, (c0.tolist(), c1.tolist())
     # Solver actually iterated (violent flow).
     assert float(np.asarray(state.diag)[2]) >= 2.0
+
+
+def test_multihost_single_process_seam():
+    """The DCN seam (parallel/multihost) in its only locally-testable
+    configuration: 1 process. initialize() must be a no-op that reports
+    one process; global_mesh must drive the sharded solver exactly like a
+    hand-built mesh."""
+    from cfd_taichi_tpu.parallel import multihost
+
+    assert multihost.initialize() == 1
+    assert multihost.initialize() == 1  # idempotent
+    assert not multihost.is_multihost()
+    mesh = multihost.global_mesh(NDEV)
+    assert mesh.devices.size == NDEV
+    sim = Simulation(parse_config(copy.deepcopy(CFG)))
+    spec = domain.make_spec(sim.scene.static, NDEV)
+    fluid = domain.shard_fluid(mesh, spec, sim.scene.fluid_pos0)
+    step = domain.make_sharded_wcsph_step(sim.scene.static, sim.scene.arrays,
+                                          mesh, spec)
+    out = step(fluid)
+    assert int(np.asarray(out.mask).sum()) == sim.scene.static.n_fluid

@@ -34,13 +34,24 @@ def main():
     cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
         cfg.solver, name=SOLVER))
     scene = build_scene(cfg)
+    print(f"scene built: n={scene.static.n_fluid}", flush=True)
     from cfd_taichi_tpu.models import get_solver
     mod = get_solver(SOLVER)
     step = jax.jit(functools.partial(mod.step, scene.static))
     state = mod.init_state(scene)
     t0 = time.perf_counter()
+    import jax.numpy as _jnp
+
+    def sync(st_):
+        # A data-dependent scalar fetch: state.t alone can be computed
+        # without the heavy arrays for fixed-dt solvers, and
+        # block_until_ready through the tunnel relay lies whenever the
+        # rep count fits its pipeline.
+        return float(_jnp.sum(st_.fluid.pos.x))
+
     for i in range(WARM):
         state = step(scene.arrays, state)
+        sync(state)
         if i % 40 == 39:
             jax.block_until_ready(state.fluid.pos.x)
             print(f"warm {i+1}: t={float(state.t):.4f} "
@@ -48,10 +59,12 @@ def main():
                   f"wall={time.perf_counter()-t0:.1f}s", flush=True)
     jax.block_until_ready(state.fluid.pos.x)
 
+    # Scalar-sync EVERY rep: through the tunnel relay, block_until_ready
+    # alone pipelines and reports numbers wrong by orders of magnitude.
     t0 = time.perf_counter()
     for _ in range(REPS):
         state = step(scene.arrays, state)
-    jax.block_until_ready(state.fluid.pos.x)
+        sync(state)
     dtw = time.perf_counter() - t0
     print(f"hot {SOLVER} {CONFIG}: {REPS/dtw:.3f} steps/s "
           f"({dtw/REPS*1e3:.1f} ms/step) diag={np.asarray(state.diag)} "
