@@ -112,7 +112,7 @@ def plan_blocks(idx: jnp.ndarray, mask: jnp.ndarray, n: int,
 
 
 def plan_from_csr(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
-                  nbcap: int):
+                  nbcap: int, n_spans: int = 3):
     """Block plans derived from the cell table's CSR offsets ALONE — no
     per-pair data. For each of the 9 (mid, slow)-axis stencil offsets the
     candidate slots of a contiguous cell-id span [ca, cb] form one
@@ -149,20 +149,24 @@ def plan_from_csr(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
 
     qc = qcells.astype(jnp.int32)
     QB, B = qc.shape
-    if B > 2:
-        # Split at the TWO largest member gaps (3 sub-spans): covers a
-        # group straddling both a fast-row and a plane boundary. k1 < k2
-        # by construction (second argmax over the masked gaps).
+    n_splits = min(n_spans - 1, B - 1)
+    if n_splits > 0:
+        # Split at the (n_spans - 1) largest member gaps: covers a group
+        # straddling several fast-row / plane boundaries (the dominant
+        # drift mode once the lattice slumps — measured on the evolved 1M
+        # dam break). Split positions are re-sorted ascending so spans
+        # stay ordered; duplicate/degenerate splits yield empty spans
+        # that dedupe away below.
         gaps = qc[:, 1:] - qc[:, :-1]                      # (QB, B-1)
-        k1 = jnp.argmax(gaps, axis=1)                      # (QB,)
+        _, kidx = jax.lax.top_k(gaps, n_splits)            # (QB, n_splits)
+        kidx = jnp.sort(kidx, axis=1)
         ar = jnp.arange(QB)
-        gaps2 = gaps.at[ar, k1].set(-1)
-        k2 = jnp.argmax(gaps2, axis=1)
-        ka = jnp.minimum(k1, k2)
-        kb = jnp.maximum(k1, k2)
-        spans = [(qc[:, 0], qc[ar, ka]),
-                 (qc[ar, ka + 1], qc[ar, kb]),
-                 (qc[ar, kb + 1], qc[:, -1])]
+        edges = [qc[:, 0]]
+        spans = []
+        for j in range(n_splits):
+            spans.append((edges[-1], qc[ar, kidx[:, j]]))
+            edges.append(qc[ar, kidx[:, j] + 1])
+        spans.append((edges[-1], qc[:, -1]))
     else:
         spans = [(qc[:, 0], qc[:, -1])]
 
@@ -285,6 +289,117 @@ def build_band(pos_s: V3, idx: jnp.ndarray, mask_f: jnp.ndarray,
         ax, ay, az = (t.astype(dtype) for t in (ax, ay, az))
     return BandA(blk=blk, nb_mask=nb_mask, ax=ax, ay=ay, az=az, s=s,
                  overflow=overflow)
+
+
+class WindowEngine(NamedTuple):
+    """Per-step dense-window loop engine for scales where the stored band
+    matrix does not fit HBM (the 1M regime: a (QB, B, W) bf16 A at
+    band_nb=30 would be ~15 GB). Caches only the (QB, W) position windows
+    (f32 — bf16 would round positions past the kernel's accuracy needs)
+    and recomputes the pair coefficients w = m * dW/dr / r on the fly
+    inside each matvec: a fused elementwise + reduce pass over (QB, B, W)
+    at dense-VPU rates, replacing the (N, K) per-pair gathers the
+    round-2 engine paid ~6 ns per gathered index for (at 1M x K=48 x 2
+    gathers per iteration that was most of a ~14.6 s DFSPH step)."""
+    wx: jnp.ndarray        # (QB, W) f32 source-position windows
+    wy: jnp.ndarray
+    wz: jnp.ndarray
+    wvalid: jnp.ndarray    # (QB, W) bool — nb_mask & real-slot (static part)
+    scol: jnp.ndarray      # (QB, W) int32 — sorted-source slot per column
+    blkq: jnp.ndarray      # (QB, nbcap) covering source-block ids
+    s: V3                  # (N,) row sums Sigma_j wf gradW_ij
+    overflow: jnp.ndarray  # () int32 — block-plan capacity overflow
+
+    @property
+    def n(self) -> int:
+        return self.s.x.shape[0]
+
+
+def build_window_engine(pos_s: V3, *, h: float, m: float, plan,
+                        B: int) -> WindowEngine:
+    """Cache the plan's position windows + row sums. `plan` is the CSR
+    plan the grouped list build already produced (find_neighbors_grouped)
+    — the window fetches CSE with the build's own."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, overflow = plan
+    QB, nbcap = blk.shape
+    W = nbcap * BLOCK
+
+    wx = _window(blk, pos_s.x, n).reshape(QB, W)
+    wy = _window(blk, pos_s.y, n).reshape(QB, W)
+    wz = _window(blk, pos_s.z, n).reshape(QB, W)
+    scol = (blk[:, :, None] * BLOCK
+            + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+            ).reshape(QB, W)
+    wvalid = (jnp.broadcast_to(nb_mask[:, :, None],
+                               (QB, nbcap, BLOCK)).reshape(QB, W)
+              & (scol < n))
+
+    eng = WindowEngine(wx=wx, wy=wy, wz=wz, wvalid=wvalid, scol=scol,
+                       blkq=blk, s=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
+                       overflow=overflow)
+    s = _window_pass(eng, pos_s, h, m, B, None, None)
+    return eng._replace(s=s)
+
+
+def _window_pass(eng: WindowEngine, pos_s: V3, h: float, m: float, B: int,
+                 kwin, vwin):
+    """One fused (QB, B, W) coefficient pass over the cached windows.
+
+    kwin is None, vwin is None -> V3 row sums   Sigma_j w d_c
+    kwin (QB, W)               -> V3 matvec     Sigma_j w d_c k_j
+    vwin V3 of (QB, W)         -> (N,) matvec_dot Sigma_j w (d . v_j)
+
+    All products/reductions are elementwise-fused by XLA (sum over the
+    last axis, no dot operand materialization), so peak memory stays at
+    tile granularity despite the (QB, B, W) logical extent."""
+    QB, W = eng.wx.shape
+    n = pos_s.x.shape[0]
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n)).reshape(QB, B, 1)
+
+    dx = q(pos_s.x) - eng.wx[:, None, :]
+    dy = q(pos_s.y) - eng.wy[:, None, :]
+    dz = q(pos_s.z) - eng.wz[:, None, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    qslot = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B, 1)
+    valid = (eng.wvalid[:, None, :] & (qslot < n)
+             & (eng.scol[:, None, :] != qslot)
+             & (r2 <= jnp.float32(h) * jnp.float32(h)))
+    r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+    w = jnp.where(valid, jnp.float32(m) * sm.cubic_grad_coeff(r, h), 0.0)
+
+    if vwin is not None:
+        acc = w * (dx * vwin.x[:, None, :] + dy * vwin.y[:, None, :]
+                   + dz * vwin.z[:, None, :])
+        return acc.sum(axis=2).reshape(-1)[:n]
+    if kwin is not None:
+        wk = w * kwin[:, None, :]
+        return V3((wk * dx).sum(axis=2).reshape(-1)[:n],
+                  (wk * dy).sum(axis=2).reshape(-1)[:n],
+                  (wk * dz).sum(axis=2).reshape(-1)[:n])
+    return V3((w * dx).sum(axis=2).reshape(-1)[:n],
+              (w * dy).sum(axis=2).reshape(-1)[:n],
+              (w * dz).sum(axis=2).reshape(-1)[:n])
+
+
+def window_matvec_ops(eng: WindowEngine, pos_s: V3, h: float, m: float,
+                      B: int):
+    """(matvec, matvec_dot) closures over the cached windows — the
+    drop-in counterpart of band_matvec_ops/gather_matvec_ops."""
+    n = pos_s.x.shape[0]
+
+    def matvec(k):
+        kwin = _window(eng.blkq, k, n)
+        return _window_pass(eng, pos_s, h, m, B, kwin, None)
+
+    def matvec_dot(v: V3):
+        vwin = V3(_window(eng.blkq, v.x, n), _window(eng.blkq, v.y, n),
+                  _window(eng.blkq, v.z, n))
+        return _window_pass(eng, pos_s, h, m, B, None, vwin)
+
+    return matvec, matvec_dot
 
 
 def matvec(band: BandA, vals: jnp.ndarray) -> V3:

@@ -102,3 +102,89 @@ def test_band_handles_nonmultiple_sizes():
     scale = float(np.abs(np.asarray(ref_delta.x)).max())
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref_delta.x),
                                rtol=1e-3, atol=2e-5 * scale)
+
+
+def test_window_engine_matches_gather_ops():
+    """Dense-window (recompute-A) engine == the stored-A band engine ==
+    the (N, K) gather ops, on the same CSR plan."""
+    import jax
+    h, m, n = 0.1, 1.3e-4, 900
+    pos_s, nl = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=7)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    table = nb.build_cell_table(pos_s, grid)
+    qid = jnp.arange(n, dtype=jnp.int32)
+    gl, plan = nb.find_neighbors_grouped(pos_s, qid, pos_s, table, grid,
+                                         K=64, nbcap=16, B=8,
+                                         exclude_self=True)
+    assert int(np.asarray(gl.dropped)) == 0
+
+    eng = bandmat.build_window_engine(pos_s, h=h, m=m, plan=plan, B=8)
+    mv, mvd = bandmat.window_matvec_ops(eng, pos_s, h, m, 8)
+
+    rng = np.random.default_rng(2)
+    k = jnp.asarray(rng.random(n, dtype=np.float32))
+    v = V3(*(jnp.asarray(rng.random(n, dtype=np.float32)) for _ in range(3)))
+
+    ref_delta, ref_dot = _reference_ops(pos_s, nl, h, m, k, v)
+    got_delta = eng.s * k + mv(k)
+    got_dot = (v.x * eng.s.x + v.y * eng.s.y + v.z * eng.s.z
+               - mvd(v))
+
+    for c in "xyz":
+        np.testing.assert_allclose(
+            np.asarray(getattr(got_delta, c)),
+            np.asarray(getattr(ref_delta, c)), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_dot), np.asarray(ref_dot),
+                               rtol=2e-4, atol=1e-6)
+
+    # And the stored-A band built from the SAME plan agrees bit-for-bit in
+    # structure (f32 storage for exact comparison).
+    band = bandmat.build_band(pos_s, nl.idx, nl.mask, h=h, m=m, nbcap=16,
+                              B=8, plan=plan, dtype=jnp.float32)
+    bmv = bandmat.matvec(band, k)
+    wmv = mv(k)
+    # Same linear map, different accumulation order (einsum dot vs fused
+    # sum-reduce): tolerance scaled to the row magnitudes.
+    scale = float(np.abs(np.asarray(bmv.x)).max())
+    np.testing.assert_allclose(np.asarray(bmv.x), np.asarray(wmv.x),
+                               rtol=1e-3, atol=2e-6 * scale)
+
+
+def test_dfsph_window_engine_step_matches_band_engine(monkeypatch):
+    """Full DFSPH steps agree between the stored-A band engine and the
+    dense-window engine (identical plan, f32 storage; only accumulation
+    order differs)."""
+    import functools
+    import jax
+    from cfd_taichi_tpu import build_scene
+    from cfd_taichi_tpu.config import parse_config
+    from cfd_taichi_tpu.models import base as mbase, dfsph
+
+    scene = build_scene(parse_config({
+        "scene": {"box_min": [0.0, 0.0, 0.0], "box_max": [0.6, 0.8, 0.6],
+                  "particle_radius": 0.025, "gravity": 9.8},
+        "solver": {"name": "dfsph", "delta_time": 4e-4, "iter_cnt": 1},
+        "fluid": {"start_pos": [0.15, 0.1, 0.15],
+                  "water_size": [0.3, 0.3, 0.3]},
+    }))
+    monkeypatch.setattr(mbase, "GROUPED_BUILD_MIN_N", 0)  # force CSR plan
+    monkeypatch.setattr(dfsph, "BAND_DTYPE", jnp.float32)
+
+    def run(budget):
+        monkeypatch.setattr(dfsph, "BAND_BYTE_BUDGET", budget)
+        step = jax.jit(functools.partial(dfsph.step, scene.static))
+        st = dfsph.init_state(scene)
+        for _ in range(5):
+            st = step(scene.arrays, st)
+        return st
+
+    a = run(1e18)   # stored-A band engine (csr plan)
+    b = run(0.0)    # dense-window engine (same plan, recompute-A)
+    assert int(np.asarray(a.overflow)) == 0
+    assert int(np.asarray(b.overflow)) == 0
+    np.testing.assert_array_equal(np.asarray(a.diag[0]), np.asarray(b.diag[0]))
+    np.testing.assert_array_equal(np.asarray(a.diag[2]), np.asarray(b.diag[2]))
+    np.testing.assert_allclose(np.asarray(a.fluid.pos.x),
+                               np.asarray(b.fluid.pos.x), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.fluid.vel.x),
+                               np.asarray(b.fluid.vel.x), rtol=0, atol=1e-3)
