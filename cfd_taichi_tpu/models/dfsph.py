@@ -83,6 +83,19 @@ def init_state(scene: Scene) -> base.SimState:
 # gathers — slower per iteration but O(N*K) memory (the 1M-particle
 # regime, where the band matrix would not fit HBM).
 BAND_BYTE_BUDGET = 3.5e9
+# Byte budget for the stored-coefficient engine (scalar bf16 w + f32
+# position windows — bandmat.CoefEngine): the 1M regime fits at ~10.6 GB
+# on the 16 GB chip where the 3-component matrix (~23 GB) does not.
+COEF_BYTE_BUDGET = 11e9
+
+
+def coef_bytes(n: int, nbcap: int, B: int) -> int:
+    W = nbcap * bandmat.BLOCK
+    return 2 * n * W + 3 * 4 * (-(-n // B)) * W
+
+
+def use_coef_engine(n: int, nbcap: int, B: int) -> bool:
+    return coef_bytes(n, nbcap, B) <= COEF_BYTE_BUDGET
 # Storage dtype of the band matrix: bf16 halves the per-iteration HBM
 # reads (measured 2.3x matvec speedup); accumulation stays f32 on the MXU.
 # Validated against the density contract (<0.1% avg positive error) on the
@@ -243,11 +256,21 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         S = band.s
         mv, mvd = band_matvec_ops(band)
         engine_overflow = band.overflow
+    elif nbh.plan is not None and use_coef_engine(n, st.band_nb, st.band_B):
+        # Stored-coefficient MXU engine (the 1M regime): the 3-component
+        # matrix would not fit HBM, but the scalar bf16 w does — each
+        # matvec is one 4-wide einsum streaming w at HBM rate
+        # (bandmat.CoefEngine docstring for the algebra and accuracy).
+        ceng = bandmat.build_coef_engine(
+            nbh.pos, h=st.h, m=st.particle_m, plan=nbh.plan, B=st.band_B,
+            dtype=BAND_DTYPE)
+        S = ceng.s
+        mv, mvd = bandmat.coef_matvec_ops(ceng, n, st.band_B)
+        engine_overflow = ceng.overflow
     elif nbh.plan is not None:
-        # Dense-window engine (the 1M regime): the stored A would not fit
-        # HBM; cache only the (QB, W) position windows of the build's CSR
-        # plan and recompute the coefficients inside each matvec
-        # (bandmat.WindowEngine docstring for the measured rationale).
+        # Dense-window engine: cache only the (QB, W) position windows of
+        # the build's CSR plan and recompute the coefficients inside each
+        # matvec (bandmat.WindowEngine docstring for the rationale).
         weng = bandmat.build_window_engine(
             nbh.pos, h=st.h, m=st.particle_m, plan=nbh.plan, B=st.band_B)
         S = weng.s

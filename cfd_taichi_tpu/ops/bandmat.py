@@ -112,7 +112,7 @@ def plan_blocks(idx: jnp.ndarray, mask: jnp.ndarray, n: int,
 
 
 def plan_from_csr(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
-                  nbcap: int, n_spans: int = 3):
+                  nbcap: int, n_spans: int = 6):
     """Block plans derived from the cell table's CSR offsets ALONE — no
     per-pair data. For each of the 9 (mid, slow)-axis stencil offsets the
     candidate slots of a contiguous cell-id span [ca, cb] form one
@@ -125,10 +125,14 @@ def plan_from_csr(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
     drifts) spans a large id gap, and the span runs then swallow the
     dense interior rows inside the gap — blowing any static capacity. So
     each group is split at its TWO largest member cell-id gaps into three
-    spans (3 x 9 intervals — covers straddling both a fast-row and a
-    plane boundary); a group with fewer real gaps just yields overlapping
-    intervals that dedupe away. 3+-gap spray groups can still overflow —
-    counted, like every capacity.
+    spans (n_spans x 9 intervals — covers straddling several fast-row /
+    plane boundaries); a group with fewer real gaps just yields
+    overlapping intervals that dedupe away. More-gap spray groups can
+    still overflow — counted, like every capacity. Default n_spans=6:
+    measured on an evolved 1M dam break (t=0.011), 6 splits cut the max
+    fluid union from 31 to 21 blocks and the boundary union from 23 to
+    21, for a plan-build cost that is negligible next to the list build
+    (the union scan is (QB, 9*n_spans) arithmetic).
 
     Out-of-grid stencil cells clip/wrap into neighboring runs: the extra
     candidates they admit are geometrically distant and are removed by
@@ -398,6 +402,202 @@ def window_matvec_ops(eng: WindowEngine, pos_s: V3, h: float, m: float,
         vwin = V3(_window(eng.blkq, v.x, n), _window(eng.blkq, v.y, n),
                   _window(eng.blkq, v.z, n))
         return _window_pass(eng, pos_s, h, m, B, None, vwin)
+
+    return matvec, matvec_dot
+
+
+class CoefEngine(NamedTuple):
+    """Stored-coefficient MXU loop engine for scales where the 3-component
+    band matrix does not fit HBM (the 1M regime: (QB, B, W) bf16 ax/ay/az
+    at band_nb=30 is ~23 GB; the scalar w alone is ~7.7 GB).
+
+    Stores ONLY the pair coefficient w_ij = m * dW/dr / r (masked to 0 at
+    non-pairs) and evaluates the vector matvecs through the algebraic
+    split (coordinates GROUP-CENTERED to keep the cancellation
+    amplification ~|x'|/|d| small):
+
+        Sigma_j w d_c k_j   = x'_ic (w @ k) - w @ (x'_c k)
+        Sigma_j w (d . v_j) = Sigma_c x'_ic (w @ v_c) - w @ (x' . v)
+
+    so each matvec is ONE 4-wide batched einsum over w — HBM-bound on a
+    single read of w (~10 ms at 1M) instead of the window engine's dense
+    (QB, B, W) kernel recompute (~135 ms/pass, VPU-bound) or the gather
+    engine's 2x48M per-pair packed gathers (~0.3-0.6 s). Accuracy: w and
+    the einsum rhs are bf16 with f32 MXU accumulation; group extents
+    (~0.25 m vs pair distances ~0.05) amplify bf16 rounding ~3x over the
+    stored-3-component form — validated against the gather engine and
+    the <0.1% density contract by tests/test_bandmat.py."""
+    blkq: jnp.ndarray      # (QB, nbcap) covering source-block ids
+    w: jnp.ndarray         # (QB, B, W) bf16 — masked pair coefficients
+    wx: jnp.ndarray        # (QB, W) f32 — group-centered window positions
+    wy: jnp.ndarray
+    wz: jnp.ndarray
+    qx: jnp.ndarray        # (QB, B) f32 — group-centered query positions
+    qy: jnp.ndarray
+    qz: jnp.ndarray
+    s: V3                  # (N,) row sums Sigma_j w gradW_ij (f32)
+    overflow: jnp.ndarray  # () int32 — block-plan capacity overflow
+
+    @property
+    def n(self) -> int:
+        return self.s.x.shape[0]
+
+
+def build_coef_engine(pos_s: V3, *, h: float, m: float, plan, B: int,
+                      dtype=jnp.bfloat16) -> CoefEngine:
+    """Dense (QB, B, W) coefficient pass (same validity rules as
+    build_band) producing the stored scalar w + f32 row sums. Runs in
+    QB chunks under lax.map: at 1M particles the stored w alone is
+    ~7 GB, so the build must never hold full-extent f32 intermediates
+    alongside it (an unchunked build OOM'd with 3 windows x ~1 GB of
+    rematerialized temps on the 16 GB chip)."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, overflow = plan
+    QB, nbcap = blk.shape
+    W = nbcap * BLOCK
+    nblocks = -(-n // BLOCK)
+    nc = _coef_chunks(QB, W)
+    Qc = QB // nc
+
+    tbx = jnp.pad(pos_s.x, (0, nblocks * BLOCK - n)).reshape(nblocks, BLOCK)
+    tby = jnp.pad(pos_s.y, (0, nblocks * BLOCK - n)).reshape(nblocks, BLOCK)
+    tbz = jnp.pad(pos_s.z, (0, nblocks * BLOCK - n)).reshape(nblocks, BLOCK)
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n), mode="edge").reshape(QB, B)
+
+    qxa, qya, qza = q(pos_s.x), q(pos_s.y), q(pos_s.z)
+    qslot_a = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B)
+    col = jnp.arange(BLOCK, dtype=jnp.int32)
+
+    def resh(a):
+        return a.reshape((nc, Qc) + a.shape[1:])
+
+    def chunk(args):
+        blk_c, mask_c, qx, qy, qz, qslot = args
+        wx = tbx[blk_c].reshape(Qc, W)
+        wy = tby[blk_c].reshape(Qc, W)
+        wz = tbz[blk_c].reshape(Qc, W)
+        # Group centers: mean of the group's (edge-padded) queries.
+        # Centering is exact algebra (the center cancels in both matvec
+        # identities); its only job is to keep |x'| small so bf16
+        # products stay accurate.
+        cx, cy, cz = (t.mean(axis=1, keepdims=True) for t in (qx, qy, qz))
+        qx, qy, qz = qx - cx, qy - cy, qz - cz
+        wx, wy, wz = wx - cx, wy - cy, wz - cz
+        dx = qx[:, :, None] - wx[:, None, :]
+        dy = qy[:, :, None] - wy[:, None, :]
+        dz = qz[:, :, None] - wz[:, None, :]
+        r2 = dx * dx + dy * dy + dz * dz
+        scol = (blk_c[:, :, None] * BLOCK + col[None, None, :]
+                ).reshape(Qc, 1, W)
+        valid = (jnp.broadcast_to(mask_c[:, :, None],
+                                  (Qc, nbcap, BLOCK)).reshape(Qc, 1, W)
+                 & (scol < n) & (qslot[:, :, None] < n)
+                 & (scol != qslot[:, :, None])
+                 & (r2 <= jnp.float32(h) * jnp.float32(h)))
+        r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+        w = jnp.where(valid, jnp.float32(m) * sm.cubic_grad_coeff(r, h),
+                      0.0)
+        # f32 row sums before the storage downcast (they set the
+        # self-side coefficient and the alpha denominator scale).
+        s = V3((w * dx).sum(axis=2), (w * dy).sum(axis=2),
+               (w * dz).sum(axis=2))
+        return w.astype(dtype), wx, wy, wz, qx, qy, qz, s
+
+    xs = (resh(blk), resh(nb_mask), resh(qxa), resh(qya), resh(qza),
+          resh(qslot_a))
+    if nc == 1:
+        out = chunk(tuple(t[0] for t in xs))
+        w, wx, wy, wz, qx, qy, qz, s = out
+    else:
+        out = jax.lax.map(chunk, xs)
+        w, wx, wy, wz, qx, qy, qz, s = jax.tree_util.tree_map(
+            lambda o: o.reshape((nc * Qc,) + o.shape[2:]), out)
+    return CoefEngine(blkq=blk, w=w, wx=wx, wy=wy, wz=wz,
+                      qx=qx, qy=qy, qz=qz,
+                      s=V3(*(c.reshape(-1)[:n] for c in s.astuple())),
+                      overflow=overflow)
+
+
+def _coef_chunks(QB: int, W: int) -> int:
+    """Chunk count for the per-matvec rhs temp ((Qc, 4, W) bf16): largest
+    divisor of QB keeping the temp under ~64 MB. Chunked evaluation runs
+    under lax.map, so peak memory stays bounded while the einsum streams
+    w at HBM rate."""
+    target = max(1, (64 << 20) // (4 * W * 2))
+    if QB <= target:
+        return 1
+    for nc in range(-(-QB // target), QB + 1):
+        if QB % nc == 0:
+            return nc
+    return QB
+
+
+def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
+    """(matvec, matvec_dot) closures — the drop-in counterpart of
+    band_matvec_ops / window_matvec_ops / gather_matvec_ops."""
+    QB, _, W = eng.w.shape
+    nbcap = eng.blkq.shape[1]
+    nblocks = -(-n // BLOCK)
+    nc = _coef_chunks(QB, W)
+    Qc = QB // nc
+
+    def resh(a):
+        return a.reshape((nc, Qc) + a.shape[1:])
+
+    w_r, blk_r = resh(eng.w), resh(eng.blkq)
+    wx_r, wy_r, wz_r = resh(eng.wx), resh(eng.wy), resh(eng.wz)
+    qx_r, qy_r, qz_r = resh(eng.qx), resh(eng.qy), resh(eng.qz)
+
+    def vb(vals):
+        return jnp.pad(vals, (0, nblocks * BLOCK - n)).reshape(nblocks,
+                                                               BLOCK)
+
+    def run(chunk_fn):
+        # Value tables are closed over (loop constants); only the engine
+        # chunks travel through lax.map's xs.
+        if nc == 1:
+            out = chunk_fn((w_r[0], blk_r[0], wx_r[0], wy_r[0], wz_r[0],
+                            qx_r[0], qy_r[0], qz_r[0]))
+        else:
+            out = jax.lax.map(chunk_fn, (w_r, blk_r, wx_r, wy_r, wz_r,
+                                         qx_r, qy_r, qz_r))
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape(-1)[:n], out)
+
+    def matvec(k):
+        tbl = vb(k)
+
+        def chunk(args):
+            w_c, blk_c, wx_c, wy_c, wz_c, qx_c, qy_c, qz_c = args
+            kwin = tbl[blk_c].reshape(Qc, W)
+            rhs = jnp.stack([kwin, wx_c * kwin, wy_c * kwin,
+                             wz_c * kwin], axis=1).astype(w_c.dtype)
+            out = jnp.einsum("qbw,qrw->qbr", w_c, rhs,
+                             preferred_element_type=jnp.float32)
+            return V3(qx_c * out[..., 0] - out[..., 1],
+                      qy_c * out[..., 0] - out[..., 2],
+                      qz_c * out[..., 0] - out[..., 3])
+
+        return run(chunk)
+
+    def matvec_dot(v: V3):
+        tx, ty, tz = vb(v.x), vb(v.y), vb(v.z)
+
+        def chunk(args):
+            w_c, blk_c, wx_c, wy_c, wz_c, qx_c, qy_c, qz_c = args
+            vxw = tx[blk_c].reshape(Qc, W)
+            vyw = ty[blk_c].reshape(Qc, W)
+            vzw = tz[blk_c].reshape(Qc, W)
+            u = wx_c * vxw + wy_c * vyw + wz_c * vzw
+            rhs = jnp.stack([vxw, vyw, vzw, u], axis=1).astype(w_c.dtype)
+            out = jnp.einsum("qbw,qrw->qbr", w_c, rhs,
+                             preferred_element_type=jnp.float32)
+            return (qx_c * out[..., 0] + qy_c * out[..., 1]
+                    + qz_c * out[..., 2] - out[..., 3])
+
+        return run(chunk)
 
     return matvec, matvec_dot
 

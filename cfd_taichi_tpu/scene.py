@@ -250,7 +250,13 @@ def build_scene(cfg: SimConfig) -> Scene:
     # x1.2 + 2. Overflow beyond either is counted on-device.
     band_nb = max(int(np.ceil(_nb_seed * 1.6)) + 2, 6)
     pair_nb = max(int(np.ceil(_nb_seed * 1.2)) + 2, 6)
-    bband_nb = boundary_band_capacity(np.asarray(boundary_pos), grid) \
+    # The boundary shell is static but the QUERY groups drift: a drifted
+    # group splits into several spans, each dragging its own 9 stencil
+    # runs through the shell — measured need on the evolved 1M dam break
+    # was 1.5x the seed-exact bound. x1.6 + 4 covers with margin;
+    # overflow is counted on-device either way.
+    bband_nb = (int(boundary_band_capacity(np.asarray(boundary_pos),
+                                           grid) * 1.6) + 4) \
         if sv.boundary_handle else 6
 
     static = SceneStatic(

@@ -150,10 +150,69 @@ def test_window_engine_matches_gather_ops():
                                rtol=1e-3, atol=2e-6 * scale)
 
 
-def test_dfsph_window_engine_step_matches_band_engine(monkeypatch):
-    """Full DFSPH steps agree between the stored-A band engine and the
-    dense-window engine (identical plan, f32 storage; only accumulation
-    order differs)."""
+def test_coef_engine_matches_gather_ops():
+    """Stored-coefficient engine (scalar w + group-centered split) == the
+    (N, K) gather ops. f32 storage isolates the algebra from rounding."""
+    h, m, n = 0.1, 1.3e-4, 900
+    pos_s, nl = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=7)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    table = nb.build_cell_table(pos_s, grid)
+    qid = jnp.arange(n, dtype=jnp.int32)
+    gl, plan = nb.find_neighbors_grouped(pos_s, qid, pos_s, table, grid,
+                                         K=64, nbcap=16, B=8,
+                                         exclude_self=True)
+    assert int(np.asarray(gl.dropped)) == 0
+
+    eng = bandmat.build_coef_engine(pos_s, h=h, m=m, plan=plan, B=8,
+                                    dtype=jnp.float32)
+    mv, mvd = bandmat.coef_matvec_ops(eng, n, 8)
+
+    rng = np.random.default_rng(2)
+    k = jnp.asarray(rng.random(n, dtype=np.float32))
+    v = V3(*(jnp.asarray(rng.random(n, dtype=np.float32)) for _ in range(3)))
+
+    ref_delta, ref_dot = _reference_ops(pos_s, nl, h, m, k, v)
+    got_delta = eng.s * k + mv(k)
+    got_dot = (v.x * eng.s.x + v.y * eng.s.y + v.z * eng.s.z - mvd(v))
+
+    # The centered split cancels large terms (x'_i sums vs x'_j sums):
+    # tolerance scaled to the term magnitude, not the near-zero result.
+    scale = float(np.abs(np.asarray(ref_delta.x)).max())
+    for c in "xyz":
+        np.testing.assert_allclose(
+            np.asarray(getattr(got_delta, c)),
+            np.asarray(getattr(ref_delta, c)), rtol=1e-3, atol=3e-5 * scale)
+    dscale = float(np.abs(np.asarray(ref_dot)).max())
+    np.testing.assert_allclose(np.asarray(got_dot), np.asarray(ref_dot),
+                               rtol=1e-3, atol=3e-5 * dscale)
+
+
+def test_coef_engine_bf16_accuracy():
+    """bf16 w storage keeps the matvec within ~1% of term scale — the
+    production accuracy bound the density contract rides on."""
+    h, m, n = 0.1, 1.3e-4, 900
+    pos_s, nl = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=7)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    table = nb.build_cell_table(pos_s, grid)
+    qid = jnp.arange(n, dtype=jnp.int32)
+    _, plan = nb.find_neighbors_grouped(pos_s, qid, pos_s, table, grid,
+                                        K=64, nbcap=16, B=8,
+                                        exclude_self=True)
+    eng = bandmat.build_coef_engine(pos_s, h=h, m=m, plan=plan, B=8)
+    mv, _ = bandmat.coef_matvec_ops(eng, n, 8)
+    rng = np.random.default_rng(2)
+    k = jnp.asarray(rng.random(n, dtype=np.float32))
+    ref_delta, _ = _reference_ops(pos_s, nl, h, m, k, V3.zeros((n,)))
+    got = eng.s * k + mv(k)
+    scale = float(np.abs(np.asarray(ref_delta.x)).max())
+    err = float(np.abs(np.asarray(got.x) - np.asarray(ref_delta.x)).max())
+    assert err < 0.02 * scale, (err, scale)
+
+
+def test_dfsph_loop_engines_step_equivalence(monkeypatch):
+    """Full DFSPH steps agree across the three loop engines — stored-A
+    band, stored-coefficient, dense-window — on the identical CSR plan
+    (f32 storage; only accumulation order differs)."""
     import functools
     import jax
     from cfd_taichi_tpu import build_scene
@@ -170,21 +229,28 @@ def test_dfsph_window_engine_step_matches_band_engine(monkeypatch):
     monkeypatch.setattr(mbase, "GROUPED_BUILD_MIN_N", 0)  # force CSR plan
     monkeypatch.setattr(dfsph, "BAND_DTYPE", jnp.float32)
 
-    def run(budget):
-        monkeypatch.setattr(dfsph, "BAND_BYTE_BUDGET", budget)
+    def run(band_budget, coef_budget):
+        monkeypatch.setattr(dfsph, "BAND_BYTE_BUDGET", band_budget)
+        monkeypatch.setattr(dfsph, "COEF_BYTE_BUDGET", coef_budget)
         step = jax.jit(functools.partial(dfsph.step, scene.static))
         st = dfsph.init_state(scene)
         for _ in range(5):
             st = step(scene.arrays, st)
         return st
 
-    a = run(1e18)   # stored-A band engine (csr plan)
-    b = run(0.0)    # dense-window engine (same plan, recompute-A)
-    assert int(np.asarray(a.overflow)) == 0
-    assert int(np.asarray(b.overflow)) == 0
-    np.testing.assert_array_equal(np.asarray(a.diag[0]), np.asarray(b.diag[0]))
-    np.testing.assert_array_equal(np.asarray(a.diag[2]), np.asarray(b.diag[2]))
-    np.testing.assert_allclose(np.asarray(a.fluid.pos.x),
-                               np.asarray(b.fluid.pos.x), rtol=0, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a.fluid.vel.x),
-                               np.asarray(b.fluid.vel.x), rtol=0, atol=1e-3)
+    a = run(1e18, 0.0)  # stored-A band engine (csr plan)
+    b = run(0.0, 0.0)   # dense-window engine (same plan, recompute-A)
+    c = run(0.0, 1e18)  # stored-coefficient engine (same plan)
+    for other in (b, c):
+        assert int(np.asarray(a.overflow)) == 0
+        assert int(np.asarray(other.overflow)) == 0
+        np.testing.assert_array_equal(np.asarray(a.diag[0]),
+                                      np.asarray(other.diag[0]))
+        np.testing.assert_array_equal(np.asarray(a.diag[2]),
+                                      np.asarray(other.diag[2]))
+        np.testing.assert_allclose(np.asarray(a.fluid.pos.x),
+                                   np.asarray(other.fluid.pos.x),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.fluid.vel.x),
+                                   np.asarray(other.fluid.vel.x),
+                                   rtol=0, atol=1e-3)

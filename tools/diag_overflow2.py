@@ -38,9 +38,9 @@ def probe(fluid_pos):
     bl, bplan = nb.find_neighbors_grouped(
         pos_s, None, scene.arrays.boundary_pos, scene.arrays.boundary_table,
         st.grid, K=st.bK, nbcap=st.bband_nb, B=st.band_B)
-    return (jnp.max(nl.count), fplan[2], jnp.max(bl.count), bplan[2])
+    return (jnp.max(nl.count), nl.dropped, fplan[2],
+            jnp.max(bl.count), bl.dropped, bplan[2])
 
 out = [int(x) for x in probe(state.fluid.pos)]
-print(f"fluid: count_max={out[0]} (K={st.K}) plan_over={out[1]}", flush=True)
-print(f"boundary: count_max={out[2]} (bK={st.bK}) plan_over={out[3]}",
-      flush=True)
+print(f"fluid: count_max={out[0]} (K={st.K}) dropped={out[1]} plan_over={out[2]}", flush=True)
+print(f"boundary: count_max={out[3]} (bK={st.bK}) dropped={out[4]} plan_over={out[5]}", flush=True)
