@@ -83,15 +83,16 @@ def init_state(scene: Scene) -> base.SimState:
 # gathers — slower per iteration but O(N*K) memory (the 1M-particle
 # regime, where the band matrix would not fit HBM).
 BAND_BYTE_BUDGET = 3.5e9
-# Byte budget for the stored-coefficient engine (scalar bf16 w + f32
-# position windows — bandmat.CoefEngine): the 1M regime fits at ~10.6 GB
-# on the 16 GB chip where the 3-component matrix (~23 GB) does not.
-COEF_BYTE_BUDGET = 11e9
+# Byte budget for the stored-coefficient engine (scalar bf16 w only —
+# bandmat.CoefEngine re-gathers position windows from 12 MB tables):
+# the 1M regime fits at ~6.5 GB on the 16 GB chip where the 3-component
+# matrix (~14-23 GB) does not.
+COEF_BYTE_BUDGET = 8e9
 
 
 def coef_bytes(n: int, nbcap: int, B: int) -> int:
     W = nbcap * bandmat.BLOCK
-    return 2 * n * W + 3 * 4 * (-(-n // B)) * W
+    return 2 * n * W
 
 
 def use_coef_engine(n: int, nbcap: int, B: int) -> bool:

@@ -112,7 +112,7 @@ def plan_blocks(idx: jnp.ndarray, mask: jnp.ndarray, n: int,
 
 
 def plan_from_csr(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
-                  nbcap: int, n_spans: int = 6):
+                  nbcap: int, n_spans: int | None = None):
     """Block plans derived from the cell table's CSR offsets ALONE — no
     per-pair data. For each of the 9 (mid, slow)-axis stencil offsets the
     candidate slots of a contiguous cell-id span [ca, cb] form one
@@ -124,15 +124,16 @@ def plan_from_csr(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
     members STRADDLE a cell-row boundary (common as soon as the lattice
     drifts) spans a large id gap, and the span runs then swallow the
     dense interior rows inside the gap — blowing any static capacity. So
-    each group is split at its TWO largest member cell-id gaps into three
-    spans (n_spans x 9 intervals — covers straddling several fast-row /
-    plane boundaries); a group with fewer real gaps just yields
-    overlapping intervals that dedupe away. More-gap spray groups can
-    still overflow — counted, like every capacity. Default n_spans=6:
-    measured on an evolved 1M dam break (t=0.011), 6 splits cut the max
-    fluid union from 31 to 21 blocks and the boundary union from 23 to
-    21, for a plan-build cost that is negligible next to the list build
-    (the union scan is (QB, 9*n_spans) arithmetic).
+    each group is split into spans at its largest member cell-id gaps.
+    The default (n_spans >= B) splits at EVERY gap — one [c, c] span per
+    member cell, the tight per-member plan: straddle overflow is
+    impossible by construction and only genuine stencil density can
+    exceed nbcap. (Largest-gap splitting with n_spans < B is kept for
+    callers that want fewer intervals; measured on an evolved 1M dam
+    break, n_spans=6 still left a 54-block worst group where the tight
+    plan needs only the true stencil union.) The plan-build cost is the
+    (QB, 9*n_spans) union scan + a (QB, 9*n_spans*nbcap) dedupe sort —
+    negligible next to the list build.
 
     Out-of-grid stencil cells clip/wrap into neighboring runs: the extra
     candidates they admit are geometrically distant and are removed by
@@ -153,8 +154,24 @@ def plan_from_csr(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
 
     qc = qcells.astype(jnp.int32)
     QB, B = qc.shape
-    n_splits = min(n_spans - 1, B - 1)
-    if n_splits > 0:
+    # Default (and the only safe choice for wide groups): per-member
+    # spans. A caller-supplied n_spans < B re-enables largest-gap
+    # splitting, which is cheaper but can swallow interior rows when a
+    # group scatters across more than n_spans - 1 gaps (measured: a
+    # B=16 group under n_spans=8 needed 46 blocks where the per-member
+    # plan's true union was <= 36).
+    n_splits = B - 1 if n_spans is None else min(n_spans - 1, B - 1)
+    if n_splits >= B - 1:
+        # Per-member spans — the TIGHT plan: one [c, c] span per member
+        # cell, so no span ever straddles a gap and no interior row is
+        # swallowed. Straddle overflow is impossible by construction;
+        # only genuine stencil density can exceed nbcap. Duplicate
+        # member cells yield identical intervals that dedupe below.
+        # (Measured on an evolved 1M dam break where largest-gap splits
+        # with n_spans=6 left a 54-block worst group: per-member spans
+        # cut it to the true stencil union.)
+        spans = [(qc[:, j], qc[:, j]) for j in range(B)]
+    elif n_splits > 0:
         # Split at the (n_spans - 1) largest member gaps: covers a group
         # straddling several fast-row / plane boundaries (the dominant
         # drift mode once the lattice slumps — measured on the evolved 1M
@@ -426,12 +443,22 @@ class CoefEngine(NamedTuple):
     the einsum rhs are bf16 with f32 MXU accumulation; group extents
     (~0.25 m vs pair distances ~0.05) amplify bf16 rounding ~3x over the
     stored-3-component form — validated against the gather engine and
-    the <0.1% density contract by tests/test_bandmat.py."""
+    the <0.1% density contract by tests/test_bandmat.py.
+
+    Beyond w itself nothing per-pair is stored: the (QB, W) position
+    windows are RE-GATHERED from the tiny (nblocks, 128) block tables
+    inside each matvec chunk (a block-row gather costs the same HBM
+    traffic as reading a stored window, and dropping the three stored
+    f32 windows saves ~4.5 GB resident at 1M/B=8 — the difference
+    between fitting and OOM on the 16 GB chip)."""
     blkq: jnp.ndarray      # (QB, nbcap) covering source-block ids
     w: jnp.ndarray         # (QB, B, W) bf16 — masked pair coefficients
-    wx: jnp.ndarray        # (QB, W) f32 — group-centered window positions
-    wy: jnp.ndarray
-    wz: jnp.ndarray
+    tbx: jnp.ndarray       # (nblocks, 128) f32 — source position tables
+    tby: jnp.ndarray
+    tbz: jnp.ndarray
+    cx: jnp.ndarray        # (QB,) f32 — group centers
+    cy: jnp.ndarray
+    cz: jnp.ndarray
     qx: jnp.ndarray        # (QB, B) f32 — group-centered query positions
     qy: jnp.ndarray
     qz: jnp.ndarray
@@ -503,19 +530,20 @@ def build_coef_engine(pos_s: V3, *, h: float, m: float, plan, B: int,
         # self-side coefficient and the alpha denominator scale).
         s = V3((w * dx).sum(axis=2), (w * dy).sum(axis=2),
                (w * dz).sum(axis=2))
-        return w.astype(dtype), wx, wy, wz, qx, qy, qz, s
+        return (w.astype(dtype), cx[:, 0], cy[:, 0], cz[:, 0],
+                qx, qy, qz, s)
 
     xs = (resh(blk), resh(nb_mask), resh(qxa), resh(qya), resh(qza),
           resh(qslot_a))
     if nc == 1:
         out = chunk(tuple(t[0] for t in xs))
-        w, wx, wy, wz, qx, qy, qz, s = out
+        w, cx, cy, cz, qx, qy, qz, s = out
     else:
         out = jax.lax.map(chunk, xs)
-        w, wx, wy, wz, qx, qy, qz, s = jax.tree_util.tree_map(
+        w, cx, cy, cz, qx, qy, qz, s = jax.tree_util.tree_map(
             lambda o: o.reshape((nc * Qc,) + o.shape[2:]), out)
-    return CoefEngine(blkq=blk, w=w, wx=wx, wy=wy, wz=wz,
-                      qx=qx, qy=qy, qz=qz,
+    return CoefEngine(blkq=blk, w=w, tbx=tbx, tby=tby, tbz=tbz,
+                      cx=cx, cy=cy, cz=cz, qx=qx, qy=qy, qz=qz,
                       s=V3(*(c.reshape(-1)[:n] for c in s.astuple())),
                       overflow=overflow)
 
@@ -547,22 +575,28 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
         return a.reshape((nc, Qc) + a.shape[1:])
 
     w_r, blk_r = resh(eng.w), resh(eng.blkq)
-    wx_r, wy_r, wz_r = resh(eng.wx), resh(eng.wy), resh(eng.wz)
+    c_r = (resh(eng.cx), resh(eng.cy), resh(eng.cz))
     qx_r, qy_r, qz_r = resh(eng.qx), resh(eng.qy), resh(eng.qz)
 
     def vb(vals):
         return jnp.pad(vals, (0, nblocks * BLOCK - n)).reshape(nblocks,
                                                                BLOCK)
 
+    def win3(blk_c, cx_c, cy_c, cz_c):
+        # Re-gathered group-centered position windows (CoefEngine
+        # docstring): block-row gathers from the 12 MB tables.
+        return (eng.tbx[blk_c].reshape(Qc, W) - cx_c[:, None],
+                eng.tby[blk_c].reshape(Qc, W) - cy_c[:, None],
+                eng.tbz[blk_c].reshape(Qc, W) - cz_c[:, None])
+
     def run(chunk_fn):
         # Value tables are closed over (loop constants); only the engine
         # chunks travel through lax.map's xs.
+        xs = (w_r, blk_r, *c_r, qx_r, qy_r, qz_r)
         if nc == 1:
-            out = chunk_fn((w_r[0], blk_r[0], wx_r[0], wy_r[0], wz_r[0],
-                            qx_r[0], qy_r[0], qz_r[0]))
+            out = chunk_fn(tuple(t[0] for t in xs))
         else:
-            out = jax.lax.map(chunk_fn, (w_r, blk_r, wx_r, wy_r, wz_r,
-                                         qx_r, qy_r, qz_r))
+            out = jax.lax.map(chunk_fn, xs)
         return jax.tree_util.tree_map(
             lambda o: o.reshape(-1)[:n], out)
 
@@ -570,7 +604,8 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
         tbl = vb(k)
 
         def chunk(args):
-            w_c, blk_c, wx_c, wy_c, wz_c, qx_c, qy_c, qz_c = args
+            w_c, blk_c, cx_c, cy_c, cz_c, qx_c, qy_c, qz_c = args
+            wx_c, wy_c, wz_c = win3(blk_c, cx_c, cy_c, cz_c)
             kwin = tbl[blk_c].reshape(Qc, W)
             rhs = jnp.stack([kwin, wx_c * kwin, wy_c * kwin,
                              wz_c * kwin], axis=1).astype(w_c.dtype)
@@ -586,7 +621,8 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
         tx, ty, tz = vb(v.x), vb(v.y), vb(v.z)
 
         def chunk(args):
-            w_c, blk_c, wx_c, wy_c, wz_c, qx_c, qy_c, qz_c = args
+            w_c, blk_c, cx_c, cy_c, cz_c, qx_c, qy_c, qz_c = args
+            wx_c, wy_c, wz_c = win3(blk_c, cx_c, cy_c, cz_c)
             vxw = tx[blk_c].reshape(Qc, W)
             vyw = ty[blk_c].reshape(Qc, W)
             vzw = tz[blk_c].reshape(Qc, W)

@@ -69,7 +69,7 @@ class SceneStatic:
     # from the seed with mixing headroom (overflow counted on-device);
     # bband_nb is an EXACT static bound (the boundary shell never moves).
     band_nb: int = 12
-    band_B: int = 16
+    band_B: int = 8
     bband_nb: int = 12
     # Tighter capacity for PAIR-derived plans (bandmat.plan_blocks: blocks
     # that contain actual neighbors, a subset of the CSR stencil cover) —
@@ -242,13 +242,16 @@ def build_scene(cfg: SimConfig) -> Scene:
                                rigid_init.pos.to_numpy()], axis=0)
     else:
         _src = np.asarray(fluid_pos)
-    _nb_seed = band_plan_raw_max(np.asarray(fluid_pos), grid, B=16,
-                                 src_rows=_src)
-    # CSR plans cover whole stencil runs (sparse straddle groups inflate
-    # them): x1.6 + 2. Pair plans only cover blocks holding true
-    # neighbors (measured hot-phase max = 1.1x the seed CSR cover):
-    # x1.2 + 2. Overflow beyond either is counted on-device.
-    band_nb = max(int(np.ceil(_nb_seed * 1.6)) + 2, 6)
+    _nb_seed = band_plan_raw_max(np.asarray(fluid_pos), grid,
+                                 B=SceneStatic.band_B, src_rows=_src)
+    # CSR plans cover whole stencil runs. With per-member spans the need
+    # tracks local stencil DENSITY (physics-bounded), not group order:
+    # measured evolved/seed drift on the 1M dam break (t=0.009, B=8) was
+    # 18/16 = 1.12x. x1.3 + 4 covers with margin. Pair plans only cover
+    # blocks holding true neighbors (measured hot-phase max = 1.1x the
+    # seed CSR cover): x1.2 + 2. Overflow beyond either is counted
+    # on-device.
+    band_nb = max(int(np.ceil(_nb_seed * 1.3)) + 4, 6)
     pair_nb = max(int(np.ceil(_nb_seed * 1.2)) + 2, 6)
     # The boundary shell is static but the QUERY groups drift: a drifted
     # group splits into several spans, each dragging its own 9 stencil
@@ -385,23 +388,14 @@ def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
     ncells = grid.num_cells
 
     QB = -(-n // B)
-    # Member cell ids per group, edge-padded — with the same largest-gap
-    # split as the runtime plans (ops/bandmat.plan_from_csr): groups that
-    # straddle a cell-row boundary are covered by TWO spans so the gap's
-    # interior rows never enter the window.
+    # Member cell ids per group, edge-padded.
     memb = np.full((QB * B,), sc[-1], np.int64)
     memb[:n] = sc
     memb = memb.reshape(QB, B)
-    gaps = memb[:, 1:] - memb[:, :-1]
-    k1 = np.argmax(gaps, axis=1)
-    ar = np.arange(QB)
-    gaps2 = gaps.copy()
-    gaps2[ar, k1] = -1
-    k2 = np.argmax(gaps2, axis=1)
-    ka, kb = np.minimum(k1, k2), np.maximum(k1, k2)
-    spans = [(memb[:, 0], memb[ar, ka]),
-             (memb[ar, ka + 1], memb[ar, kb]),
-             (memb[ar, kb + 1], memb[:, -1])]
+    # Per-member spans, matching the runtime plan's tight default
+    # (ops/bandmat.plan_from_csr): one [c, c] span per member cell, so
+    # the measured need is the true stencil union — no straddle slack.
+    spans = [(memb[:, j], memb[:, j]) for j in range(B)]
 
     fast_axes = sorted(range(3), key=lambda a: grid.strides[a])
     smid = grid.strides[fast_axes[1]]

@@ -25,6 +25,9 @@ for i in range(int(os.environ.get("STEPS", "12"))):
     _ = float(state.t)
 print(f"stepped: t={float(state.t):.4f} overflow={int(state.overflow)}",
       flush=True)
+pos = np.stack([np.asarray(state.fluid.pos.x), np.asarray(state.fluid.pos.y),
+                np.asarray(state.fluid.pos.z)], axis=1)
+np.save(os.environ.get("DUMP", "/tmp/diag_pos.npy"), pos)
 
 @jax.jit
 def probe(fluid_pos):
