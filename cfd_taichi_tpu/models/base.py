@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from cfd_taichi_tpu.ops import neighbors as nb
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
+from cfd_taichi_tpu import scene as _scene_mod
 from cfd_taichi_tpu.scene import RHO_0, Scene, SceneArrays, SceneStatic
 
 # Global velocity damping applied each integration (reference
@@ -189,8 +190,10 @@ def _cell_overflow(starts: jnp.ndarray, cap: int) -> jnp.ndarray:
 # its 14M-index packed fetch is affordable), while at large N the
 # per-query fetch dominates everything (1.3G indices at 1M) and the
 # grouped engine's QB x nbcap row fetch + dense pass wins. Tests may
-# monkeypatch to force either path.
-GROUPED_BUILD_MIN_N = 150_000
+# monkeypatch to force either path. The canonical threshold lives in
+# scene.py (build_scene picks band_B by the same cut); this module-level
+# alias stays monkeypatchable.
+GROUPED_BUILD_MIN_N = _scene_mod.GROUPED_BUILD_MIN_N
 
 
 def build_nbh(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,

@@ -28,6 +28,12 @@ from cfd_taichi_tpu.ops.vec import V3
 
 RHO_0 = 1000.0  # fluid rest density (reference solver_base.py:19)
 
+# Dynamic-set size at which the grouped-window list build (and the B=8
+# block-plan regime) takes over from the per-query prune engine — shared
+# with models.base.build_nbh so the scene's band_B always matches the
+# engine that will consume it.
+GROUPED_BUILD_MIN_N = 150_000
+
 
 @dataclasses.dataclass(frozen=True)
 class SceneStatic:
@@ -69,7 +75,12 @@ class SceneStatic:
     # from the seed with mixing headroom (overflow counted on-device);
     # bband_nb is an EXACT static bound (the boundary shell never moves).
     band_nb: int = 12
-    band_B: int = 8
+    # Query-group width for block plans. Size-dependent (build_scene):
+    # 16 below GROUPED_BUILD_MIN_N (measured 30k hot phase: 129 ms/step
+    # vs 190 at B=8 — the pair-plan band engine pays per-group build
+    # overhead), 8 at/above it (halves the dense window so the coef
+    # engine's bf16 w fits the 16 GB chip at 1M).
+    band_B: int = 16
     bband_nb: int = 12
     # Tighter capacity for PAIR-derived plans (bandmat.plan_blocks: blocks
     # that contain actual neighbors, a subset of the CSR stencil cover) —
@@ -242,8 +253,10 @@ def build_scene(cfg: SimConfig) -> Scene:
                                rigid_init.pos.to_numpy()], axis=0)
     else:
         _src = np.asarray(fluid_pos)
+    n_dyn = n_fluid + (n_rigid if rigid_active else 0)
+    band_B = 8 if n_dyn >= GROUPED_BUILD_MIN_N else 16
     _nb_seed = band_plan_raw_max(np.asarray(fluid_pos), grid,
-                                 B=SceneStatic.band_B, src_rows=_src)
+                                 B=band_B, src_rows=_src)
     # CSR plans cover whole stencil runs. With per-member spans the need
     # tracks local stencil DENSITY (physics-bounded), not group order:
     # measured evolved/seed drift on the 1M dam break (t=0.009, B=8) was
@@ -270,7 +283,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         has_rigid=so is not None, rigid_active=rigid_active,
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
         K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap, k2=k2, bk2=bk2,
-        band_nb=band_nb, bband_nb=bband_nb, pair_nb=pair_nb,
+        band_nb=band_nb, bband_nb=bband_nb, pair_nb=pair_nb, band_B=band_B,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,
