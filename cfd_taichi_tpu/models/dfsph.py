@@ -39,11 +39,14 @@ within each loop because the rigid contact velocity is).
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
 from cfd_taichi_tpu.ops import bandmat
+from cfd_taichi_tpu.ops import neighbors as nb
 from cfd_taichi_tpu.ops.loops import while_loop_unrolled
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
@@ -64,6 +67,10 @@ VISCOSITY_ALPHA = 0.08
 TENSION_K = 0.5
 WARM_START = True
 ADAPTIVE_DT = True
+# Dense-window mode for fluid-only scenes (dense_eligible): skip the
+# compact (N, K) list entirely — band matrix, rho, counts, alpha-Q and
+# tension all ride ONE fused (QB, B, W) window pass, viscosity a second.
+DENSE_FLUID = True
 # Gated sub-iterations per while-loop trip (ops/loops): amortizes the
 # measured ~3 ms/iteration loop-turnaround overhead across U iterations
 # while preserving the reference's per-iteration convergence checks
@@ -207,7 +214,105 @@ def loop_operators(matvec, matvec_dot, S: V3, counts: jnp.ndarray,
     return stiff_vel_delta, vel_dot_terms, rho_derivative, rho_adv_residual
 
 
+class _Pre(NamedTuple):
+    """Neighborhood-derived inputs to the shared solve body (_finish_step):
+    everything downstream of the engine choice is engine-agnostic, so the
+    compact-(N, K) and dense-window paths cannot drift on the loop/CFL/
+    integration physics."""
+    pos: Any            # V3 — sorted fluid positions
+    perm: Any           # (N,) prev-state index per sorted slot
+    oid: Any            # (N,) persistent original ids (sorted order)
+    vel: Any            # V3 — sorted velocities
+    warm_k: Any         # (N,) sorted warm-start stiffness
+    rho: Any            # (N,)
+    alpha: Any          # (N,)
+    count: Any          # (N,) neighbor counts (the <20 skip)
+    S: Any              # V3 — self-side loop coefficient
+    mv: Any             # matvec callable
+    mvd: Any            # matvec_dot callable
+    ext_force_fn: Any   # vel -> V3 (tension + viscosity, no gravity)
+    cs_fn: Any          # (include_alpha, dt) -> (N,) solid dot constant
+    scatter_fn: Any     # (k_over_rho, rforce) -> rforce, or None
+    overflow: Any       # () int32 — build + engine overflow
+
+
+def dense_eligible(st: SceneStatic) -> bool:
+    """Dense-window mode: fluid-only scenes whose band matrix fits HBM.
+    Rigid coupling needs the compact pair list (mask_s, per-pair scatter);
+    beyond the band budget the loops use the coef/window/gather engines
+    which keep the compact path."""
+    return (DENSE_FLUID
+            and not (st.rigid_active and st.n_rigid > 0)
+            and use_band_engine(st.n_fluid, st.band_nb))
+
+
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
+    if dense_eligible(st):
+        pre = _prepare_dense(st, arrays, state)
+    else:
+        pre = _prepare_compact(st, arrays, state)
+    return _finish_step(st, state, pre)
+
+
+def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
+                   state: base.SimState) -> _Pre:
+    """Fluid-only fast path: NO compact (N, K) list is built. One fused
+    (QB, B, W) dense pass over the CSR block plan produces the band matrix
+    AND rho/count/alpha-Q/tension (bandmat.build_band_terms); viscosity is
+    a second dense pass on the post-divergence velocity. Measured at 29k:
+    the compact list build this skips was ~65 ms of a ~136 ms step."""
+    fluid = state.fluid
+    (warm_k,) = state.extra
+
+    B = st.band_B
+    # Two-stage plans (bandmat.compact_plan docstring): a generously-
+    # capped CSR cover for the ONE-SHOT term pass (its fragmentation is
+    # not physics-bounded), then a pair-tight plan — physics-bounded
+    # capacity — for the stored A and every per-iteration matvec.
+    dp = base.build_dense_prep(st, arrays, fluid.pos, st.band_nb_wide, B)
+    pos_s, perm = dp.pos, dp.perm
+    terms = bandmat.build_band_terms(pos_s, h=st.h, m=st.particle_m,
+                                     plan=dp.plan, B=B, dtype=BAND_DTYPE)
+    plan = bandmat.compact_plan(dp.plan, terms.blk_pair, st.pair_nb)
+    band = bandmat.build_band(pos_s, h=st.h, m=st.particle_m,
+                              plan=plan, B=B, dtype=BAND_DTYPE)
+    overflow = jnp.maximum(jnp.maximum(dp.overflow, plan[2]),
+                           jnp.zeros((), jnp.int32))
+
+    rho = base.DENSITY_EPS + terms.rho
+    denom = band.s.dot(band.s) + terms.qsum
+    S = band.s
+    if st.akinci:
+        bl, bx, br, bvol = dp.bl, dp.bx, dp.br, dp.bvol
+        wb = jnp.where(bl.mask, RHO_0 * bvol, 0.0)
+        rho = rho + RHO_0 * base.msum(bvol * sm.cubic_w(br, st.h), bl.mask)
+        gc_b = sm.cubic_grad_coeff(br, st.h)
+        gb = V3(bx.x * gc_b, bx.y * gc_b, bx.z * gc_b)
+        sb_vec = base.sum_vec(gb, wb)
+        denom = denom + jnp.sum((wb * gc_b * br) ** 2, axis=1) \
+            + sb_vec.dot(sb_vec)
+        S = S + sb_vec
+    alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
+
+    mv, mvd = band_matvec_ops(band)
+    tension = terms.tvec * jnp.float32(-TENSION_K * st.particle_m)
+
+    def ext_force_fn(vel):
+        visc = bandmat.dense_viscosity(
+            pos_s, vel, rho, h=st.h, m=st.particle_m, plan=plan, B=B,
+            c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+        return tension + visc
+
+    return _Pre(pos=pos_s, perm=perm, oid=fluid.oid[perm],
+                vel=fluid.vel.take(perm), warm_k=warm_k[perm],
+                rho=rho, alpha=alpha, count=terms.count, S=S, mv=mv,
+                mvd=mvd, ext_force_fn=ext_force_fn,
+                cs_fn=lambda include_alpha, dt: jnp.float32(0.0),
+                scatter_fn=None, overflow=overflow)
+
+
+def _prepare_compact(st: SceneStatic, arrays: SceneArrays,
+                     state: base.SimState) -> _Pre:
     fluid, rigid = state.fluid, state.rigid
     dt = state.dt
     (warm_k,) = state.extra
@@ -287,16 +392,13 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     if st.akinci:
         S = S + sb_vec
 
-    stiff_vel_delta, vel_dot_terms, rho_derivative, rho_adv_residual = \
-        loop_operators(mv, mvd, S, nbh.count)
-
-    def solid_dot_const(include_alpha: bool):
+    def solid_dot_const(include_alpha: bool, dt_arg):
         """C_s = Sum_s ws (v_contact_j . gradW) — constant within each
         pressure loop (the rigid contact velocity only depends on dt and
         the rigid state, reference dfsph_solver.py:163-170,288-294)."""
         if not has_rigid:
             return jnp.float32(0.0)
-        v_r = base.rigid_contact_vel(st, rigid, dt, include_alpha)
+        v_r = base.rigid_contact_vel(st, rigid, dt_arg, include_alpha)
         lid = base.rigid_lid(st, nbh.idx)
         tbl = jnp.stack([v_r.x, v_r.y, v_r.z, v_r.x + v_r.y], axis=0)
         rows = tbl[:, lid]
@@ -304,12 +406,49 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                  ws * (rows[0] * gx.x + rows[1] * gx.y
                                        + rows[2] * gx.z), 0.0), axis=1)
 
+    def ext_force_fn(v):
+        tension = base.nbh_tension(st, nbh, TENSION_K)
+        viscosity = base.nbh_viscosity(st, nbh, v, rho, rigid,
+                                       c_s=VISCOSITY_C_S,
+                                       alpha=VISCOSITY_ALPHA, oid=oid)
+        return tension + viscosity
+
+    scatter_fn = None
+    if has_rigid:
+        def scatter_fn(k_over_rho, rforce):
+            # Rigid reaction accumulates every density iteration
+            # (dfsph_solver.py:204-212).
+            contrib = gx * (ws * k_over_rho[:, None] * st.particle_m)
+            return base.nbh_scatter_rigid_force(st, nbh, contrib,
+                                                nbh.mask_s, rforce)
+
+    return _Pre(pos=pos, perm=nbh.perm, oid=oid, vel=vel, warm_k=warm_k,
+                rho=rho, alpha=alpha, count=nbh.count, S=S, mv=mv, mvd=mvd,
+                ext_force_fn=ext_force_fn, cs_fn=solid_dot_const,
+                scatter_fn=scatter_fn,
+                overflow=jnp.maximum(nbh.overflow, engine_overflow))
+
+
+def _finish_step(st: SceneStatic, state: base.SimState,
+                 pre: _Pre) -> base.SimState:
+    """Engine-agnostic solve body: warm start, divergence solve, external
+    forces + adaptive CFL dt, density solve, integration — the reference's
+    step order (dfsph_solver.py:428-445), shared verbatim by the compact
+    and dense prepare paths."""
+    fluid, rigid = state.fluid, state.rigid
+    dt = state.dt
+    vel, warm_k = pre.vel, pre.warm_k
+    rho, alpha = pre.rho, pre.alpha
+
+    stiff_vel_delta, vel_dot_terms, rho_derivative, rho_adv_residual = \
+        loop_operators(pre.mv, pre.mvd, pre.S, pre.count)
+
     # --- divergence solve (dfsph_solver.py:393-416) -------------------------
     if WARM_START:
         vel = vel - stiff_vel_delta((warm_k / dt) / rho) * dt
         warm_k = jnp.zeros_like(warm_k)
 
-    cs_div = solid_dot_const(include_alpha=False)
+    cs_div = pre.cs_fn(False, dt)
     dr0, avg0 = rho_derivative(vel, cs_div)
 
     def div_cond(carry):
@@ -332,11 +471,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
          jnp.zeros((), jnp.int32)), unroll=LOOP_UNROLL)
 
     # --- external forces + v_adv + adaptive dt (dfsph_solver.py:91-122) -----
-    tension = base.nbh_tension(st, nbh, TENSION_K)
-    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
-                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
-                                   oid=oid)
-    force_ext = base.gravity_acc(st) + tension + viscosity
+    force_ext = base.gravity_acc(st) + pre.ext_force_fn(vel)
     vel_adv = vel + force_ext * (dt / st.particle_m)
 
     max_vel = jnp.max(vel_adv.norm())
@@ -352,7 +487,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     dt2 = dt * dt
 
     # --- density solve (dfsph_solver.py:221-233) ----------------------------
-    cs_den = solid_dot_const(include_alpha=True)
+    cs_den = pre.cs_fn(True, dt)
     den_thresh = DENSITY_THRESHOLD * RHO_0 * 0.01
 
     def den_cond(carry):
@@ -364,12 +499,8 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         v_adv, _, rforce, it = carry
         rho_adv, avg = rho_adv_residual(rho, dt, v_adv, cs_den)
         k_over_rho = ((rho_adv - RHO_0) * alpha / dt2) / rho
-        if has_rigid:
-            # Rigid reaction accumulates every density iteration
-            # (dfsph_solver.py:204-212).
-            contrib = gx * (ws * k_over_rho[:, None] * st.particle_m)
-            rforce = base.nbh_scatter_rigid_force(st, nbh, contrib,
-                                                  nbh.mask_s, rforce)
+        if pre.scatter_fn is not None:
+            rforce = pre.scatter_fn(k_over_rho, rforce)
         v_adv = v_adv - stiff_vel_delta(k_over_rho) * dt
         return (v_adv, avg, rforce, it + 1)
 
@@ -379,7 +510,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
          jnp.zeros((), jnp.int32)), unroll=LOOP_UNROLL)
 
     # --- position update (dfsph_solver.py:235-250) --------------------------
-    new_pos = pos + vel_adv * (dt * base.ARTIFICIAL_FRICTION)
+    new_pos = pre.pos + vel_adv * (dt * base.ARTIFICIAL_FRICTION)
     new_vel = vel_adv * base.ARTIFICIAL_FRICTION
     if not st.akinci:
         new_pos, new_vel = base.clamp_to_box(st, new_pos, new_vel,
@@ -387,9 +518,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        overflow=jnp.maximum(nbh.overflow, engine_overflow),
+        overflow=pre.overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(nbh.perm), oid=oid),
+                              acc=fluid.acc.take(pre.perm), oid=pre.oid),
         rigid=rigid._replace(force=rigid_force),
         dt=dt,
         t=state.t + dt,

@@ -40,7 +40,72 @@ def tait_pressure(rho: jnp.ndarray) -> jnp.ndarray:
     return B_STIFF * ((rho_c / RHO_0) ** GAMMA - 1.0)
 
 
+# Dense-window mode (fluid-only scenes): the whole pressure phase is two
+# fused dense passes over the CSR block plan — no compact (N, K) fluid
+# list is built (ops/bandmat.dense_rho_count / dense_wcsph_forces; both
+# chunked, so the same path serves 30k and 1M).
+DENSE_FLUID = True
+
+
+def dense_eligible(st: SceneStatic) -> bool:
+    return DENSE_FLUID and not (st.rigid_active and st.n_rigid > 0)
+
+
+def _step_dense(st: SceneStatic, arrays: SceneArrays,
+                state: base.SimState) -> base.SimState:
+    from cfd_taichi_tpu.ops import bandmat
+
+    fluid, rigid, dt = state.fluid, state.rigid, state.dt
+    # Wide CSR cover for the one-shot rho pass, then a pair-tight plan
+    # for the force pass (bandmat.compact_plan docstring: the CSR
+    # cover's fragmentation is not physics-bounded; pair content is).
+    dp = base.build_dense_prep(st, arrays, fluid.pos, st.band_nb_wide,
+                               st.band_B)
+    pos = dp.pos
+    vel = fluid.vel.take(dp.perm)
+    oid = fluid.oid[dp.perm]
+
+    # --- pressure phase (reference wcsph_solver.py:32-38) -------------------
+    rho_f, _, blk_pair = bandmat.dense_rho_count(
+        pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B)
+    plan = bandmat.compact_plan(dp.plan, blk_pair, st.pair_nb)
+    overflow = jnp.maximum(dp.overflow, plan[2])
+    rho = base.DENSITY_EPS + rho_f
+    if st.akinci:
+        rho = rho + RHO_0 * base.msum(
+            dp.bvol * sm.cubic_w(dp.br, st.h), dp.bl.mask)
+    p = tait_pressure(rho)
+    p_over_rho2 = p / (rho * rho)
+
+    acc = base.gravity_acc(st) + bandmat.dense_wcsph_forces(
+        pos, vel, rho, p_over_rho2, h=st.h, m=st.particle_m, plan=plan,
+        B=st.band_B, c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
+        tension_k=TENSION_K)
+    if st.akinci:
+        gcoef = sm.cubic_grad_coeff(dp.br, st.h)
+        coeff = -dp.bvol * (p_over_rho2)[:, None] * gcoef
+        acc = acc + RHO_0 * base.sum_vec(
+            dp.bx, jnp.where(dp.bl.mask, coeff, 0.0))
+
+    # --- kinematic phase (reference wcsph_solver.py:40-63) ------------------
+    new_vel = (vel + acc * dt) * WCSPH_DAMPING
+    new_pos = pos + new_vel * dt
+    if not st.akinci:
+        new_pos, new_vel = base.clamp_to_box(
+            st, new_pos, new_vel, margin=2.0 * st.particle_radius,
+            decay_mul=-base.V_DECAY)
+
+    return state._replace(
+        overflow=overflow,
+        fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=acc, oid=oid),
+        t=state.t + dt,
+        step_count=state.step_count + 1,
+    )
+
+
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
+    if dense_eligible(st):
+        return _step_dense(st, arrays, state)
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
 
     # Sort fluid by cell; all per-fluid math below runs in sorted order and

@@ -244,8 +244,85 @@ def _window(blk: jnp.ndarray, vals: jnp.ndarray, n: int) -> jnp.ndarray:
     return vb[blk].reshape(QB, nbcap * BLOCK)
 
 
-def build_band(pos_s: V3, idx: jnp.ndarray, mask_f: jnp.ndarray,
-               *, h: float, m: float, nbcap: int, B: int = 8,
+class BandTerms(NamedTuple):
+    """BandA plus the step-constant per-particle sums the solvers need,
+    all read off the SAME fused (QB, B, W) dense pass (XLA shares the
+    window fetches and pair geometry across every output) — this is what
+    lets a fluid-only solver step skip the compact (N, K) list build
+    entirely (measured at 29k: sort + CSR plan + this pass = ~14 ms vs
+    ~65 ms for the compact list build it replaces)."""
+    band: BandA
+    rho: jnp.ndarray    # (N,) Sigma_j m W_ij        (fluid-fluid density)
+    count: jnp.ndarray  # (N,) int32 true pair count (the <20-neighbor skip)
+    qsum: jnp.ndarray   # (N,) Sigma_j (m |gradW|)^2 (DFSPH alpha Q term)
+    tvec: V3            # (N,) Sigma_j W_ij x_ij     (tension: scale -k m)
+    blk_pair: jnp.ndarray  # (QB, nbcap) bool — block holds >= 1 true pair
+    #                        of its group (feeds compact_plan)
+
+
+def aabb_flags(pos_s: V3, plan, B: int, h: float) -> jnp.ndarray:
+    """Broad-phase block flags: candidate block j of group g is flagged
+    iff the axis-aligned bounding boxes of the block's 128 sorted
+    particles and the group's B queries come within h. A conservative
+    SUPERSET of the true pair-holding blocks at pure elementwise cost
+    (no (QB, B, W) dense pass): cell-sorted blocks are spatially local,
+    so the near-miss ring is thin. Feeds compact_plan to tighten a CSR
+    cover without evaluating it densely."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, _ = plan
+    QB, nbcap = blk.shape
+    nblocks = -(-n // BLOCK)
+    BIG = jnp.float32(3e38)
+
+    def blocky(c, fill):
+        return jnp.pad(c, (0, nblocks * BLOCK - n),
+                       constant_values=fill).reshape(nblocks, BLOCK)
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n), mode="edge").reshape(QB, B)
+
+    flag = nb_mask
+    gap2 = jnp.zeros((QB, nbcap), jnp.float32)
+    for c in pos_s.astuple():
+        bmin = blocky(c, BIG).min(axis=1)[blk]       # (QB, nbcap)
+        bmax = blocky(c, -BIG).max(axis=1)[blk]
+        qmin = q(c).min(axis=1)[:, None]
+        qmax = q(c).max(axis=1)[:, None]
+        gap = jnp.maximum(jnp.maximum(qmin - bmax, bmin - qmax), 0.0)
+        gap2 = gap2 + gap * gap
+    return flag & (gap2 <= jnp.float32(h) * jnp.float32(h))
+
+
+def compact_plan(plan, blk_pair: jnp.ndarray, nbcap2: int):
+    """Tighten a (wide) CSR plan to the blocks that actually hold pairs.
+
+    The CSR plan must COVER the whole 27-cell stencil, and block
+    granularity fragments its runs: the evolved-flow union can exceed a
+    seed-sized capacity by 2x+ (measured on the 30k dam at t=0.026 —
+    need 21+ vs seed 10 at B=16), and capacity overflow there drops real
+    pairs. Pair CONTENT, by contrast, is physics-bounded (the compact
+    path's plan_blocks capacity never overflowed in any measured run).
+    So: run the wide pass once for the step-constant terms, then keep
+    only the flagged blocks for the stored matrix and the per-iteration
+    matvecs. Same dedupe-free top_k idiom as plan_blocks; overflow
+    counts flagged blocks beyond nbcap2."""
+    blk, nb_mask, _ = plan
+    QB, nbcap = blk.shape
+    flag = blk_pair & nb_mask
+    overflow = jnp.maximum(
+        jnp.max(jnp.sum(flag, axis=1)) - nbcap2, 0).astype(jnp.int32)
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max // 2)
+    col = jnp.arange(nbcap, dtype=jnp.int32)[None, :]
+    key = jnp.where(flag, sentinel - blk, -col)
+    topkey, _ = jax.lax.top_k(key, min(nbcap2, nbcap))
+    mask2 = topkey > 0
+    blk2 = jnp.where(mask2, sentinel - topkey, 0)
+    return (blk2, mask2, overflow)
+
+
+def build_band(pos_s: V3, idx: jnp.ndarray = None,
+               mask_f: jnp.ndarray = None,
+               *, h: float, m: float, nbcap: int = 0, B: int = 8,
                src_valid: jnp.ndarray | None = None,
                plan=None, dtype=jnp.float32) -> BandA:
     """Build the step's band matrix from CELL-SORTED fluid positions and
@@ -257,6 +334,19 @@ def build_band(pos_s: V3, idx: jnp.ndarray, mask_f: jnp.ndarray,
     `src_valid` masks capacity-padding slots in fixed-capacity source sets
     (the sharded path): padded slots sit at position 0 and would otherwise
     alias real near-origin pairs."""
+    return build_band_terms(pos_s, idx, mask_f, h=h, m=m, nbcap=nbcap,
+                            B=B, src_valid=src_valid, plan=plan,
+                            dtype=dtype).band
+
+
+def build_band_terms(pos_s: V3, idx: jnp.ndarray = None,
+                     mask_f: jnp.ndarray = None,
+                     *, h: float, m: float, nbcap: int = 0, B: int = 8,
+                     src_valid: jnp.ndarray | None = None,
+                     plan=None, dtype=jnp.float32) -> BandTerms:
+    """`build_band` plus fused per-particle sums (BandTerms). Under jit,
+    callers that only consume `.band` pay nothing for the extra outputs
+    (dead-code elimination removes their reductions)."""
     n = pos_s.x.shape[0]
     nblocks = -(-n // BLOCK)
     nbcap = min(nbcap, nblocks)
@@ -308,8 +398,22 @@ def build_band(pos_s: V3, idx: jnp.ndarray, mask_f: jnp.ndarray,
         # 1.32 -> 0.57 ms per iteration at 29k); matvec accumulates in f32
         # on the MXU (preferred_element_type).
         ax, ay, az = (t.astype(dtype) for t in (ax, ay, az))
-    return BandA(blk=blk, nb_mask=nb_mask, ax=ax, ay=ay, az=az, s=s,
+    band = BandA(blk=blk, nb_mask=nb_mask, ax=ax, ay=ay, az=az, s=s,
                  overflow=overflow)
+
+    # Extra fused sums (BandTerms docstring). |gradW| = |gc| * r, so the
+    # alpha Q term (m gc r)^2 is (w r)^2 with the already-masked w.
+    def rw(t):
+        return t.sum(axis=2).reshape(-1)[:n]
+
+    wk = jnp.where(valid, sm.cubic_w(r, h), 0.0)
+    rho = rw(jnp.float32(m) * wk)
+    count = valid.sum(axis=2).astype(jnp.int32).reshape(-1)[:n]
+    qsum = rw((w * r) ** 2)
+    tvec = V3(rw(wk * dx), rw(wk * dy), rw(wk * dz))
+    blk_pair = valid.reshape(QB, B, nbcap, BLOCK).any(axis=(1, 3))
+    return BandTerms(band=band, rho=rho, count=count, qsum=qsum, tvec=tvec,
+                     blk_pair=blk_pair)
 
 
 class WindowEngine(NamedTuple):
@@ -636,6 +740,232 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
         return run(chunk)
 
     return matvec, matvec_dot
+
+
+def dense_viscosity(pos_s: V3, vel_s: V3, rho: jnp.ndarray, *, h: float,
+                    m: float, plan, B: int, c_s: float, alpha: float,
+                    eps: float = 0.01) -> V3:
+    """Monaghan artificial viscosity (fluid-fluid, compression-only) as a
+    dense window pass over the step's CSR block plan — the dense-mode
+    counterpart of models.base.nbh_viscosity's fluid branch (reference
+    solver_base.py:170-202). Returns the per-particle term already scaled
+    by particle_m, in sorted fluid order.
+
+    Runs after the divergence solve (the reference evaluates viscosity on
+    the post-divergence velocity), so it cannot fuse with the
+    build_band_terms pass; it re-gathers the position windows plus
+    velocity/rho windows (4 extra row gathers) and recomputes the pair
+    geometry — dense VPU work, no per-pair gathers."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, _ = plan
+    QB, nbcap = blk.shape
+    W = nbcap * BLOCK
+
+    wx = _window(blk, pos_s.x, n)
+    wy = _window(blk, pos_s.y, n)
+    wz = _window(blk, pos_s.z, n)
+    vwx = _window(blk, vel_s.x, n)
+    vwy = _window(blk, vel_s.y, n)
+    vwz = _window(blk, vel_s.z, n)
+    rhow = _window(blk, rho, n)
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n)).reshape(QB, B, 1)
+
+    dx = q(pos_s.x) - wx[:, None, :]
+    dy = q(pos_s.y) - wy[:, None, :]
+    dz = q(pos_s.z) - wz[:, None, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    scol = (blk[:, :, None] * BLOCK
+            + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+            ).reshape(QB, 1, W)
+    qslot = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B, 1)
+    valid = (jnp.broadcast_to(nb_mask[:, :, None],
+                              (QB, nbcap, BLOCK)).reshape(QB, 1, W)
+             & (scol < n) & (qslot < n) & (scol != qslot)
+             & (r2 <= jnp.float32(h) * jnp.float32(h)))
+
+    shear = (dx * (q(vel_s.x) - vwx[:, None, :])
+             + dy * (q(vel_s.y) - vwy[:, None, :])
+             + dz * (q(vel_s.z) - vwz[:, None, :]))
+    r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+    gc = sm.cubic_grad_coeff(r, h)
+    q2e = r2 + jnp.float32(eps) * jnp.float32(h) * jnp.float32(h)
+    nu_num = jnp.float32(2.0 * alpha * h * c_s)
+    pi = -(nu_num / (q(rho) + rhow[:, None, :])) * shear / q2e
+    scale = jnp.where(valid & (shear < 0.0),
+                      -jnp.float32(m) * pi * gc, 0.0)
+
+    def rw(t):
+        return t.sum(axis=2).reshape(-1)[:n]
+
+    return V3(rw(scale * dx), rw(scale * dy),
+              rw(scale * dz)) * jnp.float32(m)
+
+
+def dense_rho_count(pos_s: V3, *, h: float, m: float, plan, B: int):
+    """Fluid-fluid density Sigma_j m W_ij + pair count + per-block pair
+    flags as one chunked dense window pass (the dense-mode replacement
+    for nbh_rho's fluid branch; the caller adds DENSITY_EPS and
+    boundary/solid terms, and feeds the flags to compact_plan).
+    Chunked like dense_wcsph_forces so it serves the 1M scene."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, _ = plan
+    QB, nbcap = blk.shape
+    W = nbcap * BLOCK
+    nblocks = -(-n // BLOCK)
+    target = max(1, (512 << 20) // (16 * W))
+    nc = 1
+    if QB > target:
+        nc = -(-QB // target)
+        while QB % nc:
+            nc += 1
+    Qc = QB // nc
+
+    def tb(vals):
+        return jnp.pad(vals, (0, nblocks * BLOCK - n)).reshape(nblocks,
+                                                               BLOCK)
+
+    tbx, tby, tbz = tb(pos_s.x), tb(pos_s.y), tb(pos_s.z)
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n)).reshape(QB, B)
+
+    qx, qy, qz = q(pos_s.x), q(pos_s.y), q(pos_s.z)
+    qslot_a = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B)
+    col = jnp.arange(BLOCK, dtype=jnp.int32)
+    h2 = jnp.float32(h) * jnp.float32(h)
+
+    def chunk(args):
+        blk_c, mask_c, cqx, cqy, cqz, qslot = args
+
+        def win(t):
+            return t[blk_c].reshape(Qc, W)[:, None, :]
+
+        dx = cqx[:, :, None] - win(tbx)
+        dy = cqy[:, :, None] - win(tby)
+        dz = cqz[:, :, None] - win(tbz)
+        r2 = dx * dx + dy * dy + dz * dz
+        scol = (blk_c[:, :, None] * BLOCK + col[None, None, :]
+                ).reshape(Qc, 1, W)
+        valid = (jnp.broadcast_to(mask_c[:, :, None],
+                                  (Qc, nbcap, BLOCK)).reshape(Qc, 1, W)
+                 & (scol < n) & (qslot[:, :, None] < n)
+                 & (scol != qslot[:, :, None]) & (r2 <= h2))
+        r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+        wk = jnp.where(valid, sm.cubic_w(r, h), 0.0)
+        return (jnp.float32(m) * wk.sum(axis=2),
+                valid.sum(axis=2).astype(jnp.int32),
+                valid.reshape(Qc, B, nbcap, BLOCK).any(axis=(1, 3)))
+
+    def resh(a):
+        return a.reshape((nc, Qc) + a.shape[1:])
+
+    xs = (resh(blk), resh(nb_mask), resh(qx), resh(qy), resh(qz),
+          resh(qslot_a))
+    if nc == 1:
+        rho, count, flags = chunk(tuple(t[0] for t in xs))
+    else:
+        rho, count, flags = jax.lax.map(chunk, xs)
+    return (rho.reshape(-1)[:n], count.reshape(-1)[:n],
+            flags.reshape(QB, nbcap))
+
+
+def dense_wcsph_forces(pos_s: V3, vel_s: V3, rho: jnp.ndarray,
+                       p_over_rho2: jnp.ndarray, *, h: float, m: float,
+                       plan, B: int, c_s: float, alpha: float,
+                       tension_k: float, eps: float = 0.01) -> V3:
+    """Fused fluid-fluid WCSPH force pass over the CSR block plan:
+    symmetric Tait pressure gradient (-m (p'_i + p'_j) gradW, reference
+    wcsph_solver.py:102-116), Monaghan compression-only viscosity
+    (solver_base.py:170-202), and cohesion (-k m W x_ij,
+    solver_base.py:204-217) — all three per-pair coefficients combined in
+    ONE dense (QB, B, W) window pass, replacing three (N, K) gather
+    passes. Returns the summed acceleration V3 (N,) in sorted order.
+
+    Chunked over query groups under lax.map: the materialized (Qc, W)
+    value windows (8 per chunk) stay ~0.5 GB total regardless of N, so
+    the same pass serves the 30k and the 1M scene."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, _ = plan
+    QB, nbcap = blk.shape
+    W = nbcap * BLOCK
+    nblocks = -(-n // BLOCK)
+    # Qc chosen so 8 (Qc, W) f32 windows stay under ~512 MB.
+    target = max(1, (512 << 20) // (32 * W))
+    nc = 1
+    if QB > target:
+        nc = -(-QB // target)
+        while QB % nc:
+            nc += 1
+    Qc = QB // nc
+
+    def tb(vals):
+        return jnp.pad(vals, (0, nblocks * BLOCK - n)).reshape(nblocks,
+                                                               BLOCK)
+
+    tbx, tby, tbz = tb(pos_s.x), tb(pos_s.y), tb(pos_s.z)
+    tvx, tvy, tvz = tb(vel_s.x), tb(vel_s.y), tb(vel_s.z)
+    trho = tb(rho)
+    tp = tb(p_over_rho2)
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n)).reshape(QB, B)
+
+    qx, qy, qz = q(pos_s.x), q(pos_s.y), q(pos_s.z)
+    qvx, qvy, qvz = q(vel_s.x), q(vel_s.y), q(vel_s.z)
+    qrho, qp = q(rho), q(p_over_rho2)
+    qslot_a = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B)
+    col = jnp.arange(BLOCK, dtype=jnp.int32)
+    h2 = jnp.float32(h) * jnp.float32(h)
+    nu_num = jnp.float32(2.0 * alpha * h * c_s)
+    q2e_add = jnp.float32(eps) * h2
+    mf = jnp.float32(m)
+
+    def chunk(args):
+        (blk_c, mask_c, cqx, cqy, cqz, cvx, cvy, cvz, crho, cp, qslot) = args
+
+        def win(t):
+            return t[blk_c].reshape(Qc, W)[:, None, :]
+
+        dx = cqx[:, :, None] - win(tbx)
+        dy = cqy[:, :, None] - win(tby)
+        dz = cqz[:, :, None] - win(tbz)
+        r2 = dx * dx + dy * dy + dz * dz
+        scol = (blk_c[:, :, None] * BLOCK + col[None, None, :]
+                ).reshape(Qc, 1, W)
+        valid = (jnp.broadcast_to(mask_c[:, :, None],
+                                  (Qc, nbcap, BLOCK)).reshape(Qc, 1, W)
+                 & (scol < n) & (qslot[:, :, None] < n)
+                 & (scol != qslot[:, :, None]) & (r2 <= h2))
+        r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+        gc = sm.cubic_grad_coeff(r, h)
+        wk = sm.cubic_w(r, h)
+        # pressure: -m (p'_i + p'_j) gc
+        coeff = -mf * (cp[:, :, None] + win(tp)) * gc
+        # viscosity (compression-only): m * (-m pi gc)
+        shear = (dx * (cvx[:, :, None] - win(tvx))
+                 + dy * (cvy[:, :, None] - win(tvy))
+                 + dz * (cvz[:, :, None] - win(tvz)))
+        pi = -(nu_num / (crho[:, :, None] + win(trho))) * shear / (r2 + q2e_add)
+        coeff = coeff + jnp.where(shear < 0.0, -mf * mf * pi * gc, 0.0)
+        # cohesion: -k m W
+        coeff = coeff + (-jnp.float32(tension_k) * mf) * wk
+        coeff = jnp.where(valid, coeff, 0.0)
+        return V3((coeff * dx).sum(axis=2), (coeff * dy).sum(axis=2),
+                  (coeff * dz).sum(axis=2))
+
+    def resh(a):
+        return a.reshape((nc, Qc) + a.shape[1:])
+
+    xs = (resh(blk), resh(nb_mask), resh(qx), resh(qy), resh(qz),
+          resh(qvx), resh(qvy), resh(qvz), resh(qrho), resh(qp),
+          resh(qslot_a))
+    if nc == 1:
+        out = chunk(tuple(t[0] for t in xs))
+    else:
+        out = jax.lax.map(chunk, xs)
+    return V3(*(c.reshape(-1)[:n] for c in out.astuple()))
 
 
 def matvec(band: BandA, vals: jnp.ndarray) -> V3:

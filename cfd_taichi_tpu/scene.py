@@ -82,10 +82,15 @@ class SceneStatic:
     # engine's bf16 w fits the 16 GB chip at 1M).
     band_B: int = 16
     bband_nb: int = 12
-    # Tighter capacity for PAIR-derived plans (bandmat.plan_blocks: blocks
-    # that contain actual neighbors, a subset of the CSR stencil cover) —
-    # sizes the solver-loop A matrices, whose HBM reads scale with it.
+    # Tighter capacity for PAIR-derived plans (bandmat.plan_blocks /
+    # compact_plan: blocks that contain actual neighbors, a subset of the
+    # CSR stencil cover) — sizes the solver-loop A matrices, whose HBM
+    # reads scale with it. Pair content is physics-bounded; the CSR cover
+    # is NOT (block fragmentation grows with flow mixing — measured 2.1x
+    # the seed need on the evolved 30k dam at B=16), hence the separate
+    # generous band_nb_wide for the dense-mode one-shot term passes.
     pair_nb: int = 12
+    band_nb_wide: int = 36
 
     @property
     def diameter(self) -> float:
@@ -266,6 +271,13 @@ def build_scene(cfg: SimConfig) -> Scene:
     # on-device.
     band_nb = max(int(np.ceil(_nb_seed * 1.3)) + 4, 6)
     pair_nb = max(int(np.ceil(_nb_seed * 1.2)) + 2, 6)
+    # Wide capacity for the dense-mode one-shot term passes: the CSR
+    # cover's fragmentation is bounded by content + ~2 partial blocks per
+    # merged run interval (up to ~9-18 intervals per group once member
+    # cells straddle fast rows), and measured to reach 2.1x the seed need
+    # on the evolved 30k dam — x1.5 + 20 covers that with margin for the
+    # per-step cost of ONE wider pass. Overflow still counted on-device.
+    band_nb_wide = int(np.ceil(_nb_seed * 1.5)) + 20
     # The boundary shell is static but the QUERY groups drift: a drifted
     # group splits into several spans, each dragging its own 9 stencil
     # runs through the shell — measured need on the evolved 1M dam break
@@ -284,6 +296,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
         K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap, k2=k2, bk2=bk2,
         band_nb=band_nb, bband_nb=bband_nb, pair_nb=pair_nb, band_B=band_B,
+        band_nb_wide=band_nb_wide,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,

@@ -254,3 +254,114 @@ def test_dfsph_loop_engines_step_equivalence(monkeypatch):
         np.testing.assert_allclose(np.asarray(a.fluid.vel.x),
                                    np.asarray(other.fluid.vel.x),
                                    rtol=0, atol=1e-3)
+
+
+def _plan_for(pos_s, grid, B, nbcap):
+    scid = nb.cell_id(pos_s, grid)
+    n = pos_s.x.shape[0]
+    QB = -(-n // B)
+    qcells = jnp.pad(scid, (0, QB * B - n), mode="edge").reshape(QB, B)
+    table = nb.build_cell_table(pos_s, grid)
+    return bandmat.plan_from_csr(qcells, table.starts, grid, nbcap)
+
+
+def test_band_terms_match_list_sums():
+    """build_band_terms' fused extras (rho, count, qsum, tension vector)
+    must equal the compact-list reductions they replace."""
+    h, m, n = 0.1, 1.3e-4, 700
+    pos_s, nl = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=5)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    plan = _plan_for(pos_s, grid, B=8, nbcap=24)
+    assert int(np.asarray(plan[2])) == 0
+    terms = bandmat.build_band_terms(pos_s, h=h, m=m, plan=plan, B=8)
+
+    x = pos_s.expand(1) - nl.spos
+    r = x.norm()
+    wk = jnp.where(nl.mask, sm.cubic_w(r, h), 0.0)
+    gc = sm.cubic_grad_coeff(r, h)
+    wf = jnp.where(nl.mask, jnp.float32(m), 0.0)
+
+    np.testing.assert_allclose(np.asarray(terms.rho),
+                               np.asarray(jnp.float32(m) * wk.sum(axis=1)),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(terms.count),
+                                  np.asarray(nl.count))
+    np.testing.assert_allclose(
+        np.asarray(terms.qsum),
+        np.asarray(jnp.sum((wf * gc * r) ** 2, axis=1)),
+        rtol=3e-5, atol=1e-10)
+    for got, want in zip(terms.tvec.astuple(),
+                         ((wk * x.x).sum(axis=1), (wk * x.y).sum(axis=1),
+                          (wk * x.z).sum(axis=1))):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dense_rho_count_matches_list():
+    h, m, n = 0.1, 1.3e-4, 700
+    pos_s, nl = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=6)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    plan = _plan_for(pos_s, grid, B=8, nbcap=24)
+    rho, count, _ = bandmat.dense_rho_count(pos_s, h=h, m=m, plan=plan, B=8)
+    x = pos_s.expand(1) - nl.spos
+    wk = jnp.where(nl.mask, sm.cubic_w(x.norm(), h), 0.0)
+    np.testing.assert_allclose(np.asarray(rho),
+                               np.asarray(jnp.float32(m) * wk.sum(axis=1)),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(nl.count))
+
+
+def test_dense_viscosity_matches_compact():
+    """dense_viscosity == the (N, K) Monaghan fluid branch."""
+    h, m, n = 0.1, 1.3e-4, 600
+    pos_s, nl = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=7)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    plan = _plan_for(pos_s, grid, B=8, nbcap=24)
+    rng = np.random.default_rng(2)
+    vel = V3(*(jnp.asarray(rng.standard_normal(n).astype(np.float32))
+               for _ in range(3)))
+    rho = jnp.asarray(1000.0 + 20.0
+                      * rng.standard_normal(n).astype(np.float32))
+    got = bandmat.dense_viscosity(pos_s, vel, rho, h=h, m=m, plan=plan,
+                                  B=8, c_s=13.0, alpha=0.08)
+
+    x = pos_s.expand(1) - nl.spos
+    r = x.norm()
+    gc = sm.cubic_grad_coeff(r, h)
+    q2e = r * r + 0.01 * h * h
+    vj = V3(vel.x[nl.idx], vel.y[nl.idx], vel.z[nl.idx])
+    shear = (vel.expand(1) - vj).dot(x)
+    pi = -(2.0 * 0.08 * h * 13.0 / (rho[:, None] + rho[nl.idx])) \
+        * shear / q2e
+    scale = jnp.where(nl.mask & (shear < 0.0),
+                      -jnp.float32(m) * pi * gc, 0.0)
+    want = V3((scale * x.x).sum(axis=1), (scale * x.y).sum(axis=1),
+              (scale * x.z).sum(axis=1)) * jnp.float32(m)
+    for g, w in zip(got.astuple(), want.astuple()):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-8)
+
+
+def test_compact_plan_preserves_matvec():
+    """compact_plan (wide CSR cover -> pair-tight blocks) must preserve
+    the band operator exactly: every flagged block survives, so the
+    matvec over the tight plan equals the wide-plan matvec."""
+    h, m, n = 0.1, 1.3e-4, 700
+    pos_s, _ = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=9)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    wide = _plan_for(pos_s, grid, B=8, nbcap=30)
+    terms = bandmat.build_band_terms(pos_s, h=h, m=m, plan=wide, B=8)
+    tight = bandmat.compact_plan(wide, terms.blk_pair, 16)
+    assert int(np.asarray(tight[2])) == 0
+    band_w = terms.band
+    band_t = bandmat.build_band(pos_s, h=h, m=m, plan=tight, B=8)
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.random(n, dtype=np.float32))
+    mw = bandmat.matvec(band_w, k)
+    mt = bandmat.matvec(band_t, k)
+    for a, b in zip(mw.astuple(), mt.astuple()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-7)
+    for a, b in zip(band_w.s.astuple(), band_t.s.astuple()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

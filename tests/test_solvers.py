@@ -138,12 +138,17 @@ def test_unknown_solver_rejected():
         models.get_solver("nope")
 
 
-def test_overflow_telemetry_reports_drops():
+def test_overflow_telemetry_reports_drops(monkeypatch):
     """Force a neighbor-capacity overflow and check it surfaces through
     SimState.overflow + runner telemetry (the loud version of the
-    reference's silent 512-entry cell truncation)."""
+    reference's silent 512-entry cell truncation). Uses the compact path:
+    dense mode has no K channel (every in-plan pair is covered; its loss
+    channel is the block-plan capacity, counted the same way)."""
     import dataclasses
 
+    import cfd_taichi_tpu.models.wcsph as W
+
+    monkeypatch.setattr(W, "DENSE_FLUID", False)
     sim = make_sim("wcsph")
     st = sim.scene.static
     # Shrink K far below the true neighbor count.
@@ -210,3 +215,35 @@ def test_grouped_build_engine_matches_default(monkeypatch):
                                sim1.state.fluid.pos.to_numpy(), atol=2e-6)
     np.testing.assert_allclose(np.asarray(sim2.state.diag),
                                np.asarray(sim1.state.diag), atol=1e-3)
+
+
+@pytest.mark.parametrize("name", ["dfsph", "wcsph"])
+def test_dense_mode_matches_compact(name, monkeypatch):
+    """The dense-window fluid path (no compact (N, K) list; fused
+    band+terms passes) must reproduce the compact path's physics on a
+    fluid-only scene: same positions to f32 round-off, same dt, zero
+    overflow (ops/bandmat.build_band_terms / dense_rho_count /
+    dense_wcsph_forces / dense_viscosity)."""
+    import cfd_taichi_tpu.models.dfsph as D
+    import cfd_taichi_tpu.models.wcsph as W
+
+    mod = {"dfsph": D, "wcsph": W}[name]
+    assert mod.dense_eligible is not None
+    sim_dense = make_sim(name)
+    assert mod.dense_eligible(sim_dense.scene.static)
+    for _ in range(6):
+        sim_dense.step()
+
+    monkeypatch.setattr(mod, "DENSE_FLUID", False)
+    sim_comp = make_sim(name)
+    for _ in range(6):
+        sim_comp.step()
+
+    oa = np.argsort(np.asarray(sim_dense.state.fluid.oid))
+    ob = np.argsort(np.asarray(sim_comp.state.fluid.oid))
+    np.testing.assert_allclose(
+        sim_dense.state.fluid.pos.to_numpy()[oa],
+        sim_comp.state.fluid.pos.to_numpy()[ob], atol=5e-6)
+    assert int(sim_dense.state.overflow) == 0
+    np.testing.assert_allclose(float(sim_dense.state.dt),
+                               float(sim_comp.state.dt), rtol=1e-5)
