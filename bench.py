@@ -29,16 +29,11 @@ import os
 import sys
 import time
 
-import jax
-
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# Persistent compilation cache: solver while-loops are expensive to compile;
-# repeat bench runs become near-instant to start.
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
+# Persistent compilation cache (host-fingerprinted) is configured by the
+# package import below; repeat bench runs become near-instant to start.
 from cfd_taichi_tpu.config import read_config  # noqa: E402
 from cfd_taichi_tpu.runner import Simulation  # noqa: E402
 

@@ -29,13 +29,33 @@ import os as _os
 
 import jax as _jax
 
+
+def _host_fingerprint() -> str:
+    """Hash of the host CPU's feature flags. XLA:CPU AOT executables are
+    feature-set specific and the persistent cache does NOT key on them —
+    loading an entry compiled on a different machine risks SIGILL — so the
+    cache directory embeds the fingerprint and a host change simply starts
+    a fresh cache (TPU entries are keyed by chip type and would have been
+    safe either way)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
 # Persistent compilation cache: solver steps compile in tens of seconds on a
-# tunneled TPU; cache them across processes (runs, tests, benchmarks).
+# tunneled TPU (and the test suite's CPU compiles dominate its ~19 min cold
+# run); cache them across processes (runs, tests, benchmarks).
 # Opt out with CFD_TPU_JAX_CACHE=off.
 _cache = _os.environ.get(
     "CFD_TPU_JAX_CACHE",
     _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
-                  ".jax_cache"))
+                  ".jax_cache", f"h-{_host_fingerprint()}"))
 if _cache != "off":
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache)

@@ -238,17 +238,8 @@ def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
 
 
 def main(argv=None):
-    # Persistent compilation cache for interactive runs.
-    cache_dir = os.environ.get(
-        "CFD_TPU_JAX_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:  # noqa: BLE001 — cache is best-effort
-        pass
-
+    # Persistent compilation cache for interactive runs: configured by the
+    # package import (host-fingerprinted .jax_cache/h-*).
     parser = argparse.ArgumentParser(description="SPH on TPU (JAX)")
     parser.add_argument("--config", type=str, default="default.json",
                         help="scene config json file")  # main.py:13-15 parity

@@ -18,3 +18,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The persistent compilation cache (host-fingerprinted, set up by the
+# cfd_taichi_tpu package import) is what makes warm suite runs fast: the
+# cold cost is dominated by XLA:CPU compiles of the big solver while-loop
+# programs (~19 min cold vs minutes warm, measured).
+import cfd_taichi_tpu  # noqa: E402,F401
