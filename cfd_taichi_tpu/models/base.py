@@ -282,27 +282,26 @@ def build_nbh(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
 
 class DensePrep(NamedTuple):
     """Shared plumbing of the dense-window (no compact fluid list) solver
-    paths: cell sort + CSR offsets + block plan, plus the compact boundary
-    neighbor list (the shell build is cheap and its terms are K-bounded
-    sums). Fluid-only scenes."""
+    paths: cell sort + CSR offsets + block plan, plus the Akinci boundary
+    sums from the GROUP-SPARSE dense boundary pass (no compact (N, bK)
+    boundary list either — bandmat.dense_boundary_terms). Fluid-only
+    scenes."""
     pos: V3                    # sorted fluid positions
     perm: jnp.ndarray          # (N,) prev-state index per sorted slot
     starts: jnp.ndarray        # (num_cells + 1,) CSR offsets
     plan: tuple                # (blk, nb_mask, overflow) block plan
-    bl: Optional[object]       # boundary NeighborList (None when clamp)
-    bx: Optional[V3]           # pos_i - pos_b at the bK slots
-    br: Optional[jnp.ndarray]
-    bvol: Optional[jnp.ndarray]
+    bterms: Optional[object]   # bandmat.DenseBoundaryTerms (None: clamp)
     overflow: jnp.ndarray      # () int32 — plan + boundary overflow
 
 
 def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
                      nbcap: int, B: int) -> DensePrep:
     """Sort the fluid, derive CSR offsets + the CSR block plan directly
-    (no second argsort, no compact fluid list), and build the compact
-    boundary list. The fused dense passes (ops/bandmat.build_band_terms /
-    dense_rho_count / dense_wcsph_forces / dense_viscosity) run over the
-    returned plan."""
+    (no second argsort, no compact fluid list), and compute the Akinci
+    boundary sums via the group-sparse dense pass (no compact boundary
+    list either). The fused dense passes (ops/bandmat.build_band_terms /
+    dense_dfsph_terms / dense_rho_count / dense_wcsph_forces /
+    dense_viscosity) run over the returned plan."""
     n = st.n_fluid
     cid = nb.cell_id(fluid_pos, st.grid)
     perm = jnp.argsort(cid, stable=True).astype(jnp.int32)
@@ -318,24 +317,15 @@ def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     plan = bandmat.plan_from_csr(qcells, starts, st.grid, nbcap)
     overflow = plan[2]
 
-    bl = bx = br = bvol = None
+    bterms = None
     if st.akinci:
-        if st.n_dynamic >= GROUPED_BUILD_MIN_N:
-            bl, _ = nb.find_neighbors_grouped(
-                pos_s, None, arrays.boundary_pos, arrays.boundary_table,
-                st.grid, K=st.bK, nbcap=st.bband_nb, B=B)
-        else:
-            bl = nb.find_neighbors(pos_s, None, arrays.boundary_pos,
-                                   arrays.boundary_table, st.grid,
-                                   K=st.bK, cell_cap=st.bcell_cap,
-                                   k2=st.bk2)
-        bx = pos_s.expand(1) - bl.spos
-        br = bx.norm()
-        bvol = arrays.boundary_volume[bl.idx]
-        overflow = jnp.maximum(overflow, jnp.max(bl.count) - st.bK)
-        overflow = jnp.maximum(overflow, bl.dropped)
+        bterms = bandmat.dense_boundary_terms(
+            pos_s, qcells, arrays.boundary_pos, arrays.boundary_volume,
+            arrays.boundary_table, st.grid, h=st.h,
+            rho0=float(RHO_0), nbcap=st.bband_nb, B=B, cap=st.bq_cap)
+        overflow = jnp.maximum(overflow, bterms.overflow)
     return DensePrep(pos=pos_s, perm=perm, starts=starts, plan=plan,
-                     bl=bl, bx=bx, br=br, bvol=bvol, overflow=overflow)
+                     bterms=bterms, overflow=overflow)
 
 
 def rigid_lid(st: SceneStatic, j: jnp.ndarray) -> jnp.ndarray:

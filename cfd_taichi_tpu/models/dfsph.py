@@ -237,13 +237,17 @@ class _Pre(NamedTuple):
 
 
 def dense_eligible(st: SceneStatic) -> bool:
-    """Dense-window mode: fluid-only scenes whose band matrix fits HBM.
-    Rigid coupling needs the compact pair list (mask_s, per-pair scatter);
-    beyond the band budget the loops use the coef/window/gather engines
-    which keep the compact path."""
+    """Dense-window mode: fluid-only scenes. Rigid coupling needs the
+    compact pair list (mask_s, per-pair scatter), so it keeps the compact
+    path. Within dense mode the loop engine is the stored band matrix
+    when it fits HBM, else the stored-coefficient engine (the 1M regime,
+    where skipping the compact list saves the ~1 s (N, K) compaction);
+    only beyond BOTH byte budgets does the solver fall back to the
+    compact path's window/gather engines."""
     return (DENSE_FLUID
             and not (st.rigid_active and st.n_rigid > 0)
-            and use_band_engine(st.n_fluid, st.band_nb))
+            and (use_band_engine(st.n_fluid, st.band_nb)
+                 or use_coef_engine(st.n_fluid, st.pair_nb, st.band_B)))
 
 
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
@@ -256,11 +260,15 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
 def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
                    state: base.SimState) -> _Pre:
-    """Fluid-only fast path: NO compact (N, K) list is built. One fused
-    (QB, B, W) dense pass over the CSR block plan produces the band matrix
-    AND rho/count/alpha-Q/tension (bandmat.build_band_terms); viscosity is
-    a second dense pass on the post-divergence velocity. Measured at 29k:
-    the compact list build this skips was ~65 ms of a ~136 ms step."""
+    """Fluid-only fast path: NO compact (N, K) fluid list and NO compact
+    (N, bK) boundary list are built. One dense pass over the CSR block
+    plan produces the loop engine inputs AND rho/count/alpha-Q/tension
+    (build_band_terms in the band regime, the chunked dense_dfsph_terms
+    in the coef regime); Akinci boundary sums come from the group-sparse
+    dense_boundary_terms pass; viscosity is a second dense pass on the
+    post-divergence velocity. Measured: the compact list build this skips
+    was ~65 ms of a ~136 ms step at 29k and ~3.1 s of a ~8.6 s hot step
+    at 1M (list compaction + boundary list + plan dedupe)."""
     fluid = state.fluid
     (warm_k,) = state.extra
 
@@ -268,34 +276,56 @@ def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
     # Two-stage plans (bandmat.compact_plan docstring): a generously-
     # capped CSR cover for the ONE-SHOT term pass (its fragmentation is
     # not physics-bounded), then a pair-tight plan — physics-bounded
-    # capacity — for the stored A and every per-iteration matvec.
+    # capacity — for the stored engine and every per-iteration matvec.
     dp = base.build_dense_prep(st, arrays, fluid.pos, st.band_nb_wide, B)
     pos_s, perm = dp.pos, dp.perm
-    terms = bandmat.build_band_terms(pos_s, h=st.h, m=st.particle_m,
-                                     plan=dp.plan, B=B, dtype=BAND_DTYPE)
-    plan = bandmat.compact_plan(dp.plan, terms.blk_pair, st.pair_nb)
-    band = bandmat.build_band(pos_s, h=st.h, m=st.particle_m,
-                              plan=plan, B=B, dtype=BAND_DTYPE)
+    if use_band_engine(st.n_fluid, st.band_nb):
+        # Stored 3-component band matrix (fits HBM below ~150k).
+        bterms = bandmat.build_band_terms(pos_s, h=st.h, m=st.particle_m,
+                                          plan=dp.plan, B=B,
+                                          dtype=BAND_DTYPE)
+        plan = bandmat.compact_plan(dp.plan, bterms.blk_pair, st.pair_nb)
+        band = bandmat.build_band(pos_s, h=st.h, m=st.particle_m,
+                                  plan=plan, B=B, dtype=BAND_DTYPE)
+        rho_f, count, qsum, tvec = (bterms.rho, bterms.count, bterms.qsum,
+                                    bterms.tvec)
+        S0 = band.s
+        mv, mvd = band_matvec_ops(band)
+        engine_overflow = band.overflow
+    else:
+        # Stored-coefficient engine (the 1M regime): the chunked terms
+        # pass stores nothing per-pair; the loops stream the scalar bf16
+        # w. Skipping the compact (N, K) list here saved ~1 s of the
+        # ~8.6 s hot step (the compaction) on top of the engine savings.
+        dterms = bandmat.dense_dfsph_terms(pos_s, h=st.h,
+                                           m=st.particle_m,
+                                           plan=dp.plan, B=B)
+        plan = bandmat.compact_plan(dp.plan, dterms.blk_pair, st.pair_nb)
+        ceng = bandmat.build_coef_engine(pos_s, h=st.h, m=st.particle_m,
+                                         plan=plan, B=B, dtype=BAND_DTYPE)
+        rho_f, count, qsum, tvec = (dterms.rho, dterms.count, dterms.qsum,
+                                    dterms.tvec)
+        S0 = ceng.s
+        mv, mvd = bandmat.coef_matvec_ops(ceng, st.n_fluid, B)
+        engine_overflow = ceng.overflow
     overflow = jnp.maximum(jnp.maximum(dp.overflow, plan[2]),
-                           jnp.zeros((), jnp.int32))
+                           jnp.maximum(engine_overflow,
+                                       jnp.zeros((), jnp.int32)))
 
-    rho = base.DENSITY_EPS + terms.rho
-    denom = band.s.dot(band.s) + terms.qsum
-    S = band.s
+    rho = base.DENSITY_EPS + rho_f
+    denom = S0.dot(S0) + qsum
+    S = S0
     if st.akinci:
-        bl, bx, br, bvol = dp.bl, dp.bx, dp.br, dp.bvol
-        wb = jnp.where(bl.mask, RHO_0 * bvol, 0.0)
-        rho = rho + RHO_0 * base.msum(bvol * sm.cubic_w(br, st.h), bl.mask)
-        gc_b = sm.cubic_grad_coeff(br, st.h)
-        gb = V3(bx.x * gc_b, bx.y * gc_b, bx.z * gc_b)
-        sb_vec = base.sum_vec(gb, wb)
-        denom = denom + jnp.sum((wb * gc_b * br) ** 2, axis=1) \
-            + sb_vec.dot(sb_vec)
-        S = S + sb_vec
+        # Group-sparse boundary sums (bandmat.dense_boundary_terms): the
+        # boundary vector sum is squared SEPARATELY from the fluid one —
+        # reference quirk kept (dfsph_solver.py:32-51).
+        bt = dp.bterms
+        rho = rho + bt.rho
+        denom = denom + bt.qsum + bt.s.dot(bt.s)
+        S = S + bt.s
     alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
 
-    mv, mvd = band_matvec_ops(band)
-    tension = terms.tvec * jnp.float32(-TENSION_K * st.particle_m)
+    tension = tvec * jnp.float32(-TENSION_K * st.particle_m)
 
     def ext_force_fn(vel):
         visc = bandmat.dense_viscosity(
@@ -305,7 +335,7 @@ def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
 
     return _Pre(pos=pos_s, perm=perm, oid=fluid.oid[perm],
                 vel=fluid.vel.take(perm), warm_k=warm_k[perm],
-                rho=rho, alpha=alpha, count=terms.count, S=S, mv=mv,
+                rho=rho, alpha=alpha, count=count, S=S, mv=mv,
                 mvd=mvd, ext_force_fn=ext_force_fn,
                 cs_fn=lambda include_alpha, dt: jnp.float32(0.0),
                 scatter_fn=None, overflow=overflow)

@@ -72,8 +72,7 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     overflow = jnp.maximum(dp.overflow, plan[2])
     rho = base.DENSITY_EPS + rho_f
     if st.akinci:
-        rho = rho + RHO_0 * base.msum(
-            dp.bvol * sm.cubic_w(dp.br, st.h), dp.bl.mask)
+        rho = rho + dp.bterms.rho
     p = tait_pressure(rho)
     p_over_rho2 = p / (rho * rho)
 
@@ -82,10 +81,11 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
         B=st.band_B, c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
         tension_k=TENSION_K)
     if st.akinci:
-        gcoef = sm.cubic_grad_coeff(dp.br, st.h)
-        coeff = -dp.bvol * (p_over_rho2)[:, None] * gcoef
-        acc = acc + RHO_0 * base.sum_vec(
-            dp.bx, jnp.where(dp.bl.mask, coeff, 0.0))
+        # Boundary pressure acc RHO_0 Sigma_b (-V_b p'_i gc) x_ib is the
+        # per-query scalar -p'_i times the dense boundary row sum
+        # (bterms.s = Sigma_b rho0 V_b gc x_ib) — no (N, bK) list needed
+        # (reference wcsph_solver.py:92-100).
+        acc = acc - dp.bterms.s * p_over_rho2
 
     # --- kinematic phase (reference wcsph_solver.py:40-63) ------------------
     new_vel = (vel + acc * dt) * WCSPH_DAMPING

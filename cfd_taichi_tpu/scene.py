@@ -91,6 +91,10 @@ class SceneStatic:
     # generous band_nb_wide for the dense-mode one-shot term passes.
     pair_nb: int = 12
     band_nb_wide: int = 36
+    # Group-sparse boundary pass capacity (bandmat.dense_boundary_terms):
+    # max wall-near query groups. Seed-measured with slack for the growing
+    # wetted surface; overflow counted on-device.
+    bq_cap: int = 0
 
     @property
     def diameter(self) -> float:
@@ -286,6 +290,17 @@ def build_scene(cfg: SimConfig) -> Scene:
     bband_nb = (int(boundary_band_capacity(np.asarray(boundary_pos),
                                            grid) * 1.6) + 4) \
         if sv.boundary_handle else 6
+    # Wall-near group capacity for the group-sparse dense boundary pass:
+    # 2x the seed need (the wetted surface roughly doubles through a dam
+    # collapse) with a 30%-of-QB floor for small/splashy scenes.
+    _QB = -(-n_fluid // band_B)
+    if sv.boundary_handle:
+        _seed_near = boundary_near_group_capacity(
+            np.asarray(fluid_pos), np.asarray(boundary_pos), grid, band_B)
+        bq_cap = min(_QB, _round_up(max(2 * _seed_near,
+                                        (3 * _QB) // 10, 64), 8))
+    else:
+        bq_cap = 0
 
     static = SceneStatic(
         n_fluid=n_fluid, n_boundary=n_boundary, n_rigid=n_rigid,
@@ -296,7 +311,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_rho=rigid_rho, dt0=sv.delta_time, solver_name=sv.name,
         K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap, k2=k2, bk2=bk2,
         band_nb=band_nb, bband_nb=bband_nb, pair_nb=pair_nb, band_B=band_B,
-        band_nb_wide=band_nb_wide,
+        band_nb_wide=band_nb_wide, bq_cap=bq_cap,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,
@@ -454,6 +469,38 @@ def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
         total += np.maximum(hi[:, j] - s, 0)
         run_end = np.maximum(run_end, hi[:, j])
     return int(total.max())
+
+
+def boundary_near_group_capacity(fluid_pos_rows: np.ndarray,
+                                 boundary_pos_rows: np.ndarray,
+                                 grid: nb.GridSpec, B: int) -> int:
+    """Seed count of WALL-NEAR query groups — groups whose boundary CSR
+    intervals are nonempty, the exact runtime selection criterion of
+    bandmat.dense_boundary_terms. Sizes the group-sparse boundary pass
+    capacity (the wetted surface grows as the dam collapses, so the
+    caller adds slack; overflow is counted on-device either way)."""
+    if boundary_pos_rows.shape[0] == 0 or fluid_pos_rows.shape[0] == 0:
+        return 0
+    bcells = nb.cell_id_np(boundary_pos_rows, grid)
+    counts = np.bincount(bcells, minlength=grid.num_cells)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    ncells = grid.num_cells
+    fcells = np.sort(nb.cell_id_np(fluid_pos_rows, grid)).astype(np.int64)
+    n = fcells.shape[0]
+    QB = -(-n // B)
+    qc = np.pad(fcells, (0, QB * B - n), mode="edge").reshape(QB, B)
+
+    fast_axes = sorted(range(3), key=lambda a: grid.strides[a])
+    smid = grid.strides[fast_axes[1]]
+    sslow = grid.strides[fast_axes[2]]
+    near = np.zeros(QB, bool)
+    for dm in (-1, 0, 1):
+        for ds in (-1, 0, 1):
+            o = dm * smid + ds * sslow
+            a = np.clip(qc + (o - 1), 0, ncells)
+            b = np.clip(qc + (o + 2), 0, ncells)
+            near |= (starts[b] > starts[a]).any(axis=1)
+    return int(near.sum())
 
 
 def boundary_band_capacity(boundary_pos_rows: np.ndarray, grid: nb.GridSpec,

@@ -365,3 +365,110 @@ def test_compact_plan_preserves_matvec():
     for a, b in zip(band_w.s.astuple(), band_t.s.astuple()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_dense_dfsph_terms_match_band_terms():
+    """dense_dfsph_terms (the chunked coef-regime pass) must equal
+    build_band_terms' fused extras plus the band row sums — the two
+    dense-mode term paths cannot drift."""
+    h, m, n = 0.1, 1.3e-4, 700
+    pos_s, _ = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=7)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    plan = _plan_for(pos_s, grid, B=8, nbcap=24)
+    ref = bandmat.build_band_terms(pos_s, h=h, m=m, plan=plan, B=8)
+    got = bandmat.dense_dfsph_terms(pos_s, h=h, m=m, plan=plan, B=8)
+
+    np.testing.assert_allclose(np.asarray(got.rho), np.asarray(ref.rho),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(ref.count))
+    np.testing.assert_allclose(np.asarray(got.qsum), np.asarray(ref.qsum),
+                               rtol=3e-5, atol=1e-10)
+    for g, w in zip(got.s.astuple(), ref.band.s.astuple()):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4)
+    for g, w in zip(got.tvec.astuple(), ref.tvec.astuple()):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.blk_pair),
+                                  np.asarray(ref.blk_pair))
+
+
+def _boundary_setup(seed=9):
+    h, n = 0.1, 400
+    rng = np.random.default_rng(seed)
+    raw = (rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+           * np.asarray((0.5, 0.4, 0.5), np.float32))
+    grid = nb.grid_for_box((0, 0, 0), (0.6, 0.6, 0.6), h)
+    order = np.argsort(np.asarray(nb.cell_id(V3.from_rows(raw), grid)),
+                       kind="stable")
+    pos_s = V3.from_rows(raw[order])
+    # boundary plane just below y=0 plus one wall at x~0
+    xs, zs = np.meshgrid(np.arange(0.0, 0.6, 0.05),
+                         np.arange(0.0, 0.6, 0.05))
+    floor = np.stack([xs.ravel(), np.full(xs.size, -0.02), zs.ravel()],
+                     axis=1)
+    wall = np.stack([np.full(xs.size, -0.02), xs.ravel(), zs.ravel()],
+                    axis=1)
+    brows = np.concatenate([floor, wall]).astype(np.float32)
+    bpos = V3.from_rows(brows)
+    bvol = jnp.asarray(rng.uniform(0.5, 1.5, brows.shape[0])
+                       .astype(np.float32)) * 1e-4
+    btable = nb.build_cell_table(bpos, grid)
+    return h, grid, pos_s, bpos, bvol, btable, n
+
+
+def test_dense_boundary_terms_match_bruteforce():
+    """Group-sparse boundary sums equal the O(N*Nb) brute-force Akinci
+    reductions (rho_b, gradW row sum, alpha Q term)."""
+    h, grid, pos_s, bpos, bvol, btable, n = _boundary_setup()
+    B = 8
+    QB = -(-n // B)
+    scid = nb.cell_id(pos_s, grid)
+    qcells = jnp.pad(scid, (0, QB * B - n), mode="edge").reshape(QB, B)
+    got = bandmat.dense_boundary_terms(
+        pos_s, qcells, bpos, bvol, btable, grid, h=h, rho0=1000.0,
+        nbcap=12, B=B, cap=QB)
+    assert int(np.asarray(got.overflow)) == 0
+
+    d = pos_s.expand(1) - bpos.expand(0)    # (n, Nb) componentwise
+    r = d.norm()
+    hit = np.asarray(r) <= h
+    wb = jnp.where(hit, 1000.0 * bvol[None, :], 0.0)
+    wk = sm.cubic_w(r, h)
+    gc = sm.cubic_grad_coeff(r, h)
+    np.testing.assert_allclose(np.asarray(got.rho),
+                               np.asarray((wb * wk).sum(axis=1)),
+                               rtol=3e-5, atol=1e-7)
+    wg = wb * gc
+    for g, w in zip(got.s.astuple(),
+                    ((wg * d.x).sum(axis=1), (wg * d.y).sum(axis=1),
+                     (wg * d.z).sum(axis=1))):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.qsum),
+                               np.asarray(((wg * r) ** 2).sum(axis=1)),
+                               rtol=1e-4, atol=1e-2)
+    # far-from-wall queries really are zero (the sparse path skipped them);
+    # the setup has a floor at y=-0.02 and a wall at x=-0.02
+    far = (np.asarray(pos_s.y) > 0.25) & (np.asarray(pos_s.x) > 0.25)
+    if far.any():
+        assert np.abs(np.asarray(got.rho)[far]).max() == 0.0
+
+
+def test_dense_boundary_terms_overflow_counted():
+    """A deliberately tiny wall-near group capacity drops groups but is
+    COUNTED (the repo's capacity contract: silent loss is impossible)."""
+    h, grid, pos_s, bpos, bvol, btable, n = _boundary_setup()
+    B = 8
+    QB = -(-n // B)
+    scid = nb.cell_id(pos_s, grid)
+    qcells = jnp.pad(scid, (0, QB * B - n), mode="edge").reshape(QB, B)
+    full = bandmat.dense_boundary_terms(
+        pos_s, qcells, bpos, bvol, btable, grid, h=h, rho0=1000.0,
+        nbcap=12, B=B, cap=QB)
+    tiny = bandmat.dense_boundary_terms(
+        pos_s, qcells, bpos, bvol, btable, grid, h=h, rho0=1000.0,
+        nbcap=12, B=B, cap=8)
+    assert int(np.asarray(full.overflow)) == 0
+    assert int(np.asarray(tiny.overflow)) > 0
