@@ -275,13 +275,17 @@ def build_scene(cfg: SimConfig) -> Scene:
     # on-device.
     band_nb = max(int(np.ceil(_nb_seed * 1.3)) + 4, 6)
     pair_nb = max(int(np.ceil(_nb_seed * 1.2)) + 2, 6)
-    # Wide capacity for the dense-mode one-shot term passes: the CSR
-    # cover's fragmentation is bounded by content + ~2 partial blocks per
-    # merged run interval (up to ~9-18 intervals per group once member
-    # cells straddle fast rows), and measured to reach 2.1x the seed need
-    # on the evolved 30k dam — x1.5 + 20 covers that with margin for the
-    # per-step cost of ONE wider pass. Overflow still counted on-device.
-    band_nb_wide = int(np.ceil(_nb_seed * 1.5)) + 20
+    # Wide capacity for the dense-mode one-shot term passes. At B=16 the
+    # CSR cover's fragmentation measured up to 2.1x the seed need on the
+    # evolved 30k dam — x1.5 + 20 covers that (the pass is cheap at that
+    # scale anyway). At B=8 the per-member-span union tracks stencil
+    # density: measured on the evolved hot-phase 1M dam, union max was
+    # 18 vs seed 16 (1.13x, mean 10.9), so x1.35 + 4 covers with ~40%
+    # margin while keeping the dominant dense passes (whose cost scales
+    # with this CAPACITY, not the true need) 1.7x cheaper than the
+    # B=16 formula would. Overflow still counted on-device.
+    band_nb_wide = (int(np.ceil(_nb_seed * 1.5)) + 20 if band_B == 16
+                    else int(np.ceil(_nb_seed * 1.35)) + 4)
     # The boundary shell is static but the QUERY groups drift: a drifted
     # group splits into several spans, each dragging its own 9 stencil
     # runs through the shell — measured need on the evolved 1M dam break
@@ -292,13 +296,15 @@ def build_scene(cfg: SimConfig) -> Scene:
         if sv.boundary_handle else 6
     # Wall-near group capacity for the group-sparse dense boundary pass:
     # 2x the seed need (the wetted surface roughly doubles through a dam
-    # collapse) with a 30%-of-QB floor for small/splashy scenes.
+    # collapse) with a QB-fraction floor for splashy scenes — 30% for
+    # small scenes (B=16), 15% at large N (B=8; measured on the evolved
+    # hot-phase 1M dam: 12,780 near groups of 125,000 = 10.2%).
     _QB = -(-n_fluid // band_B)
     if sv.boundary_handle:
         _seed_near = boundary_near_group_capacity(
             np.asarray(fluid_pos), np.asarray(boundary_pos), grid, band_B)
-        bq_cap = min(_QB, _round_up(max(2 * _seed_near,
-                                        (3 * _QB) // 10, 64), 8))
+        _floor = (3 * _QB) // 10 if band_B == 16 else (3 * _QB) // 20
+        bq_cap = min(_QB, _round_up(max(2 * _seed_near, _floor, 64), 8))
     else:
         bq_cap = 0
 
