@@ -76,8 +76,15 @@ DENSE_FLUID = True
 # while preserving the reference's per-iteration convergence checks
 # exactly. The hot dam-break phase runs ~15 divergence + ~7 density
 # iterations per step; U=4 cuts the turnaround cost ~4x for at most
-# U-1 masked (~0.5 ms) body evaluations per loop.
+# U-1 masked (~0.5 ms at 30k) body evaluations per loop. In the coef
+# regime (1M scale) a masked body evaluation costs a FULL ~0.2 s matvec
+# pair against the same ~3 ms turnaround saving, so those loops run
+# un-unrolled (loop_unroll()).
 LOOP_UNROLL = 4
+
+
+def loop_unroll(st: SceneStatic) -> int:
+    return LOOP_UNROLL if use_band_engine(st.n_fluid, st.band_nb) else 1
 
 
 def init_state(scene: Scene) -> base.SimState:
@@ -498,7 +505,7 @@ def _finish_step(st: SceneStatic, state: base.SimState,
     vel, warm_k, _, div_avg, _, _, div_iters = while_loop_unrolled(
         div_cond, div_body,
         (vel, warm_k, dr0, avg0, jnp.zeros(()), jnp.zeros((), bool),
-         jnp.zeros((), jnp.int32)), unroll=LOOP_UNROLL)
+         jnp.zeros((), jnp.int32)), unroll=loop_unroll(st))
 
     # --- external forces + v_adv + adaptive dt (dfsph_solver.py:91-122) -----
     force_ext = base.gravity_acc(st) + pre.ext_force_fn(vel)
@@ -537,7 +544,7 @@ def _finish_step(st: SceneStatic, state: base.SimState,
     vel_adv, den_avg, rigid_force, den_iters = while_loop_unrolled(
         den_cond, den_body,
         (vel_adv, jnp.float32(jnp.inf), rigid.force,
-         jnp.zeros((), jnp.int32)), unroll=LOOP_UNROLL)
+         jnp.zeros((), jnp.int32)), unroll=loop_unroll(st))
 
     # --- position update (dfsph_solver.py:235-250) --------------------------
     new_pos = pre.pos + vel_adv * (dt * base.ARTIFICIAL_FRICTION)
