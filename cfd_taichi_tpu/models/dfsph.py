@@ -308,12 +308,22 @@ def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
                                            m=st.particle_m,
                                            plan=dp.plan, B=B)
         plan = bandmat.compact_plan(dp.plan, dterms.blk_pair, st.pair_nb)
-        ceng = bandmat.build_coef_engine(pos_s, h=st.h, m=st.particle_m,
-                                         plan=plan, B=B, dtype=BAND_DTYPE)
         rho_f, count, qsum, tvec = (dterms.rho, dterms.count, dterms.qsum,
                                     dterms.tvec)
+        if st.coef_nbA and st.coef_nbA < st.pair_nb:
+            # Split-bucket engine: matvec traffic scales with plan
+            # CAPACITY, and the pair-block distribution is tight but
+            # skewed — pay the full width only for the tail groups.
+            ceng = bandmat.build_split_coef_engine(
+                pos_s, h=st.h, m=st.particle_m, plan=plan, B=B,
+                nbA=st.coef_nbA, capB=st.coef_capB, dtype=BAND_DTYPE)
+            mv, mvd = bandmat.split_coef_matvec_ops(ceng, st.n_fluid, B)
+        else:
+            ceng = bandmat.build_coef_engine(
+                pos_s, h=st.h, m=st.particle_m, plan=plan, B=B,
+                dtype=BAND_DTYPE)
+            mv, mvd = bandmat.coef_matvec_ops(ceng, st.n_fluid, B)
         S0 = ceng.s
-        mv, mvd = bandmat.coef_matvec_ops(ceng, st.n_fluid, B)
         engine_overflow = ceng.overflow
     overflow = jnp.maximum(jnp.maximum(dp.overflow, plan[2]),
                            jnp.maximum(engine_overflow,

@@ -48,7 +48,7 @@ accumulated delta; the matvec path omits the guard.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -592,8 +592,13 @@ class CoefEngine(NamedTuple):
     qx: jnp.ndarray        # (QB, B) f32 — group-centered query positions
     qy: jnp.ndarray
     qz: jnp.ndarray
-    s: V3                  # (N,) row sums Sigma_j w gradW_ij (f32)
+    s: V3                  # (N,) row sums — or (G, B) V3 when qsel is set
     overflow: jnp.ndarray  # () int32 — block-plan capacity overflow
+    # (G,) int32 group indices when the engine covers a SUBSET of query
+    # groups (the split-bucket remainder); None for a full engine. With
+    # qsel set, coef_matvec_ops returns (G, B)-shaped outputs for the
+    # caller to scatter, and `s` stays group-shaped.
+    qsel: jnp.ndarray | None = None
 
     @property
     def n(self) -> int:
@@ -601,7 +606,7 @@ class CoefEngine(NamedTuple):
 
 
 def build_coef_engine(pos_s: V3, *, h: float, m: float, plan, B: int,
-                      dtype=jnp.bfloat16) -> CoefEngine:
+                      dtype=jnp.bfloat16, qsel=None) -> CoefEngine:
     """Dense (QB, B, W) coefficient pass (same validity rules as
     build_band) producing the stored scalar w + f32 row sums. Runs in
     QB chunks under lax.map: at 1M particles the stored w alone is
@@ -610,21 +615,29 @@ def build_coef_engine(pos_s: V3, *, h: float, m: float, plan, B: int,
     rematerialized temps on the 16 GB chip)."""
     n = pos_s.x.shape[0]
     blk, nb_mask, overflow = plan
-    QB, nbcap = blk.shape
+    G, nbcap = blk.shape
     W = nbcap * BLOCK
     nblocks = -(-n // BLOCK)
-    nc = _coef_chunks(QB, W)
-    Qc = QB // nc
+    nc = _coef_chunks(G, W)
+    Qc = G // nc
 
     tbx = jnp.pad(pos_s.x, (0, nblocks * BLOCK - n)).reshape(nblocks, BLOCK)
     tby = jnp.pad(pos_s.y, (0, nblocks * BLOCK - n)).reshape(nblocks, BLOCK)
     tbz = jnp.pad(pos_s.z, (0, nblocks * BLOCK - n)).reshape(nblocks, BLOCK)
 
+    QB_full = -(-n // B)
+
     def q(c):
-        return jnp.pad(c, (0, QB * B - n), mode="edge").reshape(QB, B)
+        full = jnp.pad(c, (0, QB_full * B - n), mode="edge"
+                       ).reshape(QB_full, B)
+        return full if qsel is None else full[qsel]
 
     qxa, qya, qza = q(pos_s.x), q(pos_s.y), q(pos_s.z)
-    qslot_a = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B)
+    if qsel is None:
+        qslot_a = jnp.arange(G * B, dtype=jnp.int32).reshape(G, B)
+    else:
+        qslot_a = (qsel[:, None].astype(jnp.int32) * B
+                   + jnp.arange(B, dtype=jnp.int32)[None, :])
     col = jnp.arange(BLOCK, dtype=jnp.int32)
 
     def resh(a):
@@ -672,10 +685,11 @@ def build_coef_engine(pos_s: V3, *, h: float, m: float, plan, B: int,
         out = jax.lax.map(chunk, xs)
         w, cx, cy, cz, qx, qy, qz, s = jax.tree_util.tree_map(
             lambda o: o.reshape((nc * Qc,) + o.shape[2:]), out)
+    if qsel is None:
+        s = V3(*(c.reshape(-1)[:n] for c in s.astuple()))
     return CoefEngine(blkq=blk, w=w, tbx=tbx, tby=tby, tbz=tbz,
                       cx=cx, cy=cy, cz=cz, qx=qx, qy=qy, qz=qz,
-                      s=V3(*(c.reshape(-1)[:n] for c in s.astuple())),
-                      overflow=overflow)
+                      s=s, overflow=overflow, qsel=qsel)
 
 
 def _coef_chunks(QB: int, W: int) -> int:
@@ -730,6 +744,12 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
             out = chunk_fn(tuple(t[0] for t in xs))
         else:
             out = jax.lax.map(chunk_fn, xs)
+        if eng.qsel is not None:
+            # Subset engine (split-bucket remainder): keep (G, B) shape
+            # for the caller's scatter.
+            return jax.tree_util.tree_map(
+                lambda o: o.reshape((-1,) + o.shape[-1:])
+                if o.ndim > 2 else o, out)
         return jax.tree_util.tree_map(
             lambda o: o.reshape(-1)[:n], out)
 
@@ -1035,6 +1055,87 @@ def dense_dfsph_terms(pos_s: V3, *, h: float, m: float, plan,
                       s=V3(*(fl(c) for c in s.astuple())),
                       tvec=V3(*(fl(c) for c in tvec.astuple())),
                       blk_pair=flags.reshape(QB, nbcap))
+
+
+class SplitCoefEngine(NamedTuple):
+    """Two-width ("split-bucket") CoefEngine: every group's FIRST nbA
+    plan blocks live in a dense (QB, B, nbA*128) A-engine, and only the
+    few groups needing more carry their remainder blocks in a compacted
+    (capB, B, (nbcap-nbA)*128) engine. Matvec traffic scales with plan
+    CAPACITY, not true need, and the per-group pair-block distribution is
+    tight but skewed (measured evolved 1M dam: p50=10, p98=12, max=17
+    against a static cap of 22) — the split pays the wide width only for
+    the tail. Groups needing more than nbA blocks beyond capB lose their
+    remainder (counted in overflow, the standard capacity contract)."""
+    a: Any                 # CoefEngine over blk[:, :nbA] (all groups)
+    rem: Any               # CoefEngine over blk[sel, nbA:] (qsel set)
+    gmask: jnp.ndarray     # (capB,) bool — valid remainder rows
+    s: V3                  # (N,) total row sums (A + scattered remainder)
+    overflow: jnp.ndarray  # () int32
+
+
+def build_split_coef_engine(pos_s: V3, *, h: float, m: float, plan,
+                            B: int, nbA: int, capB: int,
+                            dtype=jnp.bfloat16) -> SplitCoefEngine:
+    n = pos_s.x.shape[0]
+    blk, nb_mask, over0 = plan
+    QB, nbcap = blk.shape
+    nbA = min(nbA, nbcap)
+    capB = min(capB, QB)
+
+    plan_a = (blk[:, :nbA], nb_mask[:, :nbA], jnp.zeros((), jnp.int32))
+    eng_a = build_coef_engine(pos_s, h=h, m=m, plan=plan_a, B=B,
+                              dtype=dtype)
+
+    need = jnp.sum(nb_mask, axis=1)
+    over_g = need > nbA
+    n_over = jnp.sum(over_g.astype(jnp.int32))
+    over_split = jnp.maximum(n_over - capB, 0).astype(jnp.int32)
+    iota = jnp.arange(QB, dtype=jnp.int32)
+    key = jnp.where(over_g, QB - iota, 0)
+    topkey, _ = jax.lax.top_k(key, capB)
+    gmask = topkey > 0
+    gidx = jnp.where(gmask, QB - topkey, 0)
+
+    plan_r = (blk[gidx, nbA:], nb_mask[gidx, nbA:] & gmask[:, None],
+              jnp.zeros((), jnp.int32))
+    eng_r = build_coef_engine(pos_s, h=h, m=m, plan=plan_r, B=B,
+                              dtype=dtype, qsel=gidx)
+
+    gsafe = jnp.where(gmask, gidx, QB)
+
+    def scat(gb):
+        out = jnp.zeros((QB + 1, B), jnp.float32)
+        return out.at[gsafe].set(gb, mode="drop").reshape(-1)[:QB * B][:n]
+
+    s = eng_a.s + V3(*(scat(c) for c in eng_r.s.astuple()))
+    overflow = jnp.maximum(jnp.maximum(over0, over_split),
+                           jnp.zeros((), jnp.int32))
+    return SplitCoefEngine(a=eng_a, rem=eng_r, gmask=gmask, s=s,
+                           overflow=overflow)
+
+
+def split_coef_matvec_ops(seng: SplitCoefEngine, n: int, B: int):
+    """(matvec, matvec_dot) over the split engine — A-engine output plus
+    the scattered remainder contribution."""
+    mva, mvda = coef_matvec_ops(seng.a, n, B)
+    mvr, mvdr = coef_matvec_ops(seng.rem, n, B)
+    QB = seng.a.w.shape[0]
+    gsafe = jnp.where(seng.gmask, seng.rem.qsel, QB)
+
+    def scat(gb):
+        out = jnp.zeros((QB + 1, B), jnp.float32)
+        return out.at[gsafe].set(gb, mode="drop").reshape(-1)[:QB * B][:n]
+
+    def matvec(k):
+        a = mva(k)
+        r = mvr(k)
+        return a + V3(*(scat(c) for c in r.astuple()))
+
+    def matvec_dot(v: V3):
+        return mvda(v) + scat(mvdr(v))
+
+    return matvec, matvec_dot
 
 
 class DenseBoundaryTerms(NamedTuple):

@@ -95,6 +95,12 @@ class SceneStatic:
     # max wall-near query groups. Seed-measured with slack for the growing
     # wetted surface; overflow counted on-device.
     bq_cap: int = 0
+    # Split-bucket coef engine (bandmat.build_split_coef_engine): every
+    # group's first coef_nbA pair blocks ride the dense A-engine; up to
+    # coef_capB groups carry remainder blocks. 0 = split disabled (the
+    # plain single-width engine).
+    coef_nbA: int = 0
+    coef_capB: int = 0
 
     @property
     def diameter(self) -> float:
@@ -307,6 +313,16 @@ def build_scene(cfg: SimConfig) -> Scene:
         bq_cap = min(_QB, _round_up(max(2 * _seed_near, _floor, 64), 8))
     else:
         bq_cap = 0
+    # Split-bucket coef engine widths (B=8 / coef regime only): the
+    # evolved 1M pair-block distribution is p50=10 / p98=12 / max=17
+    # against pair_nb=22, so the A-width covers the bulk (seed CSR max
+    # x0.75) and a QB/12 remainder bucket carries the tail. Remainder
+    # beyond coef_capB is counted overflow.
+    if band_B == 8:
+        coef_nbA = max(8, int(np.ceil(_nb_seed * 0.75)))
+        coef_capB = _round_up(max(_QB // 12, 512), 8)
+    else:
+        coef_nbA = coef_capB = 0
 
     static = SceneStatic(
         n_fluid=n_fluid, n_boundary=n_boundary, n_rigid=n_rigid,
@@ -318,6 +334,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap, k2=k2, bk2=bk2,
         band_nb=band_nb, bband_nb=bband_nb, pair_nb=pair_nb, band_B=band_B,
         band_nb_wide=band_nb_wide, bq_cap=bq_cap,
+        coef_nbA=coef_nbA, coef_capB=coef_capB,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,

@@ -472,3 +472,46 @@ def test_dense_boundary_terms_overflow_counted():
         nbcap=12, B=B, cap=8)
     assert int(np.asarray(full.overflow)) == 0
     assert int(np.asarray(tiny.overflow)) > 0
+
+
+def test_split_coef_engine_matches_plain():
+    """Split-bucket (A + remainder) matvecs equal the single-width coef
+    engine's — the split is pure layout. nbA is forced small so MANY
+    groups carry remainder rows."""
+    h, m, n = 0.1, 1.3e-4, 800
+    pos_s, _ = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=11)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    B = 8
+    plan = _plan_for(pos_s, grid, B=B, nbcap=24)
+    QB = plan[0].shape[0]
+
+    plain = bandmat.build_coef_engine(pos_s, h=h, m=m, plan=plan, B=B,
+                                      dtype=jnp.float32)
+    mv0, mvd0 = bandmat.coef_matvec_ops(plain, n, B)
+    split = bandmat.build_split_coef_engine(pos_s, h=h, m=m, plan=plan,
+                                            B=B, nbA=6, capB=QB,
+                                            dtype=jnp.float32)
+    assert int(np.asarray(split.overflow)) == 0
+    mv1, mvd1 = bandmat.split_coef_matvec_ops(split, n, B)
+
+    rng = np.random.default_rng(2)
+    k = jnp.asarray(rng.random(n, dtype=np.float32))
+    v = V3(*(jnp.asarray(rng.random(n, dtype=np.float32)) for _ in range(3)))
+
+    for g, w in zip(split.s.astuple(), plain.s.astuple()):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-4)
+    a0, a1 = mv0(k), mv1(k)
+    for g, w in zip(a1.astuple(), a0.astuple()):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mvd1(v)), np.asarray(mvd0(v)),
+                               rtol=1e-5, atol=1e-4)
+
+    # capB too small: remainder groups beyond it are COUNTED (nbA=2 so
+    # nearly every group overflows into the remainder bucket — the tiny
+    # cloud only has ceil(800/128)=7 source blocks total)
+    tiny = bandmat.build_split_coef_engine(pos_s, h=h, m=m, plan=plan,
+                                           B=B, nbA=2, capB=1,
+                                           dtype=jnp.float32)
+    assert int(np.asarray(tiny.overflow)) > 0
