@@ -41,7 +41,7 @@ N_WARMUP = 5
 MIN_STEPS = 100
 MIN_WALL_S = 10.0
 BATCH = 20
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2600"))
 T0 = time.perf_counter()
 
 # Round-2 breadth measurements (single chip, prose in docs/ARCHITECTURE.md
@@ -153,6 +153,12 @@ def main():
     }
 
     # --- breadth rows (time-budgeted; VERDICT r02 item 2) -------------------
+    # The 1M rows are the north-star scale (BASELINE.md): they run FIRST
+    # so a cold-compile-heavy run can never deadline them away.
+    row(out, "dfsph_1m_steps_per_sec", "breaking_dam_1m.json", "dfsph",
+        min_steps=4, min_wall=10, batch=2, reserve=500)
+    row(out, "wcsph_1m_steps_per_sec", "breaking_dam_1m.json", "wcsph",
+        min_steps=4, min_wall=10, batch=2, reserve=300)
     for solver in ("pcisph", "iisph", "pbf"):
         row(out, f"{solver}_steps_per_sec", "breaking_dam_30k.json", solver,
             min_steps=60, min_wall=6, batch=20, reserve=150)
@@ -160,10 +166,6 @@ def main():
         min_steps=10, min_wall=10, batch=5, reserve=240)
     row(out, "coupling_pcisph_55k_steps_per_sec", "coupling_demo.json",
         "pcisph", min_steps=10, min_wall=10, batch=5, reserve=200)
-    row(out, "wcsph_1m_steps_per_sec", "breaking_dam_1m.json", "wcsph",
-        min_steps=4, min_wall=10, batch=2, reserve=300)
-    row(out, "dfsph_1m_steps_per_sec", "breaking_dam_1m.json", "dfsph",
-        min_steps=4, min_wall=10, batch=2, reserve=420)
     out["r02_baselines"] = R02_BASELINES
     out["bench_wall_s"] = round(time.perf_counter() - T0, 1)
 

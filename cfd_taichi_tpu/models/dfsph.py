@@ -265,26 +265,43 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     return _finish_step(st, state, pre)
 
 
-def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
-                   state: base.SimState) -> _Pre:
+class DenseEngine(NamedTuple):
+    """Dense-mode per-step engine + one-shot fluid sums, shared by every
+    fluid-only solver that runs dense (DFSPH, IISPH): cell sort + wide
+    CSR plan + group-sparse boundary sums (base.build_dense_prep),
+    one-shot fluid term sums, pair-tight plan, and the loop matvec
+    operators (stored band matrix below the byte budget, split-bucket /
+    plain stored-coefficient engine above it)."""
+    dp: Any             # base.DensePrep (pos/perm/plan/bterms)
+    pos: Any            # V3 — sorted fluid positions
+    perm: Any           # (N,) prev-state index per sorted slot
+    plan: Any           # pair-tight block plan (viscosity etc.)
+    rho_f: Any          # (N,) fluid-fluid density sum
+    count: Any          # (N,) int32 pair count
+    qsum: Any           # (N,) Sigma (m |gradW|)^2
+    tvec: Any           # V3 — tension vector sums
+    S0: Any             # V3 — fluid gradW row sums
+    mv: Any             # matvec callable
+    mvd: Any            # matvec_dot callable
+    overflow: Any       # () int32
+
+
+def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
+                       fluid_pos: V3) -> DenseEngine:
     """Fluid-only fast path: NO compact (N, K) fluid list and NO compact
     (N, bK) boundary list are built. One dense pass over the CSR block
     plan produces the loop engine inputs AND rho/count/alpha-Q/tension
     (build_band_terms in the band regime, the chunked dense_dfsph_terms
     in the coef regime); Akinci boundary sums come from the group-sparse
-    dense_boundary_terms pass; viscosity is a second dense pass on the
-    post-divergence velocity. Measured: the compact list build this skips
-    was ~65 ms of a ~136 ms step at 29k and ~3.1 s of a ~8.6 s hot step
-    at 1M (list compaction + boundary list + plan dedupe)."""
-    fluid = state.fluid
-    (warm_k,) = state.extra
-
+    dense_boundary_terms pass. Measured: the compact list build this
+    skips was ~65 ms of a ~136 ms step at 29k and ~3.1 s of a ~8.6 s hot
+    step at 1M (list compaction + boundary list + plan dedupe)."""
     B = st.band_B
     # Two-stage plans (bandmat.compact_plan docstring): a generously-
     # capped CSR cover for the ONE-SHOT term pass (its fragmentation is
     # not physics-bounded), then a pair-tight plan — physics-bounded
     # capacity — for the stored engine and every per-iteration matvec.
-    dp = base.build_dense_prep(st, arrays, fluid.pos, st.band_nb_wide, B)
+    dp = base.build_dense_prep(st, arrays, fluid_pos, st.band_nb_wide, B)
     pos_s, perm = dp.pos, dp.perm
     if use_band_engine(st.n_fluid, st.band_nb):
         # Stored 3-component band matrix (fits HBM below ~150k).
@@ -328,6 +345,23 @@ def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
     overflow = jnp.maximum(jnp.maximum(dp.overflow, plan[2]),
                            jnp.maximum(engine_overflow,
                                        jnp.zeros((), jnp.int32)))
+    return DenseEngine(dp=dp, pos=pos_s, perm=perm, plan=plan,
+                       rho_f=rho_f, count=count, qsum=qsum, tvec=tvec,
+                       S0=S0, mv=mv, mvd=mvd, overflow=overflow)
+
+
+def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
+                   state: base.SimState) -> _Pre:
+    """DFSPH dense-mode prepare on top of build_dense_engine: alpha
+    factor, boundary additions, viscosity-on-demand."""
+    fluid = state.fluid
+    (warm_k,) = state.extra
+
+    B = st.band_B
+    eng = build_dense_engine(st, arrays, fluid.pos)
+    dp, pos_s, perm, plan = eng.dp, eng.pos, eng.perm, eng.plan
+    rho_f, count, qsum, tvec = eng.rho_f, eng.count, eng.qsum, eng.tvec
+    S0, mv, mvd, overflow = eng.S0, eng.mv, eng.mvd, eng.overflow
 
     rho = base.DENSITY_EPS + rho_f
     denom = S0.dot(S0) + qsum

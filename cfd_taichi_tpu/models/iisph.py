@@ -167,7 +167,123 @@ def loop_operators(st: SceneStatic, nbh, rho, d_ii: V3, a_ii, rho_adv,
     return d_ij_of, r_sum_of, residual_of
 
 
+def _step_dense(st: SceneStatic, arrays: SceneArrays,
+                state: base.SimState) -> base.SimState:
+    """Dense-mode IISPH (fluid-only scenes): no compact lists; the
+    relaxed-Jacobi iteration runs on the shared dense loop engine
+    (models.dfsph.build_dense_engine). Every pair sum reduces to engine
+    operators — per iteration ONE matvec (d_ij) plus TWO matvec_dots
+    (the d_ij and d_ii*p off-diagonal contractions); the d_ji correction
+    and all Akinci boundary terms are loop-constant row sums:
+
+      d_ii    = -dt^2/rho^2 (S_f + S_b)
+      rho_adv = rho + dt [v_adv . (S_f + S_b) - mvd(v_adv)]
+      a_ii    = d_ii . (S_f + S_b) - dt^2 m/rho^2 (qsum/m + g2_b)
+      d_ij(p) = -dt^2 mv(p/rho^2)
+      r_sum   = d_ij . (S_f + S_b) - mvd(d_ij) - mvd(d_ii p)
+                + dt^2 qsum/rho^2 p
+
+    with S_f/qsum the fluid gradW row sums (DenseEngine) and S_b/g2_b the
+    group-sparse boundary sums (bandmat.DenseBoundaryTerms). Algebra
+    matches predict_advection/loop_operators term-for-term (reference
+    iisph_solver.py:36-147,229-340)."""
+    from cfd_taichi_tpu.models import dfsph as _dfsph
+    from cfd_taichi_tpu.ops import bandmat
+    from cfd_taichi_tpu.ops.loops import while_loop_unrolled
+
+    fluid, rigid, dt = state.fluid, state.rigid, state.dt
+    (p_past,) = state.extra
+    dt2 = dt * dt
+    n = st.n_fluid
+
+    eng = _dfsph.build_dense_engine(st, arrays, fluid.pos)
+    pos, perm = eng.pos, eng.perm
+    vel = fluid.vel.take(perm)
+    oid = fluid.oid[perm]
+    p_past = p_past[perm]
+
+    rho = base.DENSITY_EPS + eng.rho_f
+    S_all = eng.S0
+    g2_b = jnp.zeros((n,), jnp.float32)
+    if st.akinci:
+        bt = eng.dp.bterms
+        rho = rho + bt.rho
+        S_all = S_all + bt.s
+        g2_b = bt.g2
+    inv_rho2 = 1.0 / (rho * rho)
+
+    # --- predict advection ---------------------------------------------------
+    tension = eng.tvec * jnp.float32(-TENSION_K * st.particle_m)
+    viscosity = bandmat.dense_viscosity(
+        pos, vel, rho, h=st.h, m=st.particle_m, plan=eng.plan,
+        B=st.band_B, c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    f_adv = base.gravity_acc(st) + tension + viscosity
+    v_adv = vel + f_adv * (dt / st.particle_m)
+
+    d_ii = S_all * (-dt2 * inv_rho2)
+    rho_adv = rho + dt * (v_adv.dot(S_all) - eng.mvd(v_adv))
+    a_ii = (d_ii.dot(S_all)
+            - dt2 * st.particle_m * inv_rho2
+            * (eng.qsum / st.particle_m + g2_b))
+
+    p0 = 0.5 * p_past  # warm start (iisph_solver.py:67)
+    err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
+    cP = dt2 * inv_rho2 * eng.qsum  # the d_ji correction row constant
+
+    def cond(carry):
+        _, _, _, res, _, stop, l = carry
+        return (((res > err_thresh) | (l < MIN_ITER)) & (l < MAX_ITER)
+                & jnp.logical_not(stop))
+
+    def body(carry):
+        p, d_ij, r_sum, res, _, _, l = carry
+        d_ij = eng.mv(p * inv_rho2) * (-dt2)
+        r_sum = (d_ij.dot(S_all) - eng.mvd(d_ij) - eng.mvd(d_ii * p)
+                 + cP * p)
+        p_new = jnp.where(jnp.abs(a_ii) > 1e-7,
+                          (1.0 - OMEGA) * p
+                          + OMEGA * (RHO_0 - rho_adv - r_sum) / a_ii,
+                          0.0)
+        p = jnp.maximum(p_new, 0.0)
+        active = p > 0.0
+        cnt = jnp.sum(active)
+        total = jnp.sum(jnp.where(
+            active, a_ii * p + r_sum + rho_adv - RESIDUAL_REF, 0.0))
+        new_res = jnp.where(cnt > 0, total / cnt, 0.0)
+        stop = (l >= 1) & (new_res - res > 0.0)
+        return (p, d_ij, r_sum, new_res, res, stop, l + 1)
+
+    p_iter, d_ij, r_sum, res, _, _, iters = while_loop_unrolled(
+        cond, body,
+        (p0, V3.zeros((n,)), jnp.zeros(n, jnp.float32),
+         jnp.float32(jnp.inf), jnp.float32(jnp.inf), jnp.zeros((), bool),
+         jnp.zeros((), jnp.int32)), unroll=_dfsph.loop_unroll(st))
+
+    # --- integration (iisph_solver.py:150-206) ------------------------------
+    f_press = (d_ij + d_ii * p_iter) * (st.particle_m / dt2)
+    new_vel = (v_adv + f_press * (dt / st.particle_m)) * base.ARTIFICIAL_FRICTION
+    new_pos = pos + new_vel * dt
+    if not st.akinci:
+        new_pos, new_vel = base.clamp_to_box(st, new_pos, new_vel,
+                                             margin=st.particle_radius,
+                                             decay_mul=-base.V_DECAY)
+
+    return state._replace(
+        overflow=eng.overflow,
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(perm), oid=oid),
+        t=state.t + dt,
+        step_count=state.step_count + 1,
+        extra=(p_iter,),
+        diag=jnp.stack([iters.astype(jnp.float32), res,
+                        jnp.zeros(()), jnp.zeros(())]),
+    )
+
+
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
+    from cfd_taichi_tpu.models import dfsph as _dfsph
+    if _dfsph.dense_eligible(st):
+        return _step_dense(st, arrays, state)
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
     (p_past,) = state.extra
     dt2 = dt * dt

@@ -1148,10 +1148,12 @@ class DenseBoundaryTerms(NamedTuple):
             separately-squared boundary vector; also WCSPH's boundary
             pressure acc = -p_over_rho2 * s)
       qsum: (N,) Sigma_b (w_b |gradW_ib|)^2         (DFSPH alpha Q term)
+      g2:   (N,) Sigma_b w_b |gradW_ib|^2           (IISPH a_ii d_ji term)
     """
     rho: jnp.ndarray
     s: V3
     qsum: jnp.ndarray
+    g2: jnp.ndarray
     overflow: jnp.ndarray  # () int32 — near-group capacity + plan overflow
 
 
@@ -1238,20 +1240,22 @@ def dense_boundary_terms(pos_q: V3, qcells: jnp.ndarray, bpos: V3,
         r = jnp.sqrt(jnp.maximum(r2, 1e-24))
         wb = jnp.where(valid, r0 * win(tbv), 0.0)
         wk = sm.cubic_w(r, h)
-        wg = wb * sm.cubic_grad_coeff(r, h)
+        gcv = sm.cubic_grad_coeff(r, h)
+        wg = wb * gcv
         return ((wb * wk).sum(axis=2),
                 V3((wg * dx).sum(axis=2), (wg * dy).sum(axis=2),
                    (wg * dz).sum(axis=2)),
-                ((wg * r) ** 2).sum(axis=2))
+                ((wg * r) ** 2).sum(axis=2),
+                (wg * gcv * r2).sum(axis=2))
 
     def resh(a):
         return a.reshape((nc, Qc) + a.shape[1:])
 
     xs = (resh(blk), resh(nb_mask), resh(qx), resh(qy), resh(qz))
     if nc == 1:
-        rho_c, s_c, q_c = chunk(tuple(t[0] for t in xs))
+        rho_c, s_c, q_c, g2_c = chunk(tuple(t[0] for t in xs))
     else:
-        rho_c, s_c, q_c = jax.lax.map(chunk, xs)
+        rho_c, s_c, q_c, g2_c = jax.lax.map(chunk, xs)
 
     def fl(a):
         return a.reshape((cap, B))
@@ -1269,6 +1273,7 @@ def dense_boundary_terms(pos_q: V3, qcells: jnp.ndarray, bpos: V3,
         rho=scat(rho_c),
         s=V3(scat(s_c.x), scat(s_c.y), scat(s_c.z)),
         qsum=scat(q_c),
+        g2=scat(g2_c),
         overflow=jnp.maximum(over_g, over_p))
 
 

@@ -217,24 +217,23 @@ def test_grouped_build_engine_matches_default(monkeypatch):
                                np.asarray(sim1.state.diag), atol=1e-3)
 
 
-@pytest.mark.parametrize("name", ["dfsph", "wcsph"])
+@pytest.mark.parametrize("name", ["dfsph", "wcsph", "iisph"])
 def test_dense_mode_matches_compact(name, monkeypatch):
     """The dense-window fluid path (no compact (N, K) list; fused
-    band+terms passes) must reproduce the compact path's physics on a
-    fluid-only scene: same positions to f32 round-off, same dt, zero
-    overflow (ops/bandmat.build_band_terms / dense_rho_count /
-    dense_wcsph_forces / dense_viscosity)."""
+    band+terms passes, group-sparse boundary sums) must reproduce the
+    compact path's physics on a fluid-only scene: same positions to f32
+    round-off, same dt and iteration counts, zero overflow."""
     import cfd_taichi_tpu.models.dfsph as D
+    import cfd_taichi_tpu.models.iisph as I  # noqa: F401
     import cfd_taichi_tpu.models.wcsph as W
 
-    mod = {"dfsph": D, "wcsph": W}[name]
-    assert mod.dense_eligible is not None
+    gate = W if name == "wcsph" else D  # iisph gates on dfsph.dense_eligible
     sim_dense = make_sim(name)
-    assert mod.dense_eligible(sim_dense.scene.static)
+    assert gate.dense_eligible(sim_dense.scene.static)
     for _ in range(6):
         sim_dense.step()
 
-    monkeypatch.setattr(mod, "DENSE_FLUID", False)
+    monkeypatch.setattr(gate, "DENSE_FLUID", False)
     sim_comp = make_sim(name)
     for _ in range(6):
         sim_comp.step()
@@ -247,3 +246,6 @@ def test_dense_mode_matches_compact(name, monkeypatch):
     assert int(sim_dense.state.overflow) == 0
     np.testing.assert_allclose(float(sim_dense.state.dt),
                                float(sim_comp.state.dt), rtol=1e-5)
+    # iteration counts must agree (solver-loop contract)
+    np.testing.assert_allclose(np.asarray(sim_dense.state.diag)[0],
+                               np.asarray(sim_comp.state.diag)[0], atol=0)
