@@ -291,11 +291,14 @@ class DensePrep(NamedTuple):
     starts: jnp.ndarray        # (num_cells + 1,) CSR offsets
     plan: tuple                # (blk, nb_mask, overflow) block plan
     bterms: Optional[object]   # bandmat.DenseBoundaryTerms (None: clamp)
+    bwin: Optional[object]     # bandmat.BoundaryWindows (None: clamp) —
+    #                            reused by PCISPH's predicted-rho closure
     overflow: jnp.ndarray      # () int32 — plan + boundary overflow
 
 
 def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
-                     nbcap: int, B: int) -> DensePrep:
+                     nbcap: int, B: int,
+                     want_bterms: bool = True) -> DensePrep:
     """Sort the fluid, derive CSR offsets + the CSR block plan directly
     (no second argsort, no compact fluid list), and compute the Akinci
     boundary sums via the group-sparse dense pass (no compact boundary
@@ -317,15 +320,23 @@ def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     plan = bandmat.plan_from_csr(qcells, starts, st.grid, nbcap)
     overflow = plan[2]
 
-    bterms = None
+    bterms = bwin = None
     if st.akinci:
-        bterms = bandmat.dense_boundary_terms(
-            pos_s, qcells, arrays.boundary_pos, arrays.boundary_volume,
-            arrays.boundary_table, st.grid, h=st.h,
-            rho0=float(RHO_0), nbcap=st.bband_nb, B=B, cap=st.bq_cap)
-        overflow = jnp.maximum(overflow, bterms.overflow)
+        bwin = bandmat.build_boundary_windows(
+            qcells, arrays.boundary_pos, arrays.boundary_volume,
+            arrays.boundary_table, st.grid, nbcap=st.bband_nb,
+            cap=min(st.bq_cap, QB))
+        overflow = jnp.maximum(overflow, bwin.overflow)
+        if want_bterms:
+            # The cubic one-shot sums (rho/S/Q/g2) — PBF uses its own
+            # poly6/spiky boundary pass over `bwin` instead.
+            bterms = bandmat.dense_boundary_terms(
+                pos_s, qcells, arrays.boundary_pos, arrays.boundary_volume,
+                arrays.boundary_table, st.grid, h=st.h,
+                rho0=float(RHO_0), nbcap=st.bband_nb, B=B, cap=st.bq_cap,
+                bw=bwin)
     return DensePrep(pos=pos_s, perm=perm, starts=starts, plan=plan,
-                     bterms=bterms, overflow=overflow)
+                     bterms=bterms, bwin=bwin, overflow=overflow)
 
 
 def rigid_lid(st: SceneStatic, j: jnp.ndarray) -> jnp.ndarray:

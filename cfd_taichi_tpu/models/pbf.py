@@ -45,7 +45,99 @@ def init_state(scene: Scene) -> base.SimState:
     return base.init_sim_state(scene, extra=())
 
 
+def dense_eligible(st: SceneStatic) -> bool:
+    """Dense-mode PBF: fluid-only scenes in the BAND regime (the window
+    passes keep a start-validity mask the size of one band channel)."""
+    from cfd_taichi_tpu.models import dfsph as _dfsph
+    return (_dfsph.DENSE_FLUID
+            and not (st.rigid_active and st.n_rigid > 0)
+            and _dfsph.use_band_engine(st.n_fluid, st.band_nb))
+
+
+def _step_dense(st: SceneStatic, arrays: SceneArrays,
+                state: base.SimState) -> base.SimState:
+    """Dense-mode PBF (fluid-only scenes): no compact lists. PBF is a
+    single constraint pass, so the whole step is three dense window
+    passes over one shared block plan (bandmat.dense_pbf_ops): the
+    one-shot start-geometry sums, the lambda pass (the only pair sum
+    that depends on lambda), and the XSPH pass at updated positions —
+    plus the group-sparse PBF boundary pass (bandmat.pbf_boundary_terms).
+    Algebra matches the compact step term-for-term (reference
+    pbf_solver.py:26-96,106-174)."""
+    from cfd_taichi_tpu.ops import bandmat
+
+    import math
+
+    fluid, dt = state.fluid, state.dt
+    B = st.band_B
+    # Host-float poly6(0.3 h) (sm.poly6_w closed form; st.h is static).
+    t = 1.0 - S_CORR_FACTOR ** 2
+    w_ref = 315.0 / (64.0 * math.pi * st.h ** 3) * t ** 3
+
+    dp = base.build_dense_prep(st, arrays, fluid.pos, st.band_nb_wide, B,
+                               want_bterms=False)
+    pos, perm = dp.pos, dp.perm
+    oid = fluid.oid[perm]
+
+    terms, lam_mv, xsph_of = bandmat.dense_pbf_ops(
+        pos, h=st.h, m=st.particle_m, plan=dp.plan, B=B,
+        w_ref=w_ref, k_corr=TENSION_K)
+
+    # --- external force + predicted positions (pbf_solver.py:26-30) ---------
+    vel = fluid.vel.take(perm) + base.gravity_acc(st) * dt
+    pos_predict = pos + vel * dt
+
+    # --- density + constraint (pbf_solver.py:127-130,166-174) ---------------
+    rho = base.DENSITY_EPS + terms.rho
+    gsum = terms.gsum
+    around = terms.around
+    ssum = terms.ssum
+    if st.akinci:
+        b_rho, b_g, b_around, b_ssum = bandmat.pbf_boundary_terms(
+            dp.bwin, pos, h=st.h, rho0=float(RHO_0), B=B,
+            w_ref=w_ref, k_corr=TENSION_K)
+        rho = rho + b_rho
+        gsum = gsum + b_g
+        around = around + b_around
+        ssum = ssum + b_ssum
+    constraint = jnp.maximum(rho / RHO_0 - 1.0, 0.0)
+
+    # --- lambda (pbf_solver.py:32-52) ----------------------------------------
+    grad_c_i = gsum * jnp.float32(1.0 / RHO_0)
+    denom = grad_c_i.dot(grad_c_i) + around * jnp.float32(1.0 / RHO_0 ** 2)
+    lam = jnp.where(constraint == 0.0, 0.0,
+                    -constraint / (denom + EPSILON))
+
+    # --- delta positions with s_corr (pbf_solver.py:55-65,144-164) ----------
+    # Fluid pairs: Sigma (lam_i + lam_j + s_corr) spiky_c x
+    #            = lam_i * gsum_f + lam_mv(lam) + ssum_f.
+    # Boundary pairs carry lam_i (+ s_corr) only (no lam_j): affine in
+    # lam_i, folded into the same row constants.
+    delta_pos = (gsum * lam + lam_mv(lam) + ssum) * jnp.float32(1.0 / RHO_0)
+
+    # --- position/velocity update + XSPH (pbf_solver.py:67-96) --------------
+    pos_predict = pos_predict + delta_pos
+    new_vel = (pos_predict - pos) * (1.0 / dt)
+    if not st.akinci:
+        pos_predict, new_vel = base.clamp_to_box(
+            st, pos_predict, new_vel, margin=st.particle_radius,
+            decay_mul=base.V_DECAY)  # positive decay (pbf_solver.py:78,82)
+    new_pos = pos_predict
+
+    new_vel = new_vel + XSPH_C * xsph_of(new_pos, new_vel)
+
+    return state._replace(
+        overflow=dp.overflow,
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(perm), oid=oid),
+        t=state.t + dt,
+        step_count=state.step_count + 1,
+    )
+
+
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
+    if dense_eligible(st):
+        return _step_dense(st, arrays, state)
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
 
     nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)

@@ -148,7 +148,135 @@ def loop_operators(st: SceneStatic, nbh, rho, pos, vel, ext_force, dt,
     return press_force_of, predict
 
 
+def dense_eligible(st: SceneStatic) -> bool:
+    """Dense-mode PCISPH: fluid-only scenes in the BAND regime only. The
+    per-iteration predicted-rho pass stores a start-validity mask the size
+    of one band-matrix channel, so it rides the same byte budget; the coef
+    regime (1M) keeps the compact path."""
+    from cfd_taichi_tpu.models import dfsph as _dfsph
+    return (_dfsph.DENSE_FLUID
+            and not (st.rigid_active and st.n_rigid > 0)
+            and _dfsph.use_band_engine(st.n_fluid, st.band_nb))
+
+
+def _step_dense(st: SceneStatic, arrays: SceneArrays,
+                state: base.SimState) -> base.SimState:
+    """Dense-mode PCISPH (fluid-only scenes): no compact lists. The
+    pressure-force pass is LINEAR in p against step-fixed gradW
+    coefficients, so it is ONE band matvec plus row-constant terms:
+
+      F(p) = -(m/rho0^2) (p * S_f + mv(p))  -  m p/rho_i^2 * S_b
+
+    (S_f/S_b the fluid/boundary gradW row sums; matches press_force_of
+    term-for-term, reference pcisph_solver.py:109-119,169-198). The
+    predict pass is NOT linear — W is re-evaluated at the predicted
+    positions — so it runs as a dense-window re-gather with the pair set
+    pinned to the step-initial positions (bandmat.predicted_rho_op /
+    boundary_predict_op; reference pcisph_solver.py:135-154 iterates the
+    start-of-step grid)."""
+    from cfd_taichi_tpu.models import dfsph as _dfsph
+    from cfd_taichi_tpu.ops import bandmat
+    from cfd_taichi_tpu.ops.loops import while_loop_unrolled
+
+    fluid, dt = state.fluid, state.dt
+    (delta,) = state.extra
+    n = st.n_fluid
+    B = st.band_B
+
+    eng = _dfsph.build_dense_engine(st, arrays, fluid.pos)
+    pos, perm, plan = eng.pos, eng.perm, eng.plan
+    vel = fluid.vel.take(perm)
+    oid = fluid.oid[perm]
+
+    rho = base.DENSITY_EPS + eng.rho_f
+    S_b = None
+    if st.akinci:
+        bt = eng.dp.bterms
+        rho = rho + bt.rho
+        S_b = bt.s
+    inv_rho2 = 1.0 / (rho * rho)
+
+    # --- external forces (pcisph_solver.py:220-226) -------------------------
+    tension = eng.tvec * jnp.float32(-TENSION_K * st.particle_m)
+    viscosity = bandmat.dense_viscosity(
+        pos, vel, rho, h=st.h, m=st.particle_m, plan=plan, B=B,
+        c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    ext_force = base.gravity_acc(st) + tension + viscosity
+
+    # --- loop operators on the dense engine ----------------------------------
+    rho_of = bandmat.predicted_rho_op(pos, h=st.h, m=st.particle_m,
+                                      plan=plan, B=B)
+    brho_of = None
+    if st.akinci:
+        brho_of = bandmat.boundary_predict_op(
+            eng.dp.bwin, pos, h=st.h, rho0=float(RHO_0), B=B)
+
+    def press_force_of(p_iter):
+        f = (eng.S0 * p_iter + eng.mv(p_iter)) \
+            * jnp.float32(-st.particle_m / RHO_0 ** 2)
+        if st.akinci:
+            f = f + S_b * (-st.particle_m * p_iter * inv_rho2)
+        return f
+
+    def predict(press_force: V3):
+        vel_p = vel + (ext_force + press_force) * (dt / st.particle_m)
+        pos_p = pos + vel_p * dt
+        if not st.akinci:
+            pos_p, vel_p = base.clamp_to_box(st, pos_p, vel_p,
+                                             margin=st.particle_radius,
+                                             decay_mul=-base.V_DECAY)
+        rho_p = rho_of(pos_p)
+        if st.akinci:
+            rho_p = rho_p + brho_of(pos_p)
+        return rho_p - RHO_0
+
+    # --- predictive-corrective loop (pcisph_solver.py:47-70) ----------------
+    press0 = jnp.zeros(n, jnp.float32)
+    force0 = V3.zeros((n,))
+    rho_err0 = predict(force0)
+    res0 = _positive_avg(rho_err0)
+    err_thresh = RHO_0 * RHO_MAX_ERR_PERCENT * 0.01
+
+    def cond(carry):
+        _, _, _, res, it = carry
+        return ((res > err_thresh) | (it < MIN_ITER)) & (it < MAX_ITER)
+
+    def body(carry):
+        p_iter, _, rho_err, _, it = carry
+        p_iter = jnp.maximum(p_iter + rho_err * delta, 0.0)
+        force = press_force_of(p_iter)
+        rho_err = predict(force)
+        return (p_iter, force, rho_err, _positive_avg(rho_err), it + 1)
+
+    p_iter, press_force, rho_err, res, iters = while_loop_unrolled(
+        cond, body, (press0, force0, rho_err0, res0,
+                     jnp.zeros((), jnp.int32)),
+        unroll=_dfsph.loop_unroll(st))
+
+    # --- integration (pcisph_solver.py:200-217) -----------------------------
+    new_vel = (vel + (ext_force + press_force) * (dt / st.particle_m)) \
+        * base.ARTIFICIAL_FRICTION
+    new_pos = pos + new_vel * dt
+    if not st.akinci:
+        new_pos, new_vel = base.clamp_to_box(st, new_pos, new_vel,
+                                             margin=st.particle_radius,
+                                             decay_mul=-base.V_DECAY)
+
+    return state._replace(
+        overflow=eng.overflow,
+        fluid=base.FluidState(pos=new_pos, vel=new_vel,
+                              acc=fluid.acc.take(perm), oid=oid),
+        t=state.t + dt,
+        step_count=state.step_count + 1,
+        extra=(delta,),
+        diag=jnp.stack([iters.astype(jnp.float32), res,
+                        jnp.zeros(()), jnp.zeros(())]),
+    )
+
+
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
+    if dense_eligible(st):
+        return _step_dense(st, arrays, state)
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
     (delta,) = state.extra
 

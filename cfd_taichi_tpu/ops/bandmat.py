@@ -1138,41 +1138,29 @@ def split_coef_matvec_ops(seng: SplitCoefEngine, n: int, B: int):
     return matvec, matvec_dot
 
 
-class DenseBoundaryTerms(NamedTuple):
-    """Per-fluid-query Akinci boundary sums (dense mode): everything the
-    solvers read from the boundary shell, so no compact (N, bK) boundary
-    list is needed.
-
-      rho:  (N,) rho0 * Sigma_b V_b W_ib            (boundary density)
-      s:    V3 (N,) Sigma_b w_b gradW_ib, w_b = rho0 V_b  (the reference's
-            separately-squared boundary vector; also WCSPH's boundary
-            pressure acc = -p_over_rho2 * s)
-      qsum: (N,) Sigma_b (w_b |gradW_ib|)^2         (DFSPH alpha Q term)
-      g2:   (N,) Sigma_b w_b |gradW_ib|^2           (IISPH a_ii d_ji term)
-    """
-    rho: jnp.ndarray
-    s: V3
-    qsum: jnp.ndarray
-    g2: jnp.ndarray
+class BoundaryWindows(NamedTuple):
+    """Step-constant plumbing of the GROUP-SPARSE boundary passes: the
+    wall-near query groups (selected by a cheap CSR interval test), their
+    boundary block plan, and the sorted/padded boundary tables. Built once
+    per step and shared by `dense_boundary_terms` (the one-shot sums) and
+    `boundary_predict_op` (PCISPH's per-iteration predicted-density pass)."""
+    gidx: jnp.ndarray      # (cap,) int32 — selected query-group ids
+    gmask: jnp.ndarray     # (cap,) bool — selection validity
+    blk: jnp.ndarray       # (cap, nbcap) int32 — boundary block plan
+    nb_mask: jnp.ndarray   # (cap, nbcap) bool
+    tbx: jnp.ndarray       # (nblocks, BLOCK) — sorted/padded boundary x
+    tby: jnp.ndarray
+    tbz: jnp.ndarray
+    tbv: jnp.ndarray       # (nblocks, BLOCK) — boundary volumes
+    nb_src: int            # true boundary particle count
     overflow: jnp.ndarray  # () int32 — near-group capacity + plan overflow
 
 
-def dense_boundary_terms(pos_q: V3, qcells: jnp.ndarray, bpos: V3,
-                         bvol: jnp.ndarray, table, grid, *, h: float,
-                         rho0: float, nbcap: int, B: int,
-                         cap: int) -> DenseBoundaryTerms:
-    """GROUP-SPARSE dense boundary pass: the boundary shell is a thin
-    static hull, so only wall-near query groups have ANY boundary
-    candidates (the interior of a 1M dam is >75% of the fluid). The
-    cheap csr_intervals test selects the near groups (static capacity
-    `cap`, overflow counted like every other capacity); only they pay
-    the interval dedupe and the dense window evaluation.
-
-    Replaces the grouped (N, bK) boundary list build + its per-term
-    (N, bK) gathers — at 1M that build alone measured 1.33 s of a
-    ~8.6 s step (a full-width dense pass would still be ~0.5 s; the
-    group-sparse form scales with the wetted-surface fraction)."""
-    n = pos_q.x.shape[0]
+def build_boundary_windows(qcells: jnp.ndarray, bpos: V3,
+                           bvol: jnp.ndarray, table, grid, *,
+                           nbcap: int, cap: int) -> BoundaryWindows:
+    """Select the wall-near query groups and build their boundary block
+    windows (the precompute half of `dense_boundary_terms`)."""
     nb_src = bvol.shape[0]
     QB = qcells.shape[0]
     cap = min(cap, QB)
@@ -1195,7 +1183,6 @@ def dense_boundary_terms(pos_q: V3, qcells: jnp.ndarray, bpos: V3,
 
     nblocks = -(-nb_src // BLOCK)
     blk = jnp.minimum(blk, max(nblocks - 1, 0))
-    W = nbcap * BLOCK
     padn = nblocks * BLOCK - nb_src
     # Zero-pad the tables and mask pad slots via scol < nb_src (the other
     # dense passes' idiom): +inf padding poisons the masked sums with
@@ -1205,6 +1192,58 @@ def dense_boundary_terms(pos_q: V3, qcells: jnp.ndarray, bpos: V3,
     tby = jnp.pad(srt.y, (0, padn)).reshape(nblocks, BLOCK)
     tbz = jnp.pad(srt.z, (0, padn)).reshape(nblocks, BLOCK)
     tbv = jnp.pad(bvol[table.order], (0, padn)).reshape(nblocks, BLOCK)
+    return BoundaryWindows(gidx=gidx, gmask=gmask, blk=blk, nb_mask=nb_mask,
+                           tbx=tbx, tby=tby, tbz=tbz, tbv=tbv,
+                           nb_src=nb_src,
+                           overflow=jnp.maximum(over_g, over_p))
+
+
+class DenseBoundaryTerms(NamedTuple):
+    """Per-fluid-query Akinci boundary sums (dense mode): everything the
+    solvers read from the boundary shell, so no compact (N, bK) boundary
+    list is needed.
+
+      rho:  (N,) rho0 * Sigma_b V_b W_ib            (boundary density)
+      s:    V3 (N,) Sigma_b w_b gradW_ib, w_b = rho0 V_b  (the reference's
+            separately-squared boundary vector; also WCSPH's boundary
+            pressure acc = -p_over_rho2 * s)
+      qsum: (N,) Sigma_b (w_b |gradW_ib|)^2         (DFSPH alpha Q term)
+      g2:   (N,) Sigma_b w_b |gradW_ib|^2           (IISPH a_ii d_ji term)
+    """
+    rho: jnp.ndarray
+    s: V3
+    qsum: jnp.ndarray
+    g2: jnp.ndarray
+    overflow: jnp.ndarray  # () int32 — near-group capacity + plan overflow
+
+
+def dense_boundary_terms(pos_q: V3, qcells: jnp.ndarray, bpos: V3,
+                         bvol: jnp.ndarray, table, grid, *, h: float,
+                         rho0: float, nbcap: int, B: int, cap: int,
+                         bw: BoundaryWindows | None = None
+                         ) -> DenseBoundaryTerms:
+    """GROUP-SPARSE dense boundary pass: the boundary shell is a thin
+    static hull, so only wall-near query groups have ANY boundary
+    candidates (the interior of a 1M dam is >75% of the fluid). The
+    cheap csr_intervals test selects the near groups (static capacity
+    `cap`, overflow counted like every other capacity); only they pay
+    the interval dedupe and the dense window evaluation.
+
+    Replaces the grouped (N, bK) boundary list build + its per-term
+    (N, bK) gathers — at 1M that build alone measured 1.33 s of a
+    ~8.6 s step (a full-width dense pass would still be ~0.5 s; the
+    group-sparse form scales with the wetted-surface fraction)."""
+    n = pos_q.x.shape[0]
+    QB = qcells.shape[0]
+    cap = min(cap, QB)
+
+    if bw is None:
+        bw = build_boundary_windows(qcells, bpos, bvol, table, grid,
+                                    nbcap=nbcap, cap=cap)
+    gidx, gmask, blk, nb_mask = bw.gidx, bw.gmask, bw.blk, bw.nb_mask
+    tbx, tby, tbz, tbv = bw.tbx, bw.tby, bw.tbz, bw.tbv
+    nb_src = bw.nb_src
+    W = nbcap * BLOCK
     col = jnp.arange(BLOCK, dtype=jnp.int32)
 
     def q(c):
@@ -1274,7 +1313,248 @@ def dense_boundary_terms(pos_q: V3, qcells: jnp.ndarray, bpos: V3,
         s=V3(scat(s_c.x), scat(s_c.y), scat(s_c.z)),
         qsum=scat(q_c),
         g2=scat(g2_c),
-        overflow=jnp.maximum(over_g, over_p))
+        overflow=bw.overflow)
+
+
+def predicted_rho_op(pos_s: V3, *, h: float, m: float, plan, B: int):
+    """Closure factory for PCISPH's per-iteration predicted-density pass
+    (reference pcisph_solver.py:135-154): pair VALIDITY is pinned to the
+    step-initial positions (the reference iterates the start-of-step grid,
+    ParticleSystem.py:447-469, solver_base.py:139-141) while the kernel W
+    is evaluated at the PREDICTED positions of both particles. The
+    start-validity mask over the block windows is computed once per step;
+    each call re-gathers only the predicted-position windows (3 lanes)
+    instead of the compact path's per-iteration (N, K) packed gathers.
+
+    Returns `rho_of(pos_p) -> (N,)` — the fluid-fluid predicted density
+    m * Sigma_j W(|pos_p_i - pos_p_j|) over start-valid pairs."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, _ = plan
+    nbcap = blk.shape[1]
+    QB = blk.shape[0]
+    W = nbcap * BLOCK
+
+    def win(vals):
+        return _window(blk, vals, n).reshape(QB, 1, W)
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n)).reshape(QB, B, 1)
+
+    dx0 = q(pos_s.x) - win(pos_s.x)
+    dy0 = q(pos_s.y) - win(pos_s.y)
+    dz0 = q(pos_s.z) - win(pos_s.z)
+    r2_0 = dx0 * dx0 + dy0 * dy0 + dz0 * dz0
+    scol = (blk[:, :, None] * BLOCK
+            + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+            ).reshape(QB, 1, W)
+    qslot = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B, 1)
+    valid = (jnp.broadcast_to(nb_mask[:, :, None],
+                              (QB, nbcap, BLOCK)).reshape(QB, 1, W)
+             & (scol < n) & (qslot < n) & (scol != qslot)
+             & (r2_0 <= jnp.float32(h) * jnp.float32(h)))
+
+    def rho_of(pos_p: V3) -> jnp.ndarray:
+        dx = q(pos_p.x) - win(pos_p.x)
+        dy = q(pos_p.y) - win(pos_p.y)
+        dz = q(pos_p.z) - win(pos_p.z)
+        r = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
+        wk = jnp.where(valid, sm.cubic_w(r, h), 0.0)
+        return jnp.float32(m) * wk.sum(axis=2).reshape(-1)[:n]
+
+    return rho_of
+
+
+def boundary_predict_op(bw: BoundaryWindows, pos_q: V3, *, h: float,
+                        rho0: float, B: int):
+    """Group-sparse closure for PCISPH's predicted BOUNDARY density term
+    (reference pcisph_solver.py:143-147): the Akinci shell is static, so
+    pair validity (distance at the step-initial fluid positions) and the
+    volume weights are precomputed once per step over the wall-near query
+    groups; each call re-gathers only the predicted fluid positions of
+    those groups and re-evaluates W at the predicted distance.
+
+    Returns `brho_of(pos_p) -> (N,)` — rho0 * Sigma_b V_b W(|pos_p_i - x_b|)
+    over start-valid fluid-boundary pairs (zero for wall-far rows)."""
+    n = pos_q.x.shape[0]
+    gidx, gmask, blk, nb_mask = bw.gidx, bw.gmask, bw.blk, bw.nb_mask
+    cap, nbcap = blk.shape
+    W = nbcap * BLOCK
+    QB = -(-n // B)
+    col = jnp.arange(BLOCK, dtype=jnp.int32)
+
+    def win(t):
+        return t[blk].reshape(cap, W)[:, None, :]
+
+    def q(c, fill):
+        return jnp.pad(c, (0, QB * B - n), mode=fill).reshape(QB, B)[gidx]
+
+    dx0 = q(pos_q.x, "edge")[:, :, None] - win(bw.tbx)
+    dy0 = q(pos_q.y, "edge")[:, :, None] - win(bw.tby)
+    dz0 = q(pos_q.z, "edge")[:, :, None] - win(bw.tbz)
+    r2_0 = dx0 * dx0 + dy0 * dy0 + dz0 * dz0
+    scol = (blk[:, :, None] * BLOCK + col[None, None, :]).reshape(cap, 1, W)
+    valid = (jnp.broadcast_to(nb_mask[:, :, None],
+                              (cap, nbcap, BLOCK)).reshape(cap, 1, W)
+             & (scol < bw.nb_src)
+             & (r2_0 <= jnp.float32(h) * jnp.float32(h)))
+    wb0 = jnp.where(valid, jnp.float32(rho0) * win(bw.tbv), 0.0)
+    gsafe = jnp.where(gmask, gidx, QB)
+
+    def brho_of(pos_p: V3) -> jnp.ndarray:
+        dx = q(pos_p.x, "edge")[:, :, None] - win(bw.tbx)
+        dy = q(pos_p.y, "edge")[:, :, None] - win(bw.tby)
+        dz = q(pos_p.z, "edge")[:, :, None] - win(bw.tbz)
+        r = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
+        vals = (wb0 * sm.cubic_w(r, h)).sum(axis=2)
+        # Scatter back at group granularity; masked rows target row QB and
+        # are dropped (mode='drop'), so they can never clobber group 0.
+        out = jnp.zeros((QB + 1, B), jnp.float32)
+        return out.at[gsafe].set(vals, mode="drop"
+                                 ).reshape(-1)[:(QB * B)][:n]
+
+    return brho_of
+
+
+class PbfTerms(NamedTuple):
+    """One-shot PBF pair sums at the step-initial positions (reference
+    pbf_solver.py:32-52,127-174 — PBF evaluates rho/lambda/delta-p pair
+    geometry at the START positions; only XSPH reads updated ones)."""
+    rho: jnp.ndarray     # (N,) m * Sigma_j poly6(r)
+    gsum: V3             # (N,) Sigma_j spiky_c * x_ij (grad_c_i * rho0)
+    around: jnp.ndarray  # (N,) Sigma_j (r * spiky_c)^2
+    ssum: V3             # (N,) Sigma_j s_corr * spiky_c * x_ij
+
+
+def dense_pbf_ops(pos_s: V3, *, h: float, m: float, plan, B: int,
+                  w_ref: float, k_corr: float):
+    """Dense-window PBF engine (fluid-fluid): the start-validity mask is
+    computed once; each pass re-gathers only the window lanes it needs.
+
+    Returns (terms: PbfTerms,
+             lam_mv(lam) -> V3      Sigma_j lam_j spiky_c x_ij  (the only
+                                    lambda-dependent pair sum, one window
+                                    pass re-gathering lam),
+             xsph(new_pos, new_vel) -> V3   Sigma_j (v_j - v_i) poly6(d)
+                                    at the UPDATED positions over
+                                    start-pinned pairs).
+
+    Matches models/pbf.py's compact passes term-for-term (reference
+    pbf_solver.py:32-96,144-174)."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, _ = plan
+    nbcap = blk.shape[1]
+    QB = blk.shape[0]
+    W = nbcap * BLOCK
+
+    def win(vals):
+        return _window(blk, vals, n).reshape(QB, 1, W)
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n)).reshape(QB, B, 1)
+
+    def geom(pos: V3):
+        dx = q(pos.x) - win(pos.x)
+        dy = q(pos.y) - win(pos.y)
+        dz = q(pos.z) - win(pos.z)
+        r2 = dx * dx + dy * dy + dz * dz
+        return dx, dy, dz, r2
+
+    dx0, dy0, dz0, r2_0 = geom(pos_s)
+    scol = (blk[:, :, None] * BLOCK
+            + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+            ).reshape(QB, 1, W)
+    qslot = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B, 1)
+    valid = (jnp.broadcast_to(nb_mask[:, :, None],
+                              (QB, nbcap, BLOCK)).reshape(QB, 1, W)
+             & (scol < n) & (qslot < n) & (scol != qslot)
+             & (r2_0 <= jnp.float32(h) * jnp.float32(h)))
+
+    def rw(t):
+        return t.sum(axis=2).reshape(-1)[:n]
+
+    r0 = jnp.sqrt(jnp.maximum(r2_0, 1e-24))
+    spiky = jnp.where(valid, sm.spiky_grad_coeff(r0, h), 0.0)
+    poly = jnp.where(valid, sm.poly6_w(r0, h), 0.0)
+    s = poly * jnp.float32(1.0 / w_ref)
+    s2 = s * s
+    sc = jnp.float32(-k_corr) * s2 * s2 * spiky   # s_corr * spiky_c
+    terms = PbfTerms(
+        rho=jnp.float32(m) * rw(poly),
+        gsum=V3(rw(spiky * dx0), rw(spiky * dy0), rw(spiky * dz0)),
+        around=rw((r0 * spiky) ** 2 * valid),
+        ssum=V3(rw(sc * dx0), rw(sc * dy0), rw(sc * dz0)))
+
+    def lam_mv(lam: jnp.ndarray) -> V3:
+        lw = win(lam) * spiky
+        return V3(rw(lw * dx0), rw(lw * dy0), rw(lw * dz0))
+
+    def xsph(new_pos: V3, new_vel: V3) -> V3:
+        dx, dy, dz, r2 = geom(new_pos)
+        wx = jnp.where(valid, sm.poly6_w(
+            jnp.sqrt(jnp.maximum(r2, 1e-24)), h), 0.0)
+        # Sigma (v_j - v_i) w = Sigma v_j w - v_i Sigma w
+        wsum = rw(wx)
+        return V3(rw(win(new_vel.x) * wx) - new_vel.x * wsum,
+                  rw(win(new_vel.y) * wx) - new_vel.y * wsum,
+                  rw(win(new_vel.z) * wx) - new_vel.z * wsum)
+
+    return terms, lam_mv, xsph
+
+
+def pbf_boundary_terms(bw: BoundaryWindows, pos_q: V3, *, h: float,
+                       rho0: float, B: int, w_ref: float, k_corr: float):
+    """Group-sparse PBF boundary sums at the step-initial positions
+    (reference pbf_solver.py:106-164 boundary branches; volume enters the
+    DENSITY term only — the grad_c/around terms use the bare spiky
+    coefficient, reference quirk kept, cf. models/pbf.py:74-81):
+
+      b_rho    rho0 * Sigma_b V_b poly6(r)
+      b_g      V3   Sigma_b spiky_c * x_ib
+      b_around Sigma_b (r * spiky_c)^2
+      b_ssum   V3   Sigma_b s_corr * spiky_c * x_ib
+    """
+    n = pos_q.x.shape[0]
+    gidx, gmask, blk, nb_mask = bw.gidx, bw.gmask, bw.blk, bw.nb_mask
+    cap, nbcap = blk.shape
+    W = nbcap * BLOCK
+    QB = -(-n // B)
+    col = jnp.arange(BLOCK, dtype=jnp.int32)
+
+    def win(t):
+        return t[blk].reshape(cap, W)[:, None, :]
+
+    def q(c):
+        return jnp.pad(c, (0, QB * B - n), mode="edge"
+                       ).reshape(QB, B)[gidx][:, :, None]
+
+    dx = q(pos_q.x) - win(bw.tbx)
+    dy = q(pos_q.y) - win(bw.tby)
+    dz = q(pos_q.z) - win(bw.tbz)
+    r2 = dx * dx + dy * dy + dz * dz
+    scol = (blk[:, :, None] * BLOCK + col[None, None, :]).reshape(cap, 1, W)
+    valid = (jnp.broadcast_to(nb_mask[:, :, None],
+                              (cap, nbcap, BLOCK)).reshape(cap, 1, W)
+             & (scol < bw.nb_src)
+             & (r2 <= jnp.float32(h) * jnp.float32(h)))
+    r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+    spiky = jnp.where(valid, sm.spiky_grad_coeff(r, h), 0.0)
+    poly = jnp.where(valid, sm.poly6_w(r, h), 0.0)
+    s = poly * jnp.float32(1.0 / w_ref)
+    s2 = s * s
+    sc = jnp.float32(-k_corr) * s2 * s2 * spiky
+
+    gsafe = jnp.where(gmask, gidx, QB)
+
+    def scat(vals):
+        out = jnp.zeros((QB + 1, B), jnp.float32)
+        return out.at[gsafe].set(vals.sum(axis=2), mode="drop"
+                                 ).reshape(-1)[:(QB * B)][:n]
+
+    b_rho = scat(jnp.float32(rho0) * win(bw.tbv) * poly)
+    b_g = V3(scat(spiky * dx), scat(spiky * dy), scat(spiky * dz))
+    b_around = scat((r * spiky) ** 2 * valid)
+    b_ssum = V3(scat(sc * dx), scat(sc * dy), scat(sc * dz))
+    return b_rho, b_g, b_around, b_ssum
 
 
 def dense_wcsph_forces(pos_s: V3, vel_s: V3, rho: jnp.ndarray,

@@ -300,17 +300,27 @@ def build_scene(cfg: SimConfig) -> Scene:
     bband_nb = (int(boundary_band_capacity(np.asarray(boundary_pos),
                                            grid) * 1.6) + 4) \
         if sv.boundary_handle else 6
-    # Wall-near group capacity for the group-sparse dense boundary pass:
-    # 2x the seed need (the wetted surface roughly doubles through a dam
-    # collapse) with a QB-fraction floor for splashy scenes — 30% for
-    # small scenes (B=16), 15% at large N (B=8; measured on the evolved
-    # hot-phase 1M dam: 12,780 near groups of 125,000 = 10.2%).
+    # Wall-near group capacity for the group-sparse dense boundary pass.
+    # At B=16 (small scenes) the capacity is EXACT — cap = QB, overflow
+    # impossible: a collapsed dam wets far more groups than the seed
+    # (measured evolved 30k dam at t=0.35: 1,165 near groups of 1,820 =
+    # 64% vs 480 at seed), and a dropped group loses its ENTIRE boundary
+    # contribution, so the 2x-seed heuristic broke physics exactly where
+    # the flow is violent. The full-width pass costs ~2x the sparse one
+    # at this scale — cheap. At B=8 (large N) group-sparsity is the
+    # point (measured evolved hot-phase 1M dam: 12,780 near groups of
+    # 125,000 = 10.2%): 2x the seed need with a 15%-of-QB floor,
+    # overflow counted on-device.
     _QB = -(-n_fluid // band_B)
     if sv.boundary_handle:
-        _seed_near = boundary_near_group_capacity(
-            np.asarray(fluid_pos), np.asarray(boundary_pos), grid, band_B)
-        _floor = (3 * _QB) // 10 if band_B == 16 else (3 * _QB) // 20
-        bq_cap = min(_QB, _round_up(max(2 * _seed_near, _floor, 64), 8))
+        if band_B == 16:
+            bq_cap = _QB
+        else:
+            _seed_near = boundary_near_group_capacity(
+                np.asarray(fluid_pos), np.asarray(boundary_pos), grid,
+                band_B)
+            _floor = (3 * _QB) // 20
+            bq_cap = min(_QB, _round_up(max(2 * _seed_near, _floor, 64), 8))
     else:
         bq_cap = 0
     # Split-bucket coef engine widths (B=8 / coef regime only): the

@@ -217,23 +217,31 @@ def test_grouped_build_engine_matches_default(monkeypatch):
                                np.asarray(sim1.state.diag), atol=1e-3)
 
 
-@pytest.mark.parametrize("name", ["dfsph", "wcsph", "iisph"])
+@pytest.mark.parametrize("name", ["dfsph", "wcsph", "iisph", "pcisph", "pbf"])
 def test_dense_mode_matches_compact(name, monkeypatch):
     """The dense-window fluid path (no compact (N, K) list; fused
     band+terms passes, group-sparse boundary sums) must reproduce the
     compact path's physics on a fluid-only scene: same positions to f32
-    round-off, same dt and iteration counts, zero overflow."""
+    round-off, same dt and iteration counts, zero overflow. PCISPH also
+    covers the per-iteration predicted-rho window ops
+    (bandmat.predicted_rho_op / boundary_predict_op)."""
     import cfd_taichi_tpu.models.dfsph as D
     import cfd_taichi_tpu.models.iisph as I  # noqa: F401
+    import cfd_taichi_tpu.models.pbf as PB
+    import cfd_taichi_tpu.models.pcisph as P
     import cfd_taichi_tpu.models.wcsph as W
 
-    gate = W if name == "wcsph" else D  # iisph gates on dfsph.dense_eligible
+    # iisph/pcisph/pbf read dfsph.DENSE_FLUID inside their dense_eligible,
+    # so the flag flip targets D for them; wcsph has its own copy.
+    gate = {"wcsph": W, "dfsph": D, "iisph": D, "pcisph": P,
+            "pbf": PB}[name]
+    flag_mod = W if name == "wcsph" else D
     sim_dense = make_sim(name)
     assert gate.dense_eligible(sim_dense.scene.static)
     for _ in range(6):
         sim_dense.step()
 
-    monkeypatch.setattr(gate, "DENSE_FLUID", False)
+    monkeypatch.setattr(flag_mod, "DENSE_FLUID", False)
     sim_comp = make_sim(name)
     for _ in range(6):
         sim_comp.step()
