@@ -273,7 +273,7 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
     enough (2h) that a ghost neighbor's density — needed for the symmetric
     pressure term — is computed locally without a second exchange round.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from cfd_taichi_tpu.models import wcsph as w
 
@@ -397,7 +397,7 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
         local_step, mesh=mesh,
         in_specs=(P(AXIS),) * 7 + (P(), P(), P(), P()),
         out_specs=(P(AXIS),) * 7 + (P(),),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -480,7 +480,7 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
     `consts` carries solver-global scalars (PCISPH: the init-time stiffness
     `delta`, computed once from the global seed exactly like the
     single-chip models.pcisph.init_state)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from cfd_taichi_tpu.models import base as mbase
     from cfd_taichi_tpu.models.base import GROUPED_BUILD_MIN_N
@@ -639,7 +639,7 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
         local_step, mesh=mesh,
         in_specs=(P(AXIS),) * (7 + n_extras) + (P(), P(), P(), P(), P()),
         out_specs=(P(AXIS),) * (7 + n_extras) + (P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
