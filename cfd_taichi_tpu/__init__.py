@@ -31,18 +31,25 @@ import jax as _jax
 
 
 def _host_fingerprint() -> str:
-    """Hash of the host CPU's feature flags. XLA:CPU AOT executables are
-    feature-set specific and the persistent cache does NOT key on them —
-    loading an entry compiled on a different machine risks SIGILL — so the
-    cache directory embeds the fingerprint and a host change simply starts
-    a fresh cache (TPU entries are keyed by chip type and would have been
-    safe either way)."""
+    """Hash of the host CPU's model + feature flags + jax version. XLA:CPU
+    AOT executables are feature-set specific and the persistent cache does
+    NOT key on them — loading an entry compiled on a different machine risks
+    SIGILL — so the cache directory embeds the fingerprint and a host change
+    simply starts a fresh cache (TPU entries are keyed by chip type and
+    would have been safe either way). The model name is included because
+    LLVM derives tuning pseudo-features (e.g. prefer-no-gather on
+    Downfall-mitigated parts) from the model, not the flags line — two
+    hosts with identical flags can still produce mismatched AOT blobs."""
     try:
         with open("/proc/cpuinfo") as f:
+            key = _jax.__version__
             for line in f:
-                if line.startswith("flags"):
-                    import hashlib
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                if line.startswith(("flags", "model name")):
+                    key += line
+                    if line.startswith("flags"):
+                        break
+            import hashlib
+            return hashlib.sha1(key.encode()).hexdigest()[:12]
     except OSError:
         pass
     return "generic"

@@ -135,26 +135,18 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     )
 
 
-def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
-    if dense_eligible(st):
-        return _step_dense(st, arrays, state)
-    fluid, rigid, dt = state.fluid, state.rigid, state.dt
-
-    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
-    pos = nbh.pos
-    oid = fluid.oid[nbh.perm]
-
-    # PBF is fluid-fluid (+ Akinci boundary) only.
+def constraint_pass(st: SceneStatic, nbh: base.Nbh):
+    """The PBF density constraint over one step's Nbh: density, lambda and
+    the corrected position delta, all from start-of-step pair geometry
+    (pbf_solver.py:32-65,106-174). Eager (PBF has no solver loop); shared
+    verbatim by the single-chip step and the sharded physics callback
+    (parallel/domain._pbf_physics). Returns (rho, lam, delta_pos)."""
     mask_f = nbh.mask_f
     spiky_c = sm.spiky_grad_coeff(nbh.r, st.h)   # gradW = spiky_c * x_ij
     poly_w = sm.poly6_w(nbh.r, st.h)
     if st.akinci:
         bspiky_c = sm.spiky_grad_coeff(nbh.br, st.h)
         bpoly_w = sm.poly6_w(nbh.br, st.h)
-
-    # --- external force + predicted positions (pbf_solver.py:26-30) ---------
-    vel = fluid.vel.take(nbh.perm) + base.gravity_acc(st) * dt
-    pos_predict = pos + vel * dt
 
     # --- density (poly6) + constraint (pbf_solver.py:127-130,166-174) -------
     rho = base.DENSITY_EPS + st.particle_m * base.msum(poly_w, mask_f)
@@ -193,6 +185,39 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
         bpair = jnp.where(nbh.bmask, (lam_q + bs_corr) * bspiky_c, 0.0)
         delta_pos = delta_pos + base.sum_vec(nbh.bx, bpair)
     delta_pos = delta_pos / RHO_0
+    return rho, lam, delta_pos
+
+
+def xsph_delta(st: SceneStatic, nbh: base.Nbh, new_pos: V3, new_vel: V3) -> V3:
+    """XSPH viscosity sum over UPDATED positions/velocities (deterministic
+    resolution of the reference's in-kernel race, see module docstring;
+    pbf_solver.py:85-96). ONE 6-lane packed row gather for both fields:
+    six single-lane gathers measure ~5x slower per index (base.jf_pack
+    note). Caller scales by XSPH_C."""
+    pjx, pjy, pjz, vjx, vjy, vjz = base.jf_pack(
+        st, nbh, new_pos.x, new_pos.y, new_pos.z,
+        new_vel.x, new_vel.y, new_vel.z)
+    d_new = (new_pos.expand(1) - V3(pjx, pjy, pjz)).norm()
+    w_x = sm.poly6_w(d_new, st.h)
+    dv = V3(vjx, vjy, vjz) - new_vel.expand(1)
+    return (dv * w_x).msum(nbh.mask_f)
+
+
+def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
+    if dense_eligible(st):
+        return _step_dense(st, arrays, state)
+    fluid, rigid, dt = state.fluid, state.rigid, state.dt
+
+    nbh = base.build_nbh(st, arrays, fluid.pos, rigid.pos)
+    pos = nbh.pos
+    oid = fluid.oid[nbh.perm]
+
+    # --- external force + predicted positions (pbf_solver.py:26-30) ---------
+    vel = fluid.vel.take(nbh.perm) + base.gravity_acc(st) * dt
+    pos_predict = pos + vel * dt
+
+    # PBF is fluid-fluid (+ Akinci boundary) only.
+    rho, lam, delta_pos = constraint_pass(st, nbh)
 
     # --- position/velocity update + XSPH (pbf_solver.py:67-96) --------------
     pos_predict = pos_predict + delta_pos
@@ -203,18 +228,7 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
             decay_mul=base.V_DECAY)  # positive decay (pbf_solver.py:78,82)
     new_pos = pos_predict
 
-    # XSPH over updated positions/velocities (deterministic resolution of
-    # the reference's in-kernel race, see module docstring). ONE 6-lane
-    # packed row gather for both fields: six single-lane gathers measure
-    # ~5x slower per index (base.jf_pack note).
-    pjx, pjy, pjz, vjx, vjy, vjz = base.jf_pack(
-        st, nbh, new_pos.x, new_pos.y, new_pos.z,
-        new_vel.x, new_vel.y, new_vel.z)
-    d_new = (new_pos.expand(1) - V3(pjx, pjy, pjz)).norm()
-    w_x = sm.poly6_w(d_new, st.h)
-    dv = V3(vjx, vjy, vjz) - new_vel.expand(1)
-    xsph = (dv * w_x).msum(mask_f)
-    new_vel = new_vel + XSPH_C * xsph
+    new_vel = new_vel + XSPH_C * xsph_delta(st, nbh, new_pos, new_vel)
 
     return state._replace(
         overflow=nbh.overflow,

@@ -19,8 +19,9 @@ TPU-native answer is:
     (dfsph_solver.py:125,253; pcisph_solver.py:122).
 
 Particle state is component-separated (V3, ops/vec.py) so every buffer
-tiles cleanly on TPU. The sharded step currently covers the WCSPH fluid
-path (clamp or Akinci boundary; rigid coupling remains single-chip).
+tiles cleanly on TPU. All five solvers run sharded (WCSPH via its own
+fused step; DFSPH/PCISPH/IISPH/PBF through the generic scaffold), clamp
+or Akinci boundary; rigid coupling remains single-chip.
 """
 
 from __future__ import annotations
@@ -456,7 +457,7 @@ def _shim_static(st: SceneStatic, ns: int) -> SceneStatic:
                                rigid_active=False)
 
 
-_N_EXTRAS = {"dfsph": 1, "pcisph": 0, "iisph": 1}
+_N_EXTRAS = {"dfsph": 1, "pcisph": 0, "iisph": 1, "pbf": 0}
 
 
 def init_sharded_solver(mesh: Mesh, spec: ShardSpec, st: SceneStatic,
@@ -489,7 +490,7 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
         raise ValueError("sharded solvers cover the fluid path only; run "
                          "rigid-coupled scenes single-chip")
     physics = {"dfsph": _dfsph_physics, "pcisph": _pcisph_physics,
-               "iisph": _iisph_physics}[solver]
+               "iisph": _iisph_physics, "pbf": _pbf_physics}[solver]
     n_extras = _N_EXTRAS[solver]
     consts = consts or {}
 
@@ -607,24 +608,32 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
                        psum=lambda x: jax.lax.psum(x, AXIS),
                        pmax=lambda x: jax.lax.pmax(x, AXIS))
 
-        new_vel, new_extras, dt, diag, phys_over = physics(
-            ctx, sv, extras, dt, consts)
+        res = physics(ctx, sv, extras, dt, consts)
+        # Velocity-form solvers return 5 values; position-based solvers
+        # (PBF) return a 6th — owner-exact final positions, clamp already
+        # applied — in which case the scaffold's integration is skipped.
+        new_vel, new_extras, dt, diag, phys_over = res[:5]
+        new_pos_own = res[5] if len(res) > 5 else None
         overflow = jnp.maximum(overflow, phys_over)
 
         # --- integrate owned + migrate -----------------------------------
-        new_pos = V3(*(pc + nv * dt
-                       for pc, nv in zip(pos.astuple(), new_vel.astuple())))
-        if not st.akinci:
-            np_, nv_ = [], []
-            for c, vv, lo_c, hi_c in zip(new_pos.astuple(),
-                                         new_vel.astuple(),
-                                         st.box_min, st.box_max):
-                lo = jnp.float32(lo_c + st.particle_radius)
-                hi = jnp.float32(hi_c - st.particle_radius)
-                hit = (c <= lo) | (c >= hi)
-                nv_.append(jnp.where(hit, vv * -0.5, vv))
-                np_.append(jnp.clip(c, lo, hi))
-            new_pos, new_vel = V3(*np_), V3(*nv_)
+        if new_pos_own is not None:
+            new_pos = new_pos_own
+        else:
+            new_pos = V3(*(pc + nv * dt
+                           for pc, nv in zip(pos.astuple(),
+                                             new_vel.astuple())))
+            if not st.akinci:
+                np_, nv_ = [], []
+                for c, vv, lo_c, hi_c in zip(new_pos.astuple(),
+                                             new_vel.astuple(),
+                                             st.box_min, st.box_max):
+                    lo = jnp.float32(lo_c + st.particle_radius)
+                    hi = jnp.float32(hi_c - st.particle_radius)
+                    hit = (c <= lo) | (c >= hi)
+                    nv_.append(jnp.where(hit, vv * -0.5, vv))
+                    np_.append(jnp.clip(c, lo, hi))
+                new_pos, new_vel = V3(*np_), V3(*nv_)
         new_pos = new_pos.where(mask, pos)
         new_vel = new_vel.where(mask, 0.0)
 
@@ -910,6 +919,58 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     diag = jnp.stack([iters.astype(jnp.float32), res, jnp.zeros(()),
                       jnp.zeros(())])
     return new_vel, [ctx.own_of(p_iter)], dt, diag, jnp.zeros((), jnp.int32)
+
+
+def _pbf_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
+    """Sharded PBF: models.pbf constraint algebra, zero in-loop exchanges.
+
+    PBF is a single constraint pass (pbf_solver.py:176-186), and its value
+    dependency chain from an owned particle is at most two neighbor hops
+    deep (delta_pos <- neighbor lambda <- that neighbor's density), so
+    with the 2h halo every owned output is EXACTLY computable locally:
+    an owned particle's neighbors lie within h (owned or h-band ghosts),
+    and an h-band ghost's density neighborhood lies within 2h — inside
+    the halo. The only exchange is one post-update trade of the final
+    positions/velocities through the step's BandPlan so the XSPH pass
+    (a third hop, over updated values, pbf_solver.py:85-96) reads
+    owner-exact neighbor values. Returns final positions (6-tuple form):
+    PBF's update is position-based with its own clamp semantics
+    (margin = radius, POSITIVE 0.5 velocity decay, pbf_solver.py:74-82)."""
+    from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.models import pbf as PB
+
+    st, nbh = ctx.st, ctx.nbh
+
+    # --- external force + predicted positions (pbf_solver.py:26-30) -------
+    vel = sv + mbase.gravity_acc(st) * dt
+    pos_predict = nbh.pos + vel * dt
+
+    rho, lam, delta_pos = PB.constraint_pass(st, nbh)
+
+    # --- position/velocity update (pbf_solver.py:67-82) -------------------
+    pos_predict = pos_predict + delta_pos
+    new_vel = (pos_predict - nbh.pos) * (1.0 / dt)
+    if not st.akinci:
+        pos_predict, new_vel = mbase.clamp_to_box(
+            st, pos_predict, new_vel, margin=st.particle_radius,
+            decay_mul=mbase.V_DECAY)
+
+    # Owner-exact values into every ghost slot, then XSPH reads neighbors
+    # (all within h of an owned particle) from exchanged exact values.
+    new_pos_own = V3(*(ctx.own_of(c) for c in pos_predict.astuple()))
+    new_vel_own = V3(*(ctx.own_of(c) for c in new_vel.astuple()))
+    np_full = V3(*(ctx.full_sorted(c) for c in new_pos_own.astuple()))
+    nv_full = V3(*(ctx.full_sorted(c) for c in new_vel_own.astuple()))
+    nv_full = nv_full + PB.XSPH_C * PB.xsph_delta(st, nbh, np_full, nv_full)
+    new_vel_own = V3(*(ctx.own_of(c) for c in nv_full.astuple()))
+
+    # diag[1]: global max density constraint violation (telemetry only).
+    cmax = ctx.pmax(jnp.max(jnp.where(ctx.s_owned,
+                                      jnp.maximum(rho / RHO_0 - 1.0, 0.0),
+                                      0.0)))
+    diag = jnp.stack([jnp.zeros(()), cmax, jnp.zeros(()), jnp.zeros(())])
+    return (new_vel_own, [], dt, diag, jnp.zeros((), jnp.int32),
+            new_pos_own)
 
 
 # --- backwards-compatible DFSPH API ----------------------------------------

@@ -170,13 +170,14 @@ def _nearest_match(got_pos, ref_pos, tol):
     assert nearest.max() < tol, f"max pairing distance {nearest.max()}"
 
 
-@pytest.mark.parametrize("solver", ["pcisph", "iisph"])
+@pytest.mark.parametrize("solver", ["pcisph", "iisph", "pbf"])
 def test_sharded_iterative_solver_matches_single_chip(solver):
     """Sharded PCISPH/IISPH (per-iteration pressure exchange through the
-    planned halo slots + psum residuals) agree with the single-chip
+    planned halo slots + psum residuals) and PBF (exchange-free constraint
+    pass + one post-update trade for XSPH) agree with the single-chip
     solvers, with IDENTICAL iteration counts — the same equivalence bar as
     sharded DFSPH. Reference loops: pcisph_solver.py:47-70,
-    iisph_solver.py:78-147."""
+    iisph_solver.py:78-147; PBF single pass: pbf_solver.py:176-186."""
     cfg = copy.deepcopy(CFG)
     cfg["solver"]["name"] = solver
     sim = Simulation(parse_config(cfg))
