@@ -103,6 +103,47 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     )
 
 
+def accel_of(st: SceneStatic, nbh, vel, rho, rigid, rigid_force,
+             oid=None):
+    """The full WCSPH pressure-phase acceleration over one Nbh (gravity +
+    symmetric Tait pressure gradient + Monaghan viscosity + cohesion +
+    Akinci boundary acc), plus the updated rigid reaction force — defined
+    ONCE for the single-chip compact step and the sharded scaffold callback
+    (parallel/domain._wcsph_physics) so the two cannot drift (reference
+    wcsph_solver.py:32-38,65-129)."""
+    p = tait_pressure(rho)
+    p_over_rho2 = p / (rho * rho)
+
+    gcoef = sm.cubic_grad_coeff(nbh.r, st.h)
+    # 4-lane packed gather with distinct riders: the single-lane gather
+    # emitter is ~5x slower per index (models/base.jf_pack note).
+    p_j, _, _, _ = base.jf_pack(st, nbh, p_over_rho2, rho, p,
+                                p_over_rho2 * rho)
+    sym = p_over_rho2[:, None] + p_j
+    scale = jnp.where(nbh.mask_f, -st.particle_m * sym * gcoef, 0.0)
+
+    if nbh.rigid_vol is not None:
+        s_scale = jnp.where(
+            nbh.mask_s,
+            -nbh.rigid_vol * p_over_rho2[:, None] * RHO_0 * gcoef, 0.0)
+        scale = scale + s_scale
+        # Reaction on the rigid body: += -term * m (wcsph_solver.py:126).
+        rigid_force = base.nbh_scatter_rigid_force(
+            st, nbh, nbh.x * (-s_scale * st.particle_m), nbh.mask_s,
+            rigid_force)
+    pressure_acc = base.sum_vec(nbh.x, scale)
+
+    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
+                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
+                                   oid=oid)
+    tension = base.nbh_tension(st, nbh, TENSION_K)
+
+    acc = base.gravity_acc(st) + pressure_acc + viscosity + tension
+    if st.akinci:
+        acc = acc + RHO_0 * base.nbh_boundary_pressure_acc(st, nbh, p, rho)
+    return acc, rigid_force
+
+
 def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.SimState:
     if dense_eligible(st):
         return _step_dense(st, arrays, state)
@@ -117,37 +158,9 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
 
     # --- pressure phase (reference wcsph_solver.py:32-38) -------------------
     rho = base.nbh_rho(st, nbh)
-    p = tait_pressure(rho)
-    p_over_rho2 = p / (rho * rho)
-
-    gcoef = sm.cubic_grad_coeff(nbh.r, st.h)
-    # 4-lane packed gather with distinct riders: the single-lane gather
-    # emitter is ~5x slower per index (models/base.jf_pack note).
-    p_j, _, _, _ = base.jf_pack(st, nbh, p_over_rho2, rho, p,
-                                p_over_rho2 * rho)
-    sym = p_over_rho2[:, None] + p_j
-    scale = jnp.where(nbh.mask_f, -st.particle_m * sym * gcoef, 0.0)
-
-    force = rigid.force
-    if nbh.rigid_vol is not None:
-        s_scale = jnp.where(
-            nbh.mask_s,
-            -nbh.rigid_vol * p_over_rho2[:, None] * RHO_0 * gcoef, 0.0)
-        scale = scale + s_scale
-        # Reaction on the rigid body: += -term * m (wcsph_solver.py:126).
-        force = base.nbh_scatter_rigid_force(
-            st, nbh, nbh.x * (-s_scale * st.particle_m), nbh.mask_s, force)
-    pressure_acc = base.sum_vec(nbh.x, scale)
-
-    viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
-                                   c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
-                                   oid=oid)
-    tension = base.nbh_tension(st, nbh, TENSION_K)
+    acc, force = accel_of(st, nbh, vel, rho, rigid, rigid.force, oid=oid)
 
     # --- kinematic phase (reference wcsph_solver.py:40-63) ------------------
-    acc = base.gravity_acc(st) + pressure_acc + viscosity + tension
-    if st.akinci:
-        acc = acc + RHO_0 * base.nbh_boundary_pressure_acc(st, nbh, p, rho)
     new_vel = (vel + acc * dt) * WCSPH_DAMPING
     new_pos = pos + new_vel * dt
     if not st.akinci:

@@ -268,146 +268,19 @@ def _migrate(spec: ShardSpec, arrays: list, mask):
 
 def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
                             spec: ShardSpec):
-    """Build a jitted sharded WCSPH step closed over static scene metadata.
+    """Sharded WCSPH through the generic scaffold (physics callback =
+    models.wcsph.accel_of, the same closed-form pressure phase the
+    single-chip solver runs). Kept as a ShardedFluid -> ShardedFluid
+    adapter for callers that don't carry a ShardedState (WCSPH has no
+    extras and a fixed dt, so the state wrapper is pure plumbing)."""
+    inner = make_sharded_solver_step(st, arrays, mesh, spec, "wcsph")
+    dt0 = jnp.asarray(st.dt0, jnp.float32)
+    zero4 = jnp.zeros((4,), jnp.float32)
 
-    Physics identical to models/wcsph.py (Tait EOS etc.); ghosts are deep
-    enough (2h) that a ghost neighbor's density — needed for the symmetric
-    pressure term — is computed locally without a second exchange round.
-    """
-    from jax import shard_map
-
-    from cfd_taichi_tpu.models import wcsph as w
-
-    h = st.h
-    dt = jnp.float32(st.dt0)
-
-    def local_step(px, py, pz, vx, vy, vz, mask, bx, by, bz, bvol):
-        pos = V3(px, py, pz)
-        vel = V3(vx, vy, vz)
-        bpos = V3(bx, by, bz)
-        halo_pos, halo_vel, halo_mask, plan = _halo_exchange(spec, pos, vel,
-                                                             mask, h)
-        src_pos = V3(*(jnp.concatenate([a, b]) for a, b in
-                       zip(pos.astuple(), halo_pos.astuple())))
-        src_vel = V3(*(jnp.concatenate([a, b]) for a, b in
-                       zip(vel.astuple(), halo_vel.astuple())))
-        src_mask = jnp.concatenate([mask, halo_mask])
-        ns = src_mask.shape[0]
-
-        # Invalid slots go to a virtual cell past the grid so no real cell's
-        # capacity is wasted on padding.
-        table = nb.build_cell_table(src_pos, st.grid, valid=src_mask)
-        qid = jnp.arange(ns, dtype=jnp.int32)
-        nlist = nb.find_neighbors(src_pos, qid, src_pos, table, st.grid,
-                                  K=st.K, cell_cap=st.cell_cap,
-                                  exclude_self=True, k2=st.k2)
-        j = nlist.idx
-        pair_mask = nlist.mask & src_mask[j] & src_mask[:, None]
-        # Every silent-loss channel counted (single-chip precedent:
-        # models/base.build_nbh overflow): K-list overflow on VALID rows,
-        # stencil-prune drops, cell occupancy, halo-band capacity.
-        k_over = jnp.max(jnp.where(src_mask, nlist.count, 0)) - st.K
-        occ = table.starts[1:] - table.starts[:-1]
-        cell_over = jnp.max(occ) - st.cell_cap
-        overflow = jnp.maximum(jnp.maximum(k_over, cell_over), 0)
-        overflow = jnp.maximum(overflow, nlist.dropped)
-        overflow = jnp.maximum(overflow, plan.dropped)
-
-        x_ij = src_pos.expand(1) - nlist.spos
-        r = x_ij.norm()
-        wk = sm.cubic_w(r, h)
-        rho = 0.001 + st.particle_m * jnp.sum(
-            jnp.where(pair_mask, wk, 0.0), axis=1)
-
-        if st.akinci:
-            # Static shell: reuse the scene's one-time boundary table
-            # (ParticleSystem.py:237-238) — do NOT rebuild per step.
-            blist = nb.find_neighbors(src_pos, None, bpos,
-                                      arrays.boundary_table, st.grid,
-                                      K=st.bK, cell_cap=st.bcell_cap,
-                                      k2=st.bk2)
-            bj, bm = blist.idx, blist.mask
-            xb = src_pos.expand(1) - bpos.take(bj)
-            rb = xb.norm()
-            wb = sm.cubic_w(rb, h)
-            rho = rho + RHO_0 * jnp.sum(
-                jnp.where(bm, bvol[bj] * wb, 0.0), axis=1)
-
-        p = w.tait_pressure(rho)
-        p_over_rho2 = p / (rho * rho)
-        gcoef = sm.cubic_grad_coeff(r, h)
-        sym = p_over_rho2[:, None] + p_over_rho2[j]
-        pscale = jnp.where(pair_mask, -st.particle_m * sym * gcoef, 0.0)
-        acc = x_ij * pscale
-
-        # Viscosity (fluid-only; reference solver_base.py:170-189).
-        v_ij = src_vel.expand(1) - src_vel.take(j)
-        shear = v_ij.dot(x_ij)
-        q2 = x_ij.norm2()
-        nu = (2.0 * w.VISCOSITY_ALPHA * h * w.VISCOSITY_C_S) \
-            / (rho[:, None] + rho[j])
-        pi_v = -nu * shear / (q2 + 0.01 * h * h)
-        visc_scale = jnp.where(pair_mask & (shear < 0.0),
-                               -st.particle_m * st.particle_m * pi_v * gcoef,
-                               0.0)
-        acc = acc + x_ij * visc_scale
-
-        tens_scale = jnp.where(pair_mask, -w.TENSION_K * wk * st.particle_m,
-                               0.0)
-        acc = acc + x_ij * tens_scale
-        acc_sum = acc.sum(axis=1)
-        acc_tot = V3(acc_sum.x,
-                     acc_sum.y - st.gravity,
-                     acc_sum.z)
-        if st.akinci:
-            bgcoef = sm.cubic_grad_coeff(rb, h)
-            bscale = jnp.where(
-                bm, -bvol[bj] * p_over_rho2[:, None] * bgcoef * RHO_0, 0.0)
-            bacc = (xb * bscale).sum(axis=1)
-            acc_tot = acc_tot + bacc
-
-        # Integrate only the locally-owned slots.
-        def local(c):
-            return c[:spec.cap]
-
-        new_vel = V3(*((local(v) + local(a) * dt) * w.WCSPH_DAMPING
-                       for v, a in zip(vel.astuple(), acc_tot.astuple())))
-        new_pos = V3(*(local(pc) + nv * dt
-                       for pc, nv in zip(pos.astuple(), new_vel.astuple())))
-        if not st.akinci:
-            margin = 2.0 * st.particle_radius
-            np_, nv_ = [], []
-            for c, v, lo_c, hi_c in zip(new_pos.astuple(), new_vel.astuple(),
-                                        st.box_min, st.box_max):
-                lo = jnp.float32(lo_c + margin)
-                hi = jnp.float32(hi_c - margin)
-                hit = (c <= lo) | (c >= hi)
-                nv_.append(jnp.where(hit, v * -0.5, v))
-                np_.append(jnp.clip(c, lo, hi))
-            new_pos, new_vel = V3(*np_), V3(*nv_)
-        new_pos = new_pos.where(mask, pos)
-        new_vel = new_vel.where(mask, 0.0)
-
-        out, out_mask, mig_drop = _migrate(
-            spec, [*new_pos.astuple(), *new_vel.astuple()], mask)
-        overflow = jax.lax.pmax(
-            jnp.maximum(overflow, mig_drop).astype(jnp.int32), AXIS)
-        return (*out, out_mask, overflow)
-
-    mapped = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(AXIS),) * 7 + (P(), P(), P(), P()),
-        out_specs=(P(AXIS),) * 7 + (P(),),
-        check_vma=False,
-    )
-
-    @jax.jit
     def step(fluid: ShardedFluid) -> ShardedFluid:
-        out = mapped(*fluid.pos.astuple(), *fluid.vel.astuple(), fluid.mask,
-                     *arrays.boundary_pos.astuple(), arrays.boundary_volume)
-        return ShardedFluid(pos=V3(out[0], out[1], out[2]),
-                            vel=V3(out[3], out[4], out[5]), mask=out[6],
-                            overflow=out[7])
+        state = ShardedState(fluid=fluid, extras=(), dt=dt0,
+                             t=jnp.zeros((), jnp.float32), diag=zero4)
+        return inner(state).fluid
 
     return step
 
@@ -457,7 +330,7 @@ def _shim_static(st: SceneStatic, ns: int) -> SceneStatic:
                                rigid_active=False)
 
 
-_N_EXTRAS = {"dfsph": 1, "pcisph": 0, "iisph": 1, "pbf": 0}
+_N_EXTRAS = {"dfsph": 1, "pcisph": 0, "iisph": 1, "pbf": 0, "wcsph": 0}
 
 
 def init_sharded_solver(mesh: Mesh, spec: ShardSpec, st: SceneStatic,
@@ -490,7 +363,8 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
         raise ValueError("sharded solvers cover the fluid path only; run "
                          "rigid-coupled scenes single-chip")
     physics = {"dfsph": _dfsph_physics, "pcisph": _pcisph_physics,
-               "iisph": _iisph_physics, "pbf": _pbf_physics}[solver]
+               "iisph": _iisph_physics, "pbf": _pbf_physics,
+               "wcsph": _wcsph_physics}[solver]
     n_extras = _N_EXTRAS[solver]
     consts = consts or {}
 
@@ -919,6 +793,37 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     diag = jnp.stack([iters.astype(jnp.float32), res, jnp.zeros(()),
                       jnp.zeros(())])
     return new_vel, [ctx.own_of(p_iter)], dt, diag, jnp.zeros((), jnp.int32)
+
+
+def _wcsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
+    """Sharded WCSPH: models.wcsph.accel_of (the closed-form Tait pressure
+    phase, shared verbatim with the single-chip solver) — no iteration
+    loop, no in-loop exchanges: ghosts are 2h deep so every owned row's
+    density AND its neighbors' densities (the symmetric pressure term)
+    are locally exact. Returns final positions (6-tuple form): WCSPH's
+    clamp uses a 2r margin (wcsph_solver.py:54-63), unlike the scaffold's
+    default radius margin."""
+    from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.models import wcsph as W
+
+    st, nbh = ctx.st, ctx.nbh
+
+    rho = mbase.nbh_rho(st, nbh)
+    acc, _ = W.accel_of(st, nbh, sv, rho, mbase.empty_rigid(),
+                        V3.zeros((0,)))
+
+    new_vel_own = V3(*((ctx.own_of(v) + ctx.own_of(a) * dt)
+                       * W.WCSPH_DAMPING
+                       for v, a in zip(sv.astuple(), acc.astuple())))
+    pos_own = V3(*(ctx.own_of(c) for c in nbh.pos.astuple()))
+    new_pos_own = pos_own + new_vel_own * dt
+    if not st.akinci:
+        new_pos_own, new_vel_own = mbase.clamp_to_box(
+            st, new_pos_own, new_vel_own, margin=2.0 * st.particle_radius,
+            decay_mul=-mbase.V_DECAY)
+    diag = jnp.zeros((4,), jnp.float32)
+    return (new_vel_own, [], dt, diag, jnp.zeros((), jnp.int32),
+            new_pos_own)
 
 
 def _pbf_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
