@@ -437,7 +437,8 @@ def rigid_contact_vel(st: SceneStatic, rigid: RigidBodyState, dt,
 def nbh_viscosity(st: SceneStatic, nbh: Nbh, vel: V3, rho: jnp.ndarray,
                   rigid: RigidBodyState, c_s: float, alpha: float,
                   eps: float = 0.01,
-                  oid: Optional[jnp.ndarray] = None) -> V3:
+                  oid: Optional[jnp.ndarray] = None,
+                  rho_quirk_tbl: Optional[jnp.ndarray] = None) -> V3:
     """Monaghan artificial viscosity, applied only under compression
     (shear < 0); solid neighbors use V_j rho0 in place of m and the body
     linear velocity (reference solver_base.py:170-202, rigid_solver.py:97).
@@ -467,12 +468,21 @@ def nbh_viscosity(st: SceneStatic, nbh: Nbh, vel: V3, rho: jnp.ndarray,
         # arbitrary particle is read every step, exactly like the reference.
         # (Without oid, `unsort` only restores the previous step's order,
         # which drifts — kept as a fallback for oid-less callers.)
-        if oid is not None:
-            rho_orig = jnp.zeros_like(rho).at[oid].set(rho)
+        # `rho_quirk_tbl` short-circuits both: a caller-supplied table of
+        # rho at seeding-order slots [0, len(tbl)) — the sharded path
+        # psums it across shards (parallel/domain) because no single shard
+        # holds all of seeding-order rho.
+        if rho_quirk_tbl is not None:
+            qi = jnp.clip(rigid_lid(st, nbh.idx), 0,
+                          rho_quirk_tbl.shape[0] - 1)
+            rho_quirk = rho_quirk_tbl[qi]
         else:
-            rho_orig = unsort(nbh, rho)
-        rho_quirk = rho_orig[jnp.clip(rigid_lid(st, nbh.idx), 0,
-                                      st.n_fluid - 1)]
+            if oid is not None:
+                rho_orig = jnp.zeros_like(rho).at[oid].set(rho)
+            else:
+                rho_orig = unsort(nbh, rho)
+            rho_quirk = rho_orig[jnp.clip(rigid_lid(st, nbh.idx), 0,
+                                          st.n_fluid - 1)]
         pi_s = -(nu_num / (rho[:, None] + rho_quirk)) * shear_s / q2e
         scale = scale + jnp.where(nbh.mask_s & (shear_s < 0.0),
                                   -RHO_0 * nbh.rigid_vol * pi_s * gcoef, 0.0)

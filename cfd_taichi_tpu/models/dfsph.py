@@ -221,6 +221,39 @@ def loop_operators(matvec, matvec_dot, S: V3, counts: jnp.ndarray,
     return stiff_vel_delta, vel_dot_terms, rho_derivative, rho_adv_residual
 
 
+def solid_dot_const_fn(st: SceneStatic, nbh, rigid, ws, gx: V3):
+    """C_s = Sum_s ws (v_contact_j . gradW) — constant within each
+    pressure loop (the rigid contact velocity only depends on dt and
+    the rigid state, reference dfsph_solver.py:163-170,288-294). Shared
+    by the single-chip compact prepare and the sharded coupled callback
+    (parallel/domain._dfsph_physics)."""
+    def solid_dot_const(include_alpha: bool, dt_arg):
+        v_r = base.rigid_contact_vel(st, rigid, dt_arg, include_alpha)
+        lid = base.rigid_lid(st, nbh.idx)
+        tbl = jnp.stack([v_r.x, v_r.y, v_r.z, v_r.x + v_r.y], axis=0)
+        rows = tbl[:, lid]
+        return jnp.sum(jnp.where(nbh.mask_s,
+                                 ws * (rows[0] * gx.x + rows[1] * gx.y
+                                       + rows[2] * gx.z), 0.0), axis=1)
+
+    return solid_dot_const
+
+
+def rigid_scatter_fn(st: SceneStatic, nbh, ws, gx: V3, scatter_mask=None):
+    """Per-density-iteration rigid reaction scatter
+    (dfsph_solver.py:204-212). `scatter_mask` restricts contributions to
+    locally-owned query rows in the sharded path (each fluid-rigid pair
+    must be charged exactly once across shards; the psum happens after
+    the loop)."""
+    mask = nbh.mask_s if scatter_mask is None else scatter_mask
+
+    def scatter_fn(k_over_rho, rforce):
+        contrib = gx * (ws * k_over_rho[:, None] * st.particle_m)
+        return base.nbh_scatter_rigid_force(st, nbh, contrib, mask, rforce)
+
+    return scatter_fn
+
+
 class _Pre(NamedTuple):
     """Neighborhood-derived inputs to the shared solve body (_finish_step):
     everything downstream of the engine choice is engine-agnostic, so the
@@ -473,19 +506,8 @@ def _prepare_compact(st: SceneStatic, arrays: SceneArrays,
     if st.akinci:
         S = S + sb_vec
 
-    def solid_dot_const(include_alpha: bool, dt_arg):
-        """C_s = Sum_s ws (v_contact_j . gradW) — constant within each
-        pressure loop (the rigid contact velocity only depends on dt and
-        the rigid state, reference dfsph_solver.py:163-170,288-294)."""
-        if not has_rigid:
-            return jnp.float32(0.0)
-        v_r = base.rigid_contact_vel(st, rigid, dt_arg, include_alpha)
-        lid = base.rigid_lid(st, nbh.idx)
-        tbl = jnp.stack([v_r.x, v_r.y, v_r.z, v_r.x + v_r.y], axis=0)
-        rows = tbl[:, lid]
-        return jnp.sum(jnp.where(nbh.mask_s,
-                                 ws * (rows[0] * gx.x + rows[1] * gx.y
-                                       + rows[2] * gx.z), 0.0), axis=1)
+    solid_dot_const = solid_dot_const_fn(st, nbh, rigid, ws, gx) \
+        if has_rigid else (lambda include_alpha, dt_arg: jnp.float32(0.0))
 
     def ext_force_fn(v):
         tension = base.nbh_tension(st, nbh, TENSION_K)
@@ -494,14 +516,7 @@ def _prepare_compact(st: SceneStatic, arrays: SceneArrays,
                                        alpha=VISCOSITY_ALPHA, oid=oid)
         return tension + viscosity
 
-    scatter_fn = None
-    if has_rigid:
-        def scatter_fn(k_over_rho, rforce):
-            # Rigid reaction accumulates every density iteration
-            # (dfsph_solver.py:204-212).
-            contrib = gx * (ws * k_over_rho[:, None] * st.particle_m)
-            return base.nbh_scatter_rigid_force(st, nbh, contrib,
-                                                nbh.mask_s, rforce)
+    scatter_fn = rigid_scatter_fn(st, nbh, ws, gx) if has_rigid else None
 
     return _Pre(pos=pos, perm=nbh.perm, oid=oid, vel=vel, warm_k=warm_k,
                 rho=rho, alpha=alpha, count=nbh.count, S=S, mv=mv, mvd=mvd,

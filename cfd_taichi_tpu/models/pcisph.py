@@ -72,14 +72,17 @@ def _positive_avg(err, resid_mask=None, allreduce=None):
 
 
 def loop_operators(st: SceneStatic, nbh, rho, pos, vel, ext_force, dt,
-                   has_rigid: bool):
+                   has_rigid: bool, scatter_mask=None):
     """The PCISPH predict/correct loop algebra, defined ONCE for the
     single-chip and sharded solvers (cf. dfsph.loop_operators). Works on
     any Nbh-shaped neighborhood (the sharded path builds a local one).
+    `scatter_mask` restricts the rigid-reaction scatter to locally-owned
+    query rows in the sharded path (default: nbh.mask_s).
 
     Returns (press_force_of(p, rigid_force), predict(press_force))."""
     gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
     inv_rho2 = (1.0 / (rho * rho))[:, None]
+    smask_scatter = nbh.mask_s if scatter_mask is None else scatter_mask
     if st.akinci:
         gc_b = sm.cubic_grad_coeff(nbh.br, st.h)
 
@@ -105,7 +108,7 @@ def loop_operators(st: SceneStatic, nbh, rho, pos, vel, ext_force, dt,
                 * st.particle_m, 0.0)
             scale = scale + s_scale
             rigid_force = base.nbh_scatter_rigid_force(
-                st, nbh, nbh.x * (-s_scale), nbh.mask_s, rigid_force)
+                st, nbh, nbh.x * (-s_scale), smask_scatter, rigid_force)
         force = base.sum_vec(nbh.x, scale)
         if st.akinci:
             b_scale = jnp.where(

@@ -104,13 +104,15 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
 
 
 def accel_of(st: SceneStatic, nbh, vel, rho, rigid, rigid_force,
-             oid=None):
+             oid=None, scatter_mask=None, rho_quirk_tbl=None):
     """The full WCSPH pressure-phase acceleration over one Nbh (gravity +
     symmetric Tait pressure gradient + Monaghan viscosity + cohesion +
     Akinci boundary acc), plus the updated rigid reaction force — defined
     ONCE for the single-chip compact step and the sharded scaffold callback
     (parallel/domain._wcsph_physics) so the two cannot drift (reference
-    wcsph_solver.py:32-38,65-129)."""
+    wcsph_solver.py:32-38,65-129). `scatter_mask`/`rho_quirk_tbl`: sharded
+    coupled mode (owned-row scatter; psum'd seeding-order rho table for
+    the solid-viscosity quirk read)."""
     p = tait_pressure(rho)
     p_over_rho2 = p / (rho * rho)
 
@@ -129,13 +131,14 @@ def accel_of(st: SceneStatic, nbh, vel, rho, rigid, rigid_force,
         scale = scale + s_scale
         # Reaction on the rigid body: += -term * m (wcsph_solver.py:126).
         rigid_force = base.nbh_scatter_rigid_force(
-            st, nbh, nbh.x * (-s_scale * st.particle_m), nbh.mask_s,
+            st, nbh, nbh.x * (-s_scale * st.particle_m),
+            nbh.mask_s if scatter_mask is None else scatter_mask,
             rigid_force)
     pressure_acc = base.sum_vec(nbh.x, scale)
 
     viscosity = base.nbh_viscosity(st, nbh, vel, rho, rigid,
                                    c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA,
-                                   oid=oid)
+                                   oid=oid, rho_quirk_tbl=rho_quirk_tbl)
     tension = base.nbh_tension(st, nbh, TENSION_K)
 
     acc = base.gravity_acc(st) + pressure_acc + viscosity + tension

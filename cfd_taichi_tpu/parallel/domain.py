@@ -72,6 +72,11 @@ class ShardedFluid(NamedTuple):
     # None before the first step. Nonzero means pairs or particles were
     # LOST — the sharded analogue of the single-chip SimState.overflow.
     overflow: jnp.ndarray | None = None
+    # Original (seeding-order) particle id per slot, riding migration —
+    # the sharded counterpart of FluidState.oid. Needed by the coupled
+    # path's solid-viscosity quirk read (models/base.nbh_viscosity);
+    # None for fluid-only callers that never shard a rigid scene.
+    oid: jnp.ndarray | None = None
 
 
 def make_spec(st: SceneStatic, n_devices: int, slack: float = 1.7) -> ShardSpec:
@@ -112,6 +117,7 @@ def shard_fluid(mesh: Mesh, spec: ShardSpec, pos: np.ndarray,
     pos_out = np.zeros((spec.ndev * spec.cap, 3), np.float32)
     vel_out = np.zeros((spec.ndev * spec.cap, 3), np.float32)
     mask_out = np.zeros((spec.ndev * spec.cap,), bool)
+    oid_out = np.full((spec.ndev * spec.cap,), -1, np.int32)
     for d in range(spec.ndev):
         idx = np.nonzero(dev_of == d)[0]
         if idx.shape[0] > spec.cap:
@@ -120,12 +126,13 @@ def shard_fluid(mesh: Mesh, spec: ShardSpec, pos: np.ndarray,
         pos_out[s:s + idx.shape[0]] = pos[idx]
         vel_out[s:s + idx.shape[0]] = vel[idx]
         mask_out[s:s + idx.shape[0]] = True
+        oid_out[s:s + idx.shape[0]] = idx
     sh = NamedSharding(mesh, P(AXIS))
     put = lambda a: jax.device_put(jnp.asarray(a), sh)  # noqa: E731
     return ShardedFluid(
         pos=V3(put(pos_out[:, 0]), put(pos_out[:, 1]), put(pos_out[:, 2])),
         vel=V3(put(vel_out[:, 0]), put(vel_out[:, 1]), put(vel_out[:, 2])),
-        mask=put(mask_out),
+        mask=put(mask_out), oid=put(oid_out),
     )
 
 
@@ -153,7 +160,10 @@ def _pack_idx(select: jnp.ndarray, out_cap: int):
 
 
 def _pack_with(idx, got, arrays: list):
-    return [jnp.where(got, jnp.take(a, idx), 0.0) for a in arrays]
+    # Dtype-matched fill: a float 0.0 would silently promote int riders
+    # (the coupled path's oid) to f32.
+    return [jnp.where(got, jnp.take(a, idx), jnp.zeros((), a.dtype))
+            for a in arrays]
 
 
 def _pack(select: jnp.ndarray, arrays: list, out_cap: int):
@@ -301,7 +311,8 @@ def make_sharded_wcsph_step(st: SceneStatic, arrays: SceneArrays, mesh: Mesh,
 
 class ShardCtx(NamedTuple):
     """Everything a sharded solver's physics callback needs."""
-    st: SceneStatic          # shimmed: n_fluid = local ns, rigid disabled
+    st: SceneStatic          # shimmed: n_fluid = local ns (rigid flags kept
+    #                          when the scene is coupled, else disabled)
     nbh: object              # models.base.Nbh over the sorted local set
     wplan: object            # grouped-build plan (None for per-query engine)
     smask: jnp.ndarray       # (ns,) sorted-slot validity
@@ -311,6 +322,10 @@ class ShardCtx(NamedTuple):
     full_sorted: object      # (cap,) owned ORIG values -> (ns,) sorted full
     psum: object             # lax.psum over the shard axis
     pmax: object
+    # Coupled-scene additions (None on fluid-only scenes):
+    rigid: object = None     # replicated models.base.RigidBodyState
+    quirk_tbl: object = None  # rho_sorted -> psum'd seeding-order rho table
+    #                           for the solid-viscosity quirk read
 
 
 class ShardedState(NamedTuple):
@@ -321,11 +336,22 @@ class ShardedState(NamedTuple):
     t: jnp.ndarray
     diag: jnp.ndarray        # (4,) solver telemetry
     overflow: jnp.ndarray | None = None
+    # Replicated rigid body state (models.base.RigidBodyState) for
+    # two-way-coupled scenes; None on fluid-only scenes. The fluid step
+    # psums the per-shard fluid->rigid reaction into rigid.force; apply
+    # make_sharded_rigid_step afterwards (the runner's fluid-then-rigid
+    # frame structure, reference main.py:165-173).
+    rigid: object = None
 
 
-def _shim_static(st: SceneStatic, ns: int) -> SceneStatic:
+def _shim_static(st: SceneStatic, ns: int,
+                 keep_rigid: bool = False) -> SceneStatic:
     """A SceneStatic whose fluid set is the shard-local sorted set — lets
-    the sharded path call every models/base operator unchanged."""
+    the sharded path call every models/base operator unchanged. Rigid
+    flags survive only for the coupled path (the rigid set is replicated,
+    so its ids/counts are globally valid on every shard)."""
+    if keep_rigid:
+        return dataclasses.replace(st, n_fluid=ns)
     return dataclasses.replace(st, n_fluid=ns, n_rigid=0, has_rigid=False,
                                rigid_active=False)
 
@@ -334,16 +360,22 @@ _N_EXTRAS = {"dfsph": 1, "pcisph": 0, "iisph": 1, "pbf": 0, "wcsph": 0}
 
 
 def init_sharded_solver(mesh: Mesh, spec: ShardSpec, st: SceneStatic,
-                        pos, solver: str, vel=None) -> ShardedState:
+                        pos, solver: str, vel=None,
+                        rigid=None) -> ShardedState:
+    """`rigid`: models.base.RigidBodyState for coupled scenes (e.g. from
+    models.base.init_rigid_state(scene)) — replicated across the mesh."""
     fluid = shard_fluid(mesh, spec, pos, vel)
     sh = NamedSharding(mesh, P(AXIS))
     extras = tuple(
         jax.device_put(jnp.zeros((spec.ndev * spec.cap,), jnp.float32), sh)
         for _ in range(_N_EXTRAS[solver]))
+    if rigid is not None:
+        rigid = jax.device_put(rigid, NamedSharding(mesh, P()))
     return ShardedState(fluid=fluid, extras=extras,
                         dt=jnp.asarray(st.dt0, jnp.float32),
                         t=jnp.zeros((), jnp.float32),
-                        diag=jnp.zeros((4,), jnp.float32))
+                        diag=jnp.zeros((4,), jnp.float32),
+                        rigid=rigid)
 
 
 def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
@@ -359,9 +391,6 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
     from cfd_taichi_tpu.models import base as mbase
     from cfd_taichi_tpu.models.base import GROUPED_BUILD_MIN_N
 
-    if st.rigid_active:
-        raise ValueError("sharded solvers cover the fluid path only; run "
-                         "rigid-coupled scenes single-chip")
     physics = {"dfsph": _dfsph_physics, "pcisph": _pcisph_physics,
                "iisph": _iisph_physics, "pbf": _pbf_physics,
                "wcsph": _wcsph_physics}[solver]
@@ -370,12 +399,22 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
 
     h = st.h
     cap = spec.cap
+    # Two-way coupling: the rigid body is TINY (a few thousand voxel
+    # particles) next to the fluid, so it is REPLICATED per shard — every
+    # shard sees the full rigid particle set in its dynamic grid (the
+    # reference inserts rigid particles into the same uniform grid,
+    # ParticleSystem.py:399-407), owned fluid rows scatter their reaction
+    # locally, and one psum after the pressure loop produces the global
+    # fluid->rigid force (reference rigid_solver.py:33-128 consumes it).
+    coupled = st.rigid_active and st.n_rigid > 0
+    n_quirk = min(st.n_rigid, st.n_fluid)  # viscosity quirk table length
 
     def local_step(*args):
-        px, py, pz, vx, vy, vz, mask = args[:7]
-        extras = list(args[7:7 + n_extras])
-        dt = args[7 + n_extras]
-        bx, by, bz, bvol = args[8 + n_extras:12 + n_extras]
+        px, py, pz, vx, vy, vz, mask, oid = args[:8]
+        extras = list(args[8:8 + n_extras])
+        dt = args[8 + n_extras]
+        bx, by, bz, bvol = args[9 + n_extras:13 + n_extras]
+        rigid = args[13 + n_extras] if coupled else None
         pos = V3(px, py, pz)
         vel0 = V3(vx, vy, vz)
         bpos = V3(bx, by, bz)
@@ -425,22 +464,37 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
         def own_of(sorted_vals):
             return sorted_vals[inv_own]
 
+        # --- dynamic source set: local fluid [+ replicated rigid] --------
+        if coupled:
+            dyn_pos = V3(*(jnp.concatenate([a, b]) for a, b in
+                           zip(spos.astuple(), rigid.pos.astuple())))
+            dyn_valid = jnp.concatenate(
+                [smask, jnp.ones((st.n_rigid,), bool)])
+        else:
+            dyn_pos, dyn_valid = spos, smask
+
         # --- neighborhood (engine policy identical to build_nbh) ---------
-        table = nb.build_cell_table(spos, st.grid, valid=smask)
+        table = nb.build_cell_table(dyn_pos, st.grid, valid=dyn_valid)
         qid = jnp.arange(ns, dtype=jnp.int32)
         if ns >= GROUPED_BUILD_MIN_N:
             nl, wplan = nb.find_neighbors_grouped(
-                spos, qid, spos, table, st.grid, K=st.K, nbcap=st.band_nb,
-                B=st.band_B, exclude_self=True, src_valid=smask)
+                spos, qid, dyn_pos, table, st.grid, K=st.K,
+                nbcap=st.band_nb, B=st.band_B, exclude_self=True,
+                src_valid=dyn_valid)
+            # Coupled scenes interleave rigid ids into the source space,
+            # so the CSR plan cannot back the fluid-only band engine
+            # (same rule as build_nbh's plan=None when with_rigid).
+            if coupled:
+                wplan = None
             cell_over = jnp.zeros((), jnp.int32)
         else:
-            nl = nb.find_neighbors(spos, qid, spos, table, st.grid,
+            nl = nb.find_neighbors(spos, qid, dyn_pos, table, st.grid,
                                    K=st.K, cell_cap=st.cell_cap,
                                    exclude_self=True, k2=st.k2)
             wplan = None
             occ = table.starts[1:] - table.starts[:-1]
             cell_over = jnp.maximum(jnp.max(occ) - st.cell_cap, 0)
-        jmask = nl.mask & smask[nl.idx] & smask[:, None]
+        jmask = nl.mask & dyn_valid[nl.idx] & smask[:, None]
         x_ij = spos.expand(1) - nl.spos
 
         overflow = jnp.maximum(
@@ -468,26 +522,54 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
             overflow = jnp.maximum(
                 overflow, jnp.max(jnp.where(smask, blist.count, 0)) - st.bK)
 
-        st_local = _shim_static(st, ns)
+        st_local = _shim_static(st, ns, keep_rigid=coupled)
+        mask_f = jmask & (nl.idx < ns) if coupled else jmask
+        if coupled and st.fs_couple:
+            mask_s = jmask & (nl.idx >= ns)
+            rigid_vol = arrays.rigid_volume[
+                mbase.rigid_lid(st_local, nl.idx)]
+        else:
+            mask_s = jnp.zeros_like(jmask)
+            rigid_vol = None
         nbh = mbase.Nbh(
-            pos=spos, perm=perm, pos_all=spos, idx=nl.idx, mask=jmask,
-            mask_f=jmask, mask_s=jnp.zeros_like(jmask),
+            pos=spos, perm=perm, pos_all=dyn_pos, idx=nl.idx, mask=jmask,
+            mask_f=mask_f, mask_s=mask_s,
             count=jnp.sum(jmask, axis=1), x=x_ij, r=x_ij.norm(),
-            rigid_vol=None, bidx=bidx, bmask=bmask, bx=bxv, br=br,
+            rigid_vol=rigid_vol, bidx=bidx, bmask=bmask, bx=bxv, br=br,
             bvol=bvolg, overflow=overflow, plan=wplan)
+
+        # Seeding-order rho table for the solid-viscosity quirk read
+        # (models/base.nbh_viscosity): each shard scatters its OWNED rows'
+        # rho at their global seeding ids < n_quirk, psum makes it global
+        # (every global id is owned by exactly one shard).
+        s_oid = jnp.concatenate(
+            [oid, jnp.full((2 * spec.hcap,), -1, jnp.int32)])[perm]
+
+        def quirk_tbl(rho_sorted):
+            qi = jnp.where(s_owned & (s_oid >= 0) & (s_oid < n_quirk),
+                           s_oid, n_quirk)
+            tbl = jnp.zeros((n_quirk + 1,), jnp.float32).at[qi].set(
+                rho_sorted, mode="drop")[:n_quirk]
+            return jax.lax.psum(tbl, AXIS)
 
         ctx = ShardCtx(st=st_local, nbh=nbh, wplan=wplan, smask=smask,
                        s_owned=s_owned, s_upd=s_upd, own_of=own_of,
                        full_sorted=full_sorted,
                        psum=lambda x: jax.lax.psum(x, AXIS),
-                       pmax=lambda x: jax.lax.pmax(x, AXIS))
+                       pmax=lambda x: jax.lax.pmax(x, AXIS),
+                       rigid=rigid,
+                       quirk_tbl=quirk_tbl if coupled else None)
 
         res = physics(ctx, sv, extras, dt, consts)
         # Velocity-form solvers return 5 values; position-based solvers
         # (PBF) return a 6th — owner-exact final positions, clamp already
-        # applied — in which case the scaffold's integration is skipped.
+        # applied — and coupled solvers a 7th (the psum'd global
+        # fluid->rigid force, V3 (Nr,), or None).
         new_vel, new_extras, dt, diag, phys_over = res[:5]
         new_pos_own = res[5] if len(res) > 5 else None
+        new_rforce = res[6] if len(res) > 6 else None
+        if coupled and new_rforce is None:
+            new_rforce = rigid.force
         overflow = jnp.maximum(overflow, phys_over)
 
         # --- integrate owned + migrate -----------------------------------
@@ -512,34 +594,68 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
         new_vel = new_vel.where(mask, 0.0)
 
         out, out_mask, mig_drop = _migrate(
-            spec, [*new_pos.astuple(), *new_vel.astuple(), *new_extras],
-            mask)
+            spec, [*new_pos.astuple(), *new_vel.astuple(), oid,
+                   *new_extras], mask)
         overflow = jax.lax.pmax(
             jnp.maximum(overflow, mig_drop).astype(jnp.int32), AXIS)
-        return (*out[:6], out_mask, *out[6:], dt, diag, overflow)
+        tail = tuple(new_rforce.astuple()) if coupled else ()
+        return (*out[:6], out_mask, out[6], *out[7:], dt, diag, overflow,
+                *tail)
 
     mapped = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(AXIS),) * (7 + n_extras) + (P(), P(), P(), P(), P()),
-        out_specs=(P(AXIS),) * (7 + n_extras) + (P(), P(), P()),
+        in_specs=(P(AXIS),) * (8 + n_extras)
+        + (P(),) * (5 + (1 if coupled else 0)),
+        out_specs=(P(AXIS),) * (8 + n_extras)
+        + (P(),) * (3 + (3 if coupled else 0)),
         check_vma=False,
     )
 
     @jax.jit
     def step(state: ShardedState) -> ShardedState:
         f = state.fluid
-        out = mapped(*f.pos.astuple(), *f.vel.astuple(), f.mask,
+        oid_in = f.oid
+        if oid_in is None:
+            # Fluid-only legacy callers (ShardedFluid built by hand):
+            # identity never matters without coupling.
+            oid_in = jnp.zeros_like(f.mask, jnp.int32) - 1
+        rig = (state.rigid,) if coupled else ()
+        out = mapped(*f.pos.astuple(), *f.vel.astuple(), f.mask, oid_in,
                      *state.extras, state.dt,
-                     *arrays.boundary_pos.astuple(), arrays.boundary_volume)
-        k = 7 + n_extras
+                     *arrays.boundary_pos.astuple(),
+                     arrays.boundary_volume, *rig)
+        k = 8 + n_extras
+        new_rigid = state.rigid
+        if coupled:
+            new_rigid = state.rigid._replace(
+                force=V3(out[k + 3], out[k + 4], out[k + 5]))
         return ShardedState(
             fluid=ShardedFluid(pos=V3(out[0], out[1], out[2]),
                                vel=V3(out[3], out[4], out[5]), mask=out[6],
-                               overflow=out[k + 2]),
-            extras=tuple(out[7:k]), dt=out[k], t=state.t + out[k],
-            diag=out[k + 1], overflow=out[k + 2])
+                               overflow=out[k + 2], oid=out[7]),
+            extras=tuple(out[8:k]), dt=out[k], t=state.t + out[k],
+            diag=out[k + 1], overflow=out[k + 2], rigid=new_rigid)
 
     return step
+
+
+def make_sharded_rigid_step(st: SceneStatic, arrays: SceneArrays):
+    """The rigid half of a coupled sharded frame: the body state is
+    replicated, so models.rigid.step runs as plain (SPMD-identical)
+    replicated ops — no shard_map needed. Consumes/zeroes the psum'd
+    fluid forces exactly like the single-chip runner's rigid_step
+    (reference main.py:169-171, rigid_solver.py:216-234)."""
+    from cfd_taichi_tpu.models import rigid as rigid_mod
+
+    if not (st.rigid_active and st.n_rigid > 0):
+        return lambda state: state
+
+    @jax.jit
+    def rstep(state: ShardedState) -> ShardedState:
+        return state._replace(
+            rigid=rigid_mod.step(st, arrays, state.rigid, state.dt))
+
+    return rstep
 
 
 # --- per-solver physics callbacks (orchestration only; algebra is shared
@@ -547,24 +663,29 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
 
 def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     """Sharded DFSPH: models.dfsph loop algebra + per-iteration stiffness
-    exchange + psum residuals + pmax CFL (dfsph_solver.py:221-233,393-416)."""
+    exchange + psum residuals + pmax CFL (dfsph_solver.py:221-233,393-416).
+    Coupled scenes add the solid terms (ws, C_s, per-density-iteration
+    owned-row reaction scatter; one psum after the loop)."""
     from cfd_taichi_tpu.models import base as mbase
     from cfd_taichi_tpu.models import dfsph as D
 
     st, nbh = ctx.st, ctx.nbh
     (wk,) = extras
     m = st.particle_m
+    coupled = nbh.rigid_vol is not None
 
     rho = mbase.nbh_rho(st, nbh)
     gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
     gx = V3(nbh.x.x * gc_f, nbh.x.y * gc_f, nbh.x.z * gc_f)
     wf = jnp.where(nbh.mask_f, jnp.float32(m), 0.0)
+    ws = (jnp.where(nbh.mask_s, RHO_0 * nbh.rigid_vol, 0.0)
+          if coupled else None)
     gb = gc_b = wb = None
     if st.akinci:
         gc_b = sm.cubic_grad_coeff(nbh.br, st.h)
         gb = V3(nbh.bx.x * gc_b, nbh.bx.y * gc_b, nbh.bx.z * gc_b)
         wb = jnp.where(nbh.bmask, RHO_0 * nbh.bvol, 0.0)
-    alpha, sb_vec = D.alpha_terms(st, nbh, rho, gx, gc_f, wf,
+    alpha, sb_vec = D.alpha_terms(st, nbh, rho, gx, gc_f, wf, ws=ws,
                                   gb=gb, gc_b=gc_b, wb=wb)
     rho_own = ctx.own_of(rho)
     alpha_own = ctx.own_of(alpha)
@@ -585,8 +706,15 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         S = mbase.sum_vec(gx, wf)
         mv, mvd = D.gather_matvec_ops(st, nbh, wf, gx, rho, alpha)
         engine_over = jnp.zeros((), jnp.int32)
+    if coupled:
+        S = S + mbase.sum_vec(gx, ws)
     if st.akinci:
         S = S + sb_vec
+    cs_fn = (D.solid_dot_const_fn(st, nbh, ctx.rigid, ws, gx) if coupled
+             else (lambda include_alpha, dt_arg: jnp.float32(0.0)))
+    scatter_fn = (D.rigid_scatter_fn(
+        st, nbh, ws, gx, scatter_mask=nbh.mask_s & ctx.s_owned[:, None])
+        if coupled else None)
     stiff_vel_delta, _, rho_derivative, rho_adv_residual = \
         D.loop_operators(mv, mvd, S, nbh.count, resid_mask=ctx.s_owned,
                          allreduce=ctx.psum)
@@ -596,15 +724,14 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
                   jnp.where(ctx.s_upd, vv.y - delta.y * dt_, vv.y),
                   jnp.where(ctx.s_upd, vv.z - delta.z * dt_, vv.z))
 
-    zero = jnp.float32(0.0)
-
     # --- divergence solve -------------------------------------------------
     if D.WARM_START:
         sv = masked_step(
             sv, stiff_vel_delta(ctx.full_sorted((wk / dt) / rho_own)), dt)
         wk = jnp.zeros_like(wk)
 
-    dr0, avg0 = rho_derivative(sv, zero)
+    cs_div = cs_fn(False, dt)
+    dr0, avg0 = rho_derivative(sv, cs_div)
 
     def div_cond(c):
         _, _, _, avg, _, stop, it = c
@@ -617,7 +744,7 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         k_own = (dr_own * alpha_own / dt) / rho_own
         vv = masked_step(vv, stiff_vel_delta(ctx.full_sorted(k_own)), dt)
         wkk = wkk + dr_own * alpha_own   # sum_up_stiff (381-384)
-        new_dr, new_avg = rho_derivative(vv, zero)
+        new_dr, new_avg = rho_derivative(vv, cs_div)
         stop = jnp.abs(new_avg - avg) < D.STALL_EPS
         return (vv, wkk, new_dr, new_avg, avg, stop, it + 1)
 
@@ -628,9 +755,11 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
 
     # --- external forces + v_adv + CFL dt ---------------------------------
     tension = mbase.nbh_tension(st, nbh, D.TENSION_K)
-    viscosity = mbase.nbh_viscosity(st, nbh, sv, rho, mbase.empty_rigid(),
-                                    c_s=D.VISCOSITY_C_S,
-                                    alpha=D.VISCOSITY_ALPHA)
+    viscosity = mbase.nbh_viscosity(
+        st, nbh, sv, rho,
+        ctx.rigid if coupled else mbase.empty_rigid(),
+        c_s=D.VISCOSITY_C_S, alpha=D.VISCOSITY_ALPHA,
+        rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
     fext = mbase.gravity_acc(st) + tension + viscosity
     v_adv_own = V3(*(ctx.own_of(vv) + ctx.own_of(fe) * (dt / m)
                      for vv, fe in zip(sv.astuple(), fext.astuple())))
@@ -638,6 +767,14 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
 
     own_cap = ctx.own_of(ctx.s_owned)
     max_vel = ctx.pmax(jnp.max(jnp.where(own_cap, v_adv_own.norm(), 0.0)))
+    if coupled:
+        # Rigid contribution to the CFL max (dfsph_solver.py:98-110):
+        # replicated body state, identical on every shard.
+        rb = ctx.rigid
+        rel = V3(rb.pos.x - rb.centroid[0], rb.pos.y - rb.centroid[1],
+                 rb.pos.z - rb.centroid[2])
+        spin = V3(rb.omega[0], rb.omega[1], rb.omega[2]).cross(rel)
+        max_vel = max_vel + jnp.max(jnp.linalg.norm(rb.vel) + spin.norm())
     if D.ADAPTIVE_DT:
         dt = jnp.clip(0.4 * (2.0 * st.particle_radius)
                       / jnp.maximum(max_vel, 1e-9) * 0.2,
@@ -645,29 +782,41 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     dt2 = dt * dt
 
     # --- density solve ----------------------------------------------------
+    cs_den = cs_fn(True, dt)
     den_thresh = D.DENSITY_THRESHOLD * RHO_0 * 0.01
+    rforce0 = (V3.zeros(ctx.rigid.force.x.shape) if coupled
+               else V3.zeros((0,)))
 
     def den_cond(c):
-        _, avg, it = c
+        _, avg, _, it = c
         return (((it < D.MIN_ITER_DENSITY) | (avg - RHO_0 > den_thresh))
                 & (it < D.MAX_ITER_DENSITY))
 
     def den_body(c):
-        vv, _, it = c
-        rho_adv, avg = rho_adv_residual(rho, dt, vv, zero)
+        vv, _, rforce, it = c
+        rho_adv, avg = rho_adv_residual(rho, dt, vv, cs_den)
         k_own = ((ctx.own_of(rho_adv) - RHO_0) * alpha_own / dt2) / rho_own
-        vv = masked_step(vv, stiff_vel_delta(ctx.full_sorted(k_own)), dt)
-        return (vv, avg, it + 1)
+        k_full = ctx.full_sorted(k_own)
+        if scatter_fn is not None:
+            # Owned-row contributions only; psum'd once after the loop.
+            rforce = scatter_fn(k_full, rforce)
+        vv = masked_step(vv, stiff_vel_delta(k_full), dt)
+        return (vv, avg, rforce, it + 1)
 
-    v_adv, den_avg, den_iters = jax.lax.while_loop(
+    v_adv, den_avg, rforce, den_iters = jax.lax.while_loop(
         den_cond, den_body,
-        (v_adv, jnp.float32(jnp.inf), jnp.zeros((), jnp.int32)))
+        (v_adv, jnp.float32(jnp.inf), rforce0, jnp.zeros((), jnp.int32)))
+
+    new_rforce = None
+    if coupled:
+        new_rforce = ctx.rigid.force + V3(*(ctx.psum(c) for c in
+                                            rforce.astuple()))
 
     f = jnp.float32(mbase.ARTIFICIAL_FRICTION)
     new_vel = V3(*(ctx.own_of(c) * f for c in v_adv.astuple()))
     diag = jnp.stack([div_iters.astype(jnp.float32), div_avg,
                       den_iters.astype(jnp.float32), den_avg - RHO_0])
-    return new_vel, [wk], dt, diag, engine_over
+    return new_vel, [wk], dt, diag, engine_over, None, new_rforce
 
 
 def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
@@ -678,16 +827,20 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
 
     st, nbh = ctx.st, ctx.nbh
     delta = jnp.float32(consts["delta"])
+    coupled = nbh.rigid_vol is not None
 
     rho = mbase.nbh_rho(st, nbh)
     tension = mbase.nbh_tension(st, nbh, PC.TENSION_K)
-    viscosity = mbase.nbh_viscosity(st, nbh, sv, rho, mbase.empty_rigid(),
-                                    c_s=PC.VISCOSITY_C_S,
-                                    alpha=PC.VISCOSITY_ALPHA)
+    viscosity = mbase.nbh_viscosity(
+        st, nbh, sv, rho, ctx.rigid if coupled else mbase.empty_rigid(),
+        c_s=PC.VISCOSITY_C_S, alpha=PC.VISCOSITY_ALPHA,
+        rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
     ext_force = mbase.gravity_acc(st) + tension + viscosity
 
     press_force_of, predict = PC.loop_operators(
-        st, nbh, rho, nbh.pos, sv, ext_force, dt, has_rigid=False)
+        st, nbh, rho, nbh.pos, sv, ext_force, dt, has_rigid=coupled,
+        scatter_mask=(nbh.mask_s & ctx.s_owned[:, None]) if coupled
+        else None)
 
     def avg_of(err):
         return PC._positive_avg(err, resid_mask=ctx.s_owned,
@@ -696,28 +849,38 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     ns = st.n_fluid
     press0 = jnp.zeros(ns, jnp.float32)
     force0 = V3.zeros((ns,))
+    rforce0 = (V3.zeros(ctx.rigid.force.x.shape) if coupled
+               else V3.zeros((0,)))
     rho_err0 = predict(force0)
     res0 = avg_of(rho_err0)
     err_thresh = RHO_0 * PC.RHO_MAX_ERR_PERCENT * 0.01
 
     def cond(carry):
-        _, _, _, res, it = carry
+        _, _, _, res, _, it = carry
         return ((res > err_thresh) | (it < PC.MIN_ITER)) & (it < PC.MAX_ITER)
 
     def body(carry):
-        p_iter, _, rho_err, _, it = carry
+        p_iter, _, rho_err, _, rforce, it = carry
         # Owner-computed pressure update, exchanged to ghosts (rho_err is
         # exact for owned rows; ghosts receive the owner's p).
         p_own = jnp.maximum(ctx.own_of(p_iter)
                             + ctx.own_of(rho_err) * delta, 0.0)
         p_iter = ctx.full_sorted(p_own)
-        force, _ = press_force_of(p_iter, None)
+        force, rforce = press_force_of(p_iter, rforce)
         rho_err = predict(force)
-        return (p_iter, force, rho_err, avg_of(rho_err), it + 1)
+        return (p_iter, force, rho_err, avg_of(rho_err), rforce, it + 1)
 
-    p_iter, press_force, rho_err, res, iters = jax.lax.while_loop(
-        cond, body, (press0, force0, rho_err0, res0,
+    p_iter, press_force, rho_err, res, rforce, iters = jax.lax.while_loop(
+        cond, body, (press0, force0, rho_err0, res0, rforce0,
                      jnp.zeros((), jnp.int32)))
+
+    new_rforce = None
+    if coupled:
+        # Accumulated across iterations like the single-chip loop
+        # (pcisph_solver.py:178-188 never zeroes in-loop); owned rows
+        # contributed locally, one psum makes it global.
+        new_rforce = ctx.rigid.force + V3(*(ctx.psum(c) for c in
+                                            rforce.astuple()))
 
     f = jnp.float32(mbase.ARTIFICIAL_FRICTION)
     new_vel = V3(*(
@@ -727,7 +890,8 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
                           (ext_force + press_force).astuple())))
     diag = jnp.stack([iters.astype(jnp.float32), res, jnp.zeros(()),
                       jnp.zeros(())])
-    return new_vel, [], dt, diag, jnp.zeros((), jnp.int32)
+    return (new_vel, [], dt, diag, jnp.zeros((), jnp.int32), None,
+            new_rforce)
 
 
 def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
@@ -739,21 +903,24 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     st, nbh = ctx.st, ctx.nbh
     (p_past,) = extras
     dt2 = dt * dt
+    coupled = nbh.rigid_vol is not None
 
     rho = mbase.nbh_rho(st, nbh)
     tension = mbase.nbh_tension(st, nbh, II.TENSION_K)
-    viscosity = mbase.nbh_viscosity(st, nbh, sv, rho, mbase.empty_rigid(),
-                                    c_s=II.VISCOSITY_C_S,
-                                    alpha=II.VISCOSITY_ALPHA)
+    viscosity = mbase.nbh_viscosity(
+        st, nbh, sv, rho, ctx.rigid if coupled else mbase.empty_rigid(),
+        c_s=II.VISCOSITY_C_S, alpha=II.VISCOSITY_ALPHA,
+        rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
     f_adv = mbase.gravity_acc(st) + tension + viscosity
     v_adv = sv + f_adv * (dt / st.particle_m)
 
     d_ii, rho_adv, a_ii, gc_f, gc_b, inv_rho2, r2 = II.predict_advection(
-        st, nbh, rho, v_adv, None, dt, has_rigid=False)
+        st, nbh, rho, v_adv, ctx.rigid if coupled else None, dt,
+        has_rigid=coupled)
 
     d_ij_of, r_sum_of, residual_of = II.loop_operators(
         st, nbh, rho, d_ii, a_ii, rho_adv, gc_f, gc_b, inv_rho2, r2, dt2,
-        has_rigid=False, resid_mask=ctx.s_owned, allreduce=ctx.psum)
+        has_rigid=coupled, resid_mask=ctx.s_owned, allreduce=ctx.psum)
 
     p0 = ctx.full_sorted(0.5 * p_past)  # warm start (iisph_solver.py:67)
     err_thresh = II.RHO_ERR_PERCENT * RHO_0 * 0.01
@@ -786,13 +953,29 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
          jnp.zeros((), jnp.int32)))
 
     f_press = (d_ij + d_ii * p_iter) * (st.particle_m / dt2)
+
+    new_rforce = None
+    if coupled:
+        # compute_rigid_force (iisph_solver.py:150-160): once per step,
+        # owned rows only, one psum (each pair charged exactly once).
+        c_scale = jnp.where(
+            nbh.mask_s & ctx.s_owned[:, None],
+            nbh.rigid_vol * RHO_0 * p_iter[:, None] * inv_rho2 * gc_f
+            * st.particle_m, 0.0)
+        rforce = mbase.nbh_scatter_rigid_force(
+            st, nbh, nbh.x * c_scale, nbh.mask_s & ctx.s_owned[:, None],
+            V3.zeros(ctx.rigid.force.x.shape))
+        new_rforce = ctx.rigid.force + V3(*(ctx.psum(c) for c in
+                                            rforce.astuple()))
+
     f = jnp.float32(mbase.ARTIFICIAL_FRICTION)
     new_vel = V3(*(
         (ctx.own_of(vv) + ctx.own_of(fp) * (dt / st.particle_m)) * f
         for vv, fp in zip(v_adv.astuple(), f_press.astuple())))
     diag = jnp.stack([iters.astype(jnp.float32), res, jnp.zeros(()),
                       jnp.zeros(())])
-    return new_vel, [ctx.own_of(p_iter)], dt, diag, jnp.zeros((), jnp.int32)
+    return (new_vel, [ctx.own_of(p_iter)], dt, diag,
+            jnp.zeros((), jnp.int32), None, new_rforce)
 
 
 def _wcsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
@@ -807,10 +990,20 @@ def _wcsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     from cfd_taichi_tpu.models import wcsph as W
 
     st, nbh = ctx.st, ctx.nbh
+    coupled = nbh.rigid_vol is not None
 
     rho = mbase.nbh_rho(st, nbh)
-    acc, _ = W.accel_of(st, nbh, sv, rho, mbase.empty_rigid(),
-                        V3.zeros((0,)))
+    acc, rforce = W.accel_of(
+        st, nbh, sv, rho,
+        ctx.rigid if coupled else mbase.empty_rigid(),
+        V3.zeros(ctx.rigid.force.x.shape) if coupled else V3.zeros((0,)),
+        scatter_mask=(nbh.mask_s & ctx.s_owned[:, None]) if coupled
+        else None,
+        rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
+    new_rforce = None
+    if coupled:
+        new_rforce = ctx.rigid.force + V3(*(ctx.psum(c) for c in
+                                            rforce.astuple()))
 
     new_vel_own = V3(*((ctx.own_of(v) + ctx.own_of(a) * dt)
                        * W.WCSPH_DAMPING
@@ -823,7 +1016,7 @@ def _wcsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
             decay_mul=-mbase.V_DECAY)
     diag = jnp.zeros((4,), jnp.float32)
     return (new_vel_own, [], dt, diag, jnp.zeros((), jnp.int32),
-            new_pos_own)
+            new_pos_own, new_rforce)
 
 
 def _pbf_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):

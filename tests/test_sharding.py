@@ -255,6 +255,76 @@ def test_sharded_migration_stress_dam_break():
     assert float(np.asarray(state.diag)[2]) >= 2.0
 
 
+COUPLED_CFG = {
+    "scene": {"box_min": [0, 0, 0], "box_max": [1.2, 0.6, 0.5],
+              "particle_radius": 0.025, "gravity": 9.8},
+    "solver": {"name": "pcisph", "delta_time": 4e-4, "iter_cnt": 1,
+               "boundary_handle": True, "fs_couple": True},
+    "fluid": {"start_pos": [0.1, 0.05, 0.1],
+              "water_size": [1.0, 0.2, 0.3]},
+    "solid": {"mesh": "builtin:cube1", "voxel_radius": 0.025,
+              "rho_0": 500, "scale": 0.15, "pos_offset": [0.6, 0.3, 0.25],
+              "attitude_offset": [0.0, 0.0, 0.0], "fill": True,
+              "active": True},
+}
+
+
+@pytest.mark.parametrize("solver", ["pcisph", "dfsph", "wcsph"])
+def test_sharded_rigid_coupling_matches_single_chip(solver):
+    """Two-way rigid coupling SHARDED (VERDICT r03 item 5): the rigid body
+    is replicated per shard, owned fluid rows scatter their reaction
+    locally, one psum per step globalizes the force, and the rigid step
+    runs on the replicated state. Must agree with the single-chip coupled
+    solvers (reference rigid_solver.py:33-128 + the fluid force scatters,
+    e.g. pcisph_solver.py:178-188, dfsph_solver.py:204-212,
+    wcsph_solver.py:126) with identical iteration counts."""
+    from cfd_taichi_tpu.models import base as mbase
+
+    cfg = copy.deepcopy(COUPLED_CFG)
+    cfg["solver"]["name"] = solver
+    sim = Simulation(parse_config(cfg))
+    mesh = domain.make_mesh(NDEV)
+    spec = domain.make_spec(sim.scene.static, NDEV)
+    rigid0 = mbase.init_rigid_state(sim.scene)
+    state = domain.init_sharded_solver(mesh, spec, sim.scene.static,
+                                       sim.scene.fluid_pos0, solver,
+                                       rigid=rigid0)
+    consts = None
+    if solver == "pcisph":
+        from cfd_taichi_tpu.models import pcisph
+
+        consts = {"delta": float(pcisph.init_state(sim.scene).extra[0])}
+    fstep = domain.make_sharded_solver_step(sim.scene.static,
+                                            sim.scene.arrays, mesh, spec,
+                                            solver, consts=consts)
+    rstep = domain.make_sharded_rigid_step(sim.scene.static,
+                                           sim.scene.arrays)
+    for _ in range(3):
+        sim.frame()              # fluid step + rigid step (iter_cnt = 1)
+        state = rstep(fstep(state))
+
+    if solver != "wcsph":
+        # Identical solver iteration counts (psum'd residual trajectory).
+        np.testing.assert_allclose(np.asarray(state.diag)[0],
+                                   np.asarray(sim.state.diag)[0], atol=0)
+    # Rigid body state agrees (the psum'd force drives it).
+    np.testing.assert_allclose(np.asarray(state.rigid.centroid),
+                               np.asarray(sim.state.rigid.centroid),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.rigid.vel),
+                               np.asarray(sim.state.rigid.vel), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(state.rigid.omega),
+                               np.asarray(sim.state.rigid.omega),
+                               atol=1e-2)
+    assert int(np.asarray(state.overflow)) == 0
+    # Fluid agrees up to fp/bf16 reduction-order noise (same bar as the
+    # fluid-only DFSPH equivalence test above).
+    ref_pos = sim.state.fluid.pos.to_numpy()
+    got_pos, _ = domain.unshard(state.fluid)
+    assert got_pos.shape[0] == ref_pos.shape[0]
+    _nearest_match(got_pos, ref_pos, 1e-3)
+
+
 def test_multihost_single_process_seam():
     """The DCN seam (parallel/multihost) in its only locally-testable
     configuration: 1 process. initialize() must be a no-op that reports
