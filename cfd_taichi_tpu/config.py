@@ -48,6 +48,11 @@ class SolverConfig:
 class FluidConfig:
     start_pos: tuple[float, float, float] = (0.0, 0.0, 0.0)
     water_size: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Uniform initial velocity (new capability; the reference always seeds
+    # at rest). Used by the benchmark protocol to reach the violent
+    # hot phase (impact + compression) within a few steps instead of
+    # simulating the whole free fall.
+    initial_velocity: tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,7 +116,7 @@ def parse_config(raw: dict, base_dir: Optional[str] = None) -> SimConfig:
     solver = SolverConfig(**_filter_fields(SolverConfig, solver_d))
 
     fluid_d = dict(raw.get("fluid", {}))
-    for key in ("start_pos", "water_size"):
+    for key in ("start_pos", "water_size", "initial_velocity"):
         if key in fluid_d:
             fluid_d[key] = _tup(fluid_d[key])
     fluid = FluidConfig(**_filter_fields(FluidConfig, fluid_d))

@@ -122,10 +122,13 @@ def init_rigid_state(scene: Scene) -> RigidBodyState:
 
 def init_sim_state(scene: Scene, extra: tuple = ()) -> SimState:
     n = scene.static.n_fluid
+    v0 = getattr(scene, "fluid_vel0", (0.0, 0.0, 0.0))
+    vel0 = (V3.zeros((n,)) if all(c == 0.0 for c in v0)
+            else V3(*(jnp.full((n,), c, jnp.float32) for c in v0)))
     return SimState(
         fluid=FluidState(
             pos=scene.fluid_pos0,
-            vel=V3.zeros((n,)),
+            vel=vel0,
             acc=V3.zeros((n,)),
             oid=jnp.arange(n, dtype=jnp.int32),
         ),

@@ -560,36 +560,37 @@ class CoefEngine(NamedTuple):
 
     Stores ONLY the pair coefficient w_ij = m * dW/dr / r (masked to 0 at
     non-pairs) and evaluates the vector matvecs through the algebraic
-    split (coordinates GROUP-CENTERED to keep the cancellation
-    amplification ~|x'|/|d| small):
+    split over ABSOLUTE coordinates:
 
-        Sigma_j w d_c k_j   = x'_ic (w @ k) - w @ (x'_c k)
-        Sigma_j w (d . v_j) = Sigma_c x'_ic (w @ v_c) - w @ (x' . v)
+        Sigma_j w d_c k_j   = x_ic (w @ k) - w @ (x_c k)
+        Sigma_j w (d . v_j) = Sigma_c x_ic (w @ v_c) - w @ (x . v)
 
-    so each matvec is ONE 4-wide batched einsum over w — HBM-bound on a
-    single read of w (~10 ms at 1M) instead of the window engine's dense
-    (QB, B, W) kernel recompute (~135 ms/pass, VPU-bound) or the gather
-    engine's 2x48M per-pair packed gathers (~0.3-0.6 s). Accuracy: w and
-    the einsum rhs are bf16 with f32 MXU accumulation; group extents
-    (~0.25 m vs pair distances ~0.05) amplify bf16 rounding ~3x over the
-    stored-3-component form — validated against the gather engine and
-    the <0.1% density contract by tests/test_bandmat.py.
+    Each matvec builds a tiny (nblocks, 4, 128) f32 product table (k and
+    x_c*k at source-table granularity, ~16 MB at 1M) and contracts it
+    against w in ONE einsum 'qbnc,qnrc->qbr' whose rhs is the RAW
+    block-row gather tab[blk] — no transpose, no materialized rhs: XLA
+    fuses the gather and the bf16->f32 upcast of w into the dot.
+    Measured on-chip (tools/perf_r4_matvec2.py, 2^20 particles, W=1536):
+    10.9 ms/matvec vs 32 ms for the round-3 form (whose standalone
+    block-row gather alone measured 22.9 ms — gathers run ~5x below HBM
+    rate unless fused into a consumer) against a 4.6 ms w-read roofline.
 
-    Beyond w itself nothing per-pair is stored: the (QB, W) position
-    windows are RE-GATHERED from the tiny (nblocks, 128) block tables
-    inside each matvec chunk (a block-row gather costs the same HBM
-    traffic as reading a stored window, and dropping the three stored
-    f32 windows saves ~4.5 GB resident at 1M/B=8 — the difference
-    between fitting and OOM on the 16 GB chip)."""
+    Accuracy: better than the round-3 form. The products and the einsum
+    accumulate in f32 (w upcast from bf16); the absolute-coordinate
+    cancellation x_i*(Sigma w k) - Sigma w x_j k amplifies f32 rounding
+    by ~|x|/|d| (~200x -> ~1e-5 relative), far below the stored-w bf16
+    quantization (~0.4%) that both forms share. The round-3 form's
+    group-centering existed only to protect a bf16 rhs — the f32 rhs
+    needs none.
+
+    Beyond w itself nothing per-pair is stored: position tables are
+    (nblocks, 128) and the windows are re-derived inside the einsum."""
     blkq: jnp.ndarray      # (QB, nbcap) covering source-block ids
     w: jnp.ndarray         # (QB, B, W) bf16 — masked pair coefficients
     tbx: jnp.ndarray       # (nblocks, 128) f32 — source position tables
     tby: jnp.ndarray
     tbz: jnp.ndarray
-    cx: jnp.ndarray        # (QB,) f32 — group centers
-    cy: jnp.ndarray
-    cz: jnp.ndarray
-    qx: jnp.ndarray        # (QB, B) f32 — group-centered query positions
+    qx: jnp.ndarray        # (QB, B) f32 — query positions (absolute)
     qy: jnp.ndarray
     qz: jnp.ndarray
     s: V3                  # (N,) row sums — or (G, B) V3 when qsel is set
@@ -648,13 +649,6 @@ def build_coef_engine(pos_s: V3, *, h: float, m: float, plan, B: int,
         wx = tbx[blk_c].reshape(Qc, W)
         wy = tby[blk_c].reshape(Qc, W)
         wz = tbz[blk_c].reshape(Qc, W)
-        # Group centers: mean of the group's (edge-padded) queries.
-        # Centering is exact algebra (the center cancels in both matvec
-        # identities); its only job is to keep |x'| small so bf16
-        # products stay accurate.
-        cx, cy, cz = (t.mean(axis=1, keepdims=True) for t in (qx, qy, qz))
-        qx, qy, qz = qx - cx, qy - cy, qz - cz
-        wx, wy, wz = wx - cx, wy - cy, wz - cz
         dx = qx[:, :, None] - wx[:, None, :]
         dy = qy[:, :, None] - wy[:, None, :]
         dz = qz[:, :, None] - wz[:, None, :]
@@ -673,22 +667,21 @@ def build_coef_engine(pos_s: V3, *, h: float, m: float, plan, B: int,
         # self-side coefficient and the alpha denominator scale).
         s = V3((w * dx).sum(axis=2), (w * dy).sum(axis=2),
                (w * dz).sum(axis=2))
-        return (w.astype(dtype), cx[:, 0], cy[:, 0], cz[:, 0],
-                qx, qy, qz, s)
+        return (w.astype(dtype), qx, qy, qz, s)
 
     xs = (resh(blk), resh(nb_mask), resh(qxa), resh(qya), resh(qza),
           resh(qslot_a))
     if nc == 1:
         out = chunk(tuple(t[0] for t in xs))
-        w, cx, cy, cz, qx, qy, qz, s = out
+        w, qx, qy, qz, s = out
     else:
         out = jax.lax.map(chunk, xs)
-        w, cx, cy, cz, qx, qy, qz, s = jax.tree_util.tree_map(
+        w, qx, qy, qz, s = jax.tree_util.tree_map(
             lambda o: o.reshape((nc * Qc,) + o.shape[2:]), out)
     if qsel is None:
         s = V3(*(c.reshape(-1)[:n] for c in s.astuple()))
     return CoefEngine(blkq=blk, w=w, tbx=tbx, tby=tby, tbz=tbz,
-                      cx=cx, cy=cy, cz=cz, qx=qx, qy=qy, qz=qz,
+                      qx=qx, qy=qy, qz=qz,
                       s=s, overflow=overflow, qsel=qsel)
 
 
@@ -710,15 +703,13 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
     """(matvec, matvec_dot) closures — the drop-in counterpart of
     band_matvec_ops / window_matvec_ops / gather_matvec_ops.
 
-    The rhs is built from ONE pre-stacked (nblocks, 4, 128) f32 product
-    table per matvec (sx*k etc. multiplied at SOURCE-TABLE granularity —
-    4 MB of work at 1M) and gathered as a single 4-row window; the
-    group-center correction then rides as fused FMAs at window width:
-    (sx - c) k = (sx k) - c (k). Numerically this equals the previous
-    gather-raw-windows-and-multiply form (the centered product is
-    computed in f32 either way, then downcast for the einsum), but it
-    replaces four separate window gathers + three W-wide multiplies with
-    one gather + FMAs (measured 85 -> 52 ms per matvec at 1M shapes)."""
+    One (nblocks, 4, 128) f32 product table per matvec ([k, sx k, sy k,
+    sz k] — products at SOURCE-TABLE granularity, ~16 MB of work at 1M),
+    then ONE einsum 'qbnc,qnrc->qbr' whose rhs is the raw block-row
+    gather tab[blk]: no transpose, no materialized rhs — XLA fuses the
+    gather and the w bf16->f32 upcast into the dot (CoefEngine docstring;
+    measured 10.9 ms vs 32 ms for the round-3 transpose+stack form at
+    2^20/W=1536, a standalone block-row gather alone being 22.9 ms)."""
     QB, _, W = eng.w.shape
     nbcap = eng.blkq.shape[1]
     nblocks = -(-n // BLOCK)
@@ -728,8 +719,8 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
     def resh(a):
         return a.reshape((nc, Qc) + a.shape[1:])
 
-    w_r, blk_r = resh(eng.w), resh(eng.blkq)
-    c_r = (resh(eng.cx), resh(eng.cy), resh(eng.cz))
+    w_r = eng.w.reshape(nc, Qc, eng.w.shape[1], nbcap, BLOCK)
+    blk_r = resh(eng.blkq)
     qx_r, qy_r, qz_r = resh(eng.qx), resh(eng.qy), resh(eng.qz)
 
     def vb(vals):
@@ -739,7 +730,7 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
     def run(chunk_fn):
         # Value tables are closed over (loop constants); only the engine
         # chunks travel through lax.map's xs.
-        xs = (w_r, blk_r, *c_r, qx_r, qy_r, qz_r)
+        xs = (w_r, blk_r, qx_r, qy_r, qz_r)
         if nc == 1:
             out = chunk_fn(tuple(t[0] for t in xs))
         else:
@@ -760,18 +751,12 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
                          eng.tbz * tbl], axis=1)
 
         def chunk(args):
-            w_c, blk_c, cx_c, cy_c, cz_c, qx_c, qy_c, qz_c = args
+            w_c, blk_c, qx_c, qy_c, qz_c = args
             pw = tab[blk_c]                          # (Qc, nbcap, 4, 128)
-            pw = pw.transpose(0, 2, 1, 3).reshape(Qc, 4, W)
-            kwin = pw[:, 0, :]
-            rhs = jnp.stack(
-                [kwin,
-                 pw[:, 1, :] - cx_c[:, None] * kwin,
-                 pw[:, 2, :] - cy_c[:, None] * kwin,
-                 pw[:, 3, :] - cz_c[:, None] * kwin],
-                axis=1).astype(w_c.dtype)
-            out = jnp.einsum("qbw,qrw->qbr", w_c, rhs,
-                             preferred_element_type=jnp.float32)
+            out = jnp.einsum("qbnc,qnrc->qbr", w_c.astype(jnp.float32),
+                             pw, preferred_element_type=jnp.float32)
+            # Sigma w d_c k = x_c (Sigma w k) - Sigma w x_j,c k — exact
+            # f32 algebra over absolute coordinates (CoefEngine note).
             return V3(qx_c * out[..., 0] - out[..., 1],
                       qy_c * out[..., 0] - out[..., 2],
                       qz_c * out[..., 0] - out[..., 3])
@@ -785,15 +770,10 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
                          + eng.tbz * tz], axis=1)
 
         def chunk(args):
-            w_c, blk_c, cx_c, cy_c, cz_c, qx_c, qy_c, qz_c = args
+            w_c, blk_c, qx_c, qy_c, qz_c = args
             pw = tab[blk_c]                          # (Qc, nbcap, 4, 128)
-            pw = pw.transpose(0, 2, 1, 3).reshape(Qc, 4, W)
-            vxw, vyw, vzw = pw[:, 0, :], pw[:, 1, :], pw[:, 2, :]
-            u = (pw[:, 3, :] - cx_c[:, None] * vxw
-                 - cy_c[:, None] * vyw - cz_c[:, None] * vzw)
-            rhs = jnp.stack([vxw, vyw, vzw, u], axis=1).astype(w_c.dtype)
-            out = jnp.einsum("qbw,qrw->qbr", w_c, rhs,
-                             preferred_element_type=jnp.float32)
+            out = jnp.einsum("qbnc,qnrc->qbr", w_c.astype(jnp.float32),
+                             pw, preferred_element_type=jnp.float32)
             return (qx_c * out[..., 0] + qy_c * out[..., 1]
                     + qz_c * out[..., 2] - out[..., 3])
 

@@ -139,6 +139,9 @@ class Scene:
     arrays: SceneArrays
     fluid_pos0: V3
     rigid: Optional[RigidInit]
+    # Uniform initial fluid velocity (config fluid.initial_velocity; the
+    # reference always seeds at rest — benchmark impact scenes use this).
+    fluid_vel0: tuple = (0.0, 0.0, 0.0)
 
 
 def _rotation3d_swapped(att_rad: np.ndarray) -> np.ndarray:
@@ -352,7 +355,8 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_mass_total=rigid_mass_total,
     )
     return Scene(static=static, arrays=arrays,
-                 fluid_pos0=V3.from_rows(fluid_pos), rigid=rigid_init)
+                 fluid_pos0=V3.from_rows(fluid_pos), rigid=rigid_init,
+                 fluid_vel0=tuple(float(c) for c in fl.initial_velocity))
 
 
 def _round_up(x: int, m: int) -> int:

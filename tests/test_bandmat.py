@@ -501,12 +501,17 @@ def test_split_coef_engine_matches_plain():
     for g, w in zip(split.s.astuple(), plain.s.astuple()):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-5, atol=1e-4)
+    # Tolerance note: the matvec combines x_i * (Sigma w k) - Sigma w x k
+    # over ABSOLUTE coordinates (bandmat.CoefEngine); the split applies
+    # that cancellation per bucket, so f32 rounding amplified by ~|x|/|d|
+    # differs between the two layouts by ~1e-3 relative — still an order
+    # below the bf16 w quantization both engines share in production.
     a0, a1 = mv0(k), mv1(k)
     for g, w in zip(a1.astuple(), a0.astuple()):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
-                                   rtol=1e-5, atol=1e-4)
+                                   rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(mvd1(v)), np.asarray(mvd0(v)),
-                               rtol=1e-5, atol=1e-4)
+                               rtol=2e-3, atol=2e-3)
 
     # capB too small: remainder groups beyond it are COUNTED (nbA=2 so
     # nearly every group overflows into the remainder bucket — the tiny

@@ -146,9 +146,9 @@ def main():
             pw = tab[:, blk_c].reshape(4, Qc, W)   # (4, Qc, W) f32
             kwin = pw[0]
             rhs = jnp.stack(
-                [kwin, pw[1] - cx_c[None, :, None] * kwin,
-                 pw[2] - cy_c[None, :, None] * kwin,
-                 pw[3] - cz_c[None, :, None] * kwin],
+                [kwin, pw[1] - cx_c[:, None] * kwin,
+                 pw[2] - cy_c[:, None] * kwin,
+                 pw[3] - cz_c[:, None] * kwin],
                 axis=0).astype(w_c.dtype)          # (4, Qc, W)
             ein = ("qbw,rqw->qbr" if w_c.ndim == 3 and w_c.shape[0] == Qc
                    else "bqw,rqw->qbr")
@@ -180,9 +180,9 @@ def main():
             def chunk(args):
                 w_c, blk_c, cx_c, cy_c, cz_c, qx_c = args
                 pw = tab[:, blk_c].reshape(4, Qc, W)
-                u = (pw[3] - cx_c[None, :, None] * pw[0]
-                     - cy_c[None, :, None] * pw[1]
-                     - cz_c[None, :, None] * pw[2])
+                u = (pw[3] - cx_c[:, None] * pw[0]
+                     - cy_c[:, None] * pw[1]
+                     - cz_c[:, None] * pw[2])
                 rhs = jnp.stack([pw[0], pw[1], pw[2], u],
                                 axis=0).astype(w_c.dtype)
                 out = jnp.einsum("bqw,rqw->qbr", w_c, rhs,
