@@ -600,6 +600,16 @@ class CoefEngine(NamedTuple):
     # qsel set, coef_matvec_ops returns (G, B)-shaped outputs for the
     # caller to scatter, and `s` stays group-shaped.
     qsel: jnp.ndarray | None = None
+    # Fused per-particle term sums over the SAME pair set (the build pass
+    # already evaluates the pair geometry, so these ride for one extra
+    # kernel eval each): qsum = Sigma (w r)^2 (DFSPH alpha Q), tvec =
+    # Sigma W_ij x_ij (tension). The pair-tight plan covers every block
+    # holding a true pair, so these equal the wide-plan sums — letting
+    # the wide one-shot pass compute only rho/count/flags (dfsph.
+    # build_dense_engine; the wide pass is capacity-priced, measured
+    # 519 ms one-shot at 1M of which the term pass was the largest part).
+    qsum: jnp.ndarray | None = None
+    tvec: V3 | None = None
 
     @property
     def n(self) -> int:
@@ -667,22 +677,32 @@ def build_coef_engine(pos_s: V3, *, h: float, m: float, plan, B: int,
         # self-side coefficient and the alpha denominator scale).
         s = V3((w * dx).sum(axis=2), (w * dy).sum(axis=2),
                (w * dz).sum(axis=2))
-        return (w.astype(dtype), qx, qy, qz, s)
+        # Fused term sums over the same pair set (CoefEngine docstring):
+        # one extra cubic_w eval on the already-computed geometry. Dead-
+        # code-eliminated under jit when the caller ignores them.
+        wk = jnp.where(valid, sm.cubic_w(r, h), 0.0)
+        qsum = ((w * r) ** 2).sum(axis=2)
+        tvec = V3((wk * dx).sum(axis=2), (wk * dy).sum(axis=2),
+                  (wk * dz).sum(axis=2))
+        return (w.astype(dtype), qx, qy, qz, s, qsum, tvec)
 
     xs = (resh(blk), resh(nb_mask), resh(qxa), resh(qya), resh(qza),
           resh(qslot_a))
     if nc == 1:
         out = chunk(tuple(t[0] for t in xs))
-        w, qx, qy, qz, s = out
+        w, qx, qy, qz, s, qsum, tvec = out
     else:
         out = jax.lax.map(chunk, xs)
-        w, qx, qy, qz, s = jax.tree_util.tree_map(
+        w, qx, qy, qz, s, qsum, tvec = jax.tree_util.tree_map(
             lambda o: o.reshape((nc * Qc,) + o.shape[2:]), out)
     if qsel is None:
         s = V3(*(c.reshape(-1)[:n] for c in s.astuple()))
+        qsum = qsum.reshape(-1)[:n]
+        tvec = V3(*(c.reshape(-1)[:n] for c in tvec.astuple()))
     return CoefEngine(blkq=blk, w=w, tbx=tbx, tby=tby, tbz=tbz,
                       qx=qx, qy=qy, qz=qz,
-                      s=s, overflow=overflow, qsel=qsel)
+                      s=s, overflow=overflow, qsel=qsel,
+                      qsum=qsum, tvec=tvec)
 
 
 def _coef_chunks(QB: int, W: int) -> int:
@@ -1052,6 +1072,9 @@ class SplitCoefEngine(NamedTuple):
     gmask: jnp.ndarray     # (capB,) bool — valid remainder rows
     s: V3                  # (N,) total row sums (A + scattered remainder)
     overflow: jnp.ndarray  # () int32
+    # Fused term sums (CoefEngine.qsum/tvec), A + scattered remainder.
+    qsum: jnp.ndarray | None = None
+    tvec: V3 | None = None
 
 
 def build_split_coef_engine(pos_s: V3, *, h: float, m: float, plan,
@@ -1089,10 +1112,12 @@ def build_split_coef_engine(pos_s: V3, *, h: float, m: float, plan,
         return out.at[gsafe].set(gb, mode="drop").reshape(-1)[:QB * B][:n]
 
     s = eng_a.s + V3(*(scat(c) for c in eng_r.s.astuple()))
+    qsum = eng_a.qsum + scat(eng_r.qsum)
+    tvec = eng_a.tvec + V3(*(scat(c) for c in eng_r.tvec.astuple()))
     overflow = jnp.maximum(jnp.maximum(over0, over_split),
                            jnp.zeros((), jnp.int32))
     return SplitCoefEngine(a=eng_a, rem=eng_r, gmask=gmask, s=s,
-                           overflow=overflow)
+                           overflow=overflow, qsum=qsum, tvec=tvec)
 
 
 def split_coef_matvec_ops(seng: SplitCoefEngine, n: int, B: int):
