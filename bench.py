@@ -65,12 +65,22 @@ def left() -> float:
 
 
 def time_solver(cfg_name: str, solver_name: str, min_steps=MIN_STEPS,
-                min_wall=MIN_WALL_S, warmup=N_WARMUP, batch=BATCH):
-    """steps/sec for one solver on a bundled config (from rest), plus
-    end-of-window telemetry (density-error parity, overflow)."""
+                min_wall=MIN_WALL_S, warmup=N_WARMUP, batch=BATCH,
+                impact=0.0):
+    """steps/sec for one solver on a bundled config, plus end-of-window
+    telemetry (density-error parity, overflow).
+
+    `impact` > 0 seeds a uniform downward initial velocity (m/s): the
+    column compresses within a few steps, so the timed window measures
+    the HOT phase — railed solver loops and a genuinely over-dense flow
+    — instead of free fall (VERDICT r03 item 2: from-rest windows made
+    the 1M and breadth parity rows trivially 0.0)."""
     cfg = read_config(os.path.join(REPO, "configs", cfg_name))
     cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
         cfg.solver, name=solver_name))
+    if impact:
+        cfg = dataclasses.replace(cfg, fluid=dataclasses.replace(
+            cfg.fluid, initial_velocity=(0.0, -float(impact), 0.0)))
     sim = Simulation(cfg)
 
     import jax.numpy as jnp
@@ -100,7 +110,7 @@ def time_solver(cfg_name: str, solver_name: str, min_steps=MIN_STEPS,
 
 
 def row(out: dict, key: str, cfg_name: str, solver: str, *, min_steps,
-        min_wall, batch, reserve: float):
+        min_wall, batch, reserve: float, impact=0.0, warmup=3):
     """Measure one breadth row unless the deadline would be blown
     (`reserve` = rough compile+run budget the row needs)."""
     if left() < reserve:
@@ -109,15 +119,75 @@ def row(out: dict, key: str, cfg_name: str, solver: str, *, min_steps,
         return
     try:
         sps, n, stats = time_solver(cfg_name, solver, min_steps=min_steps,
-                                    min_wall=min_wall, warmup=3, batch=batch)
+                                    min_wall=min_wall, warmup=warmup,
+                                    batch=batch, impact=impact)
         out[key] = round(sps, 4)
         out[key.replace("_steps_per_sec", "_density_err_pct")] = round(
             float(stats["avg_pos_err"]) / 1000.0 * 100.0, 4)
         out[key.replace("_steps_per_sec", "_overflow")] = int(
             stats["window_overflow"])
+        out[key.replace("_steps_per_sec", "_iters")] = stats["solver_iters"]
     except Exception as e:  # a failed row must not kill the whole bench
         out[key] = None
         out[key.replace("_steps_per_sec", "_error")] = type(e).__name__
+
+
+def hbm_copy_gbps() -> float:
+    """Measured streaming HBM rate (read+write of a 1 GiB f32 buffer) —
+    the denominator of the roofline fraction."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones(((1 << 30) // 4,), jnp.float32)
+    f = jax.jit(lambda a: a * 1.000001)
+    y = f(x)
+    y.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        y = f(y)
+    y.block_until_ready()
+    dt_s = (time.perf_counter() - t0) / reps
+    return 2.0 * x.nbytes / dt_s / 1e9
+
+
+def dfsph_1m_roofline(out: dict, sps: float):
+    """Model the 1M DFSPH hot step's streamed bytes from the scene's
+    engine capacities + the measured iteration counts, and report the
+    fraction of the measured HBM copy rate the step achieves
+    (VERDICT r03 item 1: make the gap to hardware a number).
+
+    Traffic model (docs/ARCHITECTURE.md §7): per solver iteration the
+    split-coef matvec pair streams the stored bf16 w plus the gathered
+    4-lane f32 rhs product rows over every plan slot (A bucket at nbA
+    blocks x QB groups, remainder at pair_nb x capB); the one-shot
+    passes (dense_rho_count at wide capacity, the coef build and the
+    viscosity pass at pair capacity) re-gather 3/3/7 f32 position or
+    velocity row lanes per slot. Sorts, scatters and (N,)-sized field
+    ops are ~40 x 4 MB and ride in the 'fields' term."""
+    cfg = read_config(os.path.join(REPO, "configs", "breaking_dam_1m.json"))
+    from cfd_taichi_tpu import build_scene
+    st = build_scene(cfg).static
+    B, BLOCK = st.band_B, 128
+    QB = -(-st.n_fluid // B)
+    iters = out.get("dfsph_1m_iters") or [15.0, 2.0]
+    n_it = float(iters[0]) + float(iters[1]) + 2.0  # + warm-start/init pair
+    if st.coef_nbA:
+        slots_mv = (QB * st.coef_nbA + st.coef_capB * st.pair_nb) * BLOCK
+    else:
+        slots_mv = QB * st.pair_nb * BLOCK
+    per_matvec = slots_mv * (2 + 16)            # bf16 w + 4-lane f32 rhs
+    loop = n_it * 2 * per_matvec
+    oneshot = (QB * st.band_nb_wide * BLOCK * 12      # dense_rho_count
+               + QB * st.pair_nb * BLOCK * (12 + 2)   # coef build + w write
+               + QB * st.pair_nb * BLOCK * 28)        # dense_viscosity
+    fields = 40 * st.n_fluid * 4
+    total_gb = (loop + oneshot + fields) / 1e9
+    achieved = total_gb * sps
+    peak = hbm_copy_gbps()
+    out["dfsph_1m_bytes_per_step_gb"] = round(total_gb, 2)
+    out["hbm_copy_gbps"] = round(peak, 1)
+    out["dfsph_1m_roofline_frac"] = round(achieved / peak, 3)
 
 
 def main():
@@ -154,18 +224,33 @@ def main():
 
     # --- breadth rows (time-budgeted; VERDICT r02 item 2) -------------------
     # The 1M rows are the north-star scale (BASELINE.md): they run FIRST
-    # so a cold-compile-heavy run can never deadline them away.
+    # so a cold-compile-heavy run can never deadline them away. All
+    # breadth rows are IMPACT-SEEDED (-3 m/s): the timed window is the
+    # hot phase — railed solver loops, genuinely over-dense flow — so
+    # the parity columns are non-trivial (VERDICT r03 item 2; the
+    # r02/r03 values for these keys were measured from rest and thus
+    # read systematically FASTER than the new protocol).
     row(out, "dfsph_1m_steps_per_sec", "breaking_dam_1m.json", "dfsph",
-        min_steps=4, min_wall=10, batch=2, reserve=500)
+        min_steps=6, min_wall=10, batch=3, reserve=500, impact=3.0,
+        warmup=4)
+    if out.get("dfsph_1m_steps_per_sec"):
+        try:
+            dfsph_1m_roofline(out, out["dfsph_1m_steps_per_sec"])
+        except Exception as e:
+            out["dfsph_1m_roofline_error"] = type(e).__name__
     row(out, "wcsph_1m_steps_per_sec", "breaking_dam_1m.json", "wcsph",
-        min_steps=4, min_wall=10, batch=2, reserve=300)
+        min_steps=6, min_wall=10, batch=3, reserve=300, impact=3.0,
+        warmup=4)
     for solver in ("pcisph", "iisph", "pbf"):
         row(out, f"{solver}_steps_per_sec", "breaking_dam_30k.json", solver,
-            min_steps=60, min_wall=6, batch=20, reserve=150)
+            min_steps=60, min_wall=6, batch=20, reserve=150, impact=3.0)
     row(out, "dfsph_157k_steps_per_sec", "breaking_dam_157k.json", "dfsph",
-        min_steps=10, min_wall=10, batch=5, reserve=240)
+        min_steps=10, min_wall=10, batch=5, reserve=240, impact=3.0)
     row(out, "coupling_pcisph_55k_steps_per_sec", "coupling_demo.json",
         "pcisph", min_steps=10, min_wall=10, batch=5, reserve=200)
+    out["hot_rows_protocol"] = (
+        "breadth rows impact-seeded -3 m/s (fluid.initial_velocity); "
+        "headline 30k rows from rest for r01-r03 continuity")
     out["r02_baselines"] = R02_BASELINES
     out["bench_wall_s"] = round(time.perf_counter() - T0, 1)
 

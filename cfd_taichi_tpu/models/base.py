@@ -297,6 +297,8 @@ class DensePrep(NamedTuple):
     bwin: Optional[object]     # bandmat.BoundaryWindows (None: clamp) —
     #                            reused by PCISPH's predicted-rho closure
     overflow: jnp.ndarray      # () int32 — plan + boundary overflow
+    qcells: Optional[jnp.ndarray] = None  # (QB, B) sorted member cell ids
+    #                            (feeds the rigid-dense near-group test)
 
 
 def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
@@ -339,7 +341,8 @@ def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
                 rho0=float(RHO_0), nbcap=st.bband_nb, B=B, cap=st.bq_cap,
                 bw=bwin)
     return DensePrep(pos=pos_s, perm=perm, starts=starts, plan=plan,
-                     bterms=bterms, bwin=bwin, overflow=overflow)
+                     bterms=bterms, bwin=bwin, overflow=overflow,
+                     qcells=qcells)
 
 
 def rigid_lid(st: SceneStatic, j: jnp.ndarray) -> jnp.ndarray:

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from cfd_taichi_tpu.models import base
 from cfd_taichi_tpu.ops import bandmat
 from cfd_taichi_tpu.ops import neighbors as nb
+from cfd_taichi_tpu.ops import rigid_dense
 from cfd_taichi_tpu.ops.loops import while_loop_unrolled
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
@@ -277,15 +278,18 @@ class _Pre(NamedTuple):
 
 
 def dense_eligible(st: SceneStatic) -> bool:
-    """Dense-window mode: fluid-only scenes. Rigid coupling needs the
-    compact pair list (mask_s, per-pair scatter), so it keeps the compact
-    path. Within dense mode the loop engine is the stored band matrix
-    when it fits HBM, else the stored-coefficient engine (the 1M regime,
-    where skipping the compact list saves the ~1 s (N, K) compaction);
-    only beyond BOTH byte budgets does the solver fall back to the
-    compact path's window/gather engines."""
+    """Dense-window mode. Within dense mode the loop engine is the stored
+    band matrix when it fits HBM, else the stored-coefficient engine (the
+    1M regime, where skipping the compact list saves the ~1 s (N, K)
+    compaction); only beyond BOTH byte budgets does the solver fall back
+    to the compact path's window/gather engines. Rigid-coupled scenes go
+    dense too (VERDICT r03 item 4): fluid-solid terms ride the
+    group-sparse rigid windows + rigid-side reaction list
+    (ops/rigid_dense), sized by scene.rq_cap (0 = coupling stays on the
+    compact path)."""
     return (DENSE_FLUID
-            and not (st.rigid_active and st.n_rigid > 0)
+            and (st.rq_cap > 0
+                 or not (st.rigid_active and st.n_rigid > 0))
             and (use_band_engine(st.n_fluid, st.band_nb)
                  or use_coef_engine(st.n_fluid, st.pair_nb, st.band_B)))
 
@@ -350,16 +354,17 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
         mv, mvd = band_matvec_ops(band)
         engine_overflow = band.overflow
     else:
-        # Stored-coefficient engine (the 1M regime): the chunked terms
-        # pass stores nothing per-pair; the loops stream the scalar bf16
-        # w. Skipping the compact (N, K) list here saved ~1 s of the
-        # ~8.6 s hot step (the compaction) on top of the engine savings.
-        dterms = bandmat.dense_dfsph_terms(pos_s, h=st.h,
-                                           m=st.particle_m,
-                                           plan=dp.plan, B=B)
-        plan = bandmat.compact_plan(dp.plan, dterms.blk_pair, st.pair_nb)
-        rho_f, count, qsum, tvec = (dterms.rho, dterms.count, dterms.qsum,
-                                    dterms.tvec)
+        # Stored-coefficient engine (the 1M regime): the loops stream the
+        # scalar bf16 w; no compact (N, K) list is built. The WIDE
+        # (capacity-priced) CSR pass computes only rho/count/pair-flags
+        # (dense_rho_count — one cubic_w eval per slot); qsum/tvec/S ride
+        # the coef build's pair-TIGHT pass for free (same pair set: the
+        # tight plan covers every pair-holding block; bandmat.CoefEngine
+        # qsum/tvec note). Replaces the round-3 dense_dfsph_terms wide
+        # pass that evaluated the full term set at wide capacity.
+        rho_f, count, blk_pair = bandmat.dense_rho_count(
+            pos_s, h=st.h, m=st.particle_m, plan=dp.plan, B=B)
+        plan = bandmat.compact_plan(dp.plan, blk_pair, st.pair_nb)
         if st.coef_nbA and st.coef_nbA < st.pair_nb:
             # Split-bucket engine: matvec traffic scales with plan
             # CAPACITY, and the pair-block distribution is tight but
@@ -373,6 +378,7 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
                 pos_s, h=st.h, m=st.particle_m, plan=plan, B=B,
                 dtype=BAND_DTYPE)
             mv, mvd = bandmat.coef_matvec_ops(ceng, st.n_fluid, B)
+        qsum, tvec = ceng.qsum, ceng.tvec
         S0 = ceng.s
         engine_overflow = ceng.overflow
     overflow = jnp.maximum(jnp.maximum(dp.overflow, plan[2]),
@@ -386,19 +392,43 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
 def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
                    state: base.SimState) -> _Pre:
     """DFSPH dense-mode prepare on top of build_dense_engine: alpha
-    factor, boundary additions, viscosity-on-demand."""
-    fluid = state.fluid
+    factor, boundary additions, viscosity-on-demand. Rigid-coupled
+    scenes add the group-sparse rigid windows' step-constant sums, the
+    loop-constant contact-velocity dot, and the rigid-side reaction list
+    (ops/rigid_dense; the loop engines themselves stay fluid-fluid — the
+    solid side rides the row-constant S and cs_fn exactly like the
+    compact path)."""
+    fluid, rigid = state.fluid, state.rigid
     (warm_k,) = state.extra
+    has_rigid = st.rigid_active and st.n_rigid > 0
 
     B = st.band_B
     eng = build_dense_engine(st, arrays, fluid.pos)
     dp, pos_s, perm, plan = eng.dp, eng.pos, eng.perm, eng.plan
     rho_f, count, qsum, tvec = eng.rho_f, eng.count, eng.qsum, eng.tvec
     S0, mv, mvd, overflow = eng.S0, eng.mv, eng.mvd, eng.overflow
+    oid = fluid.oid[perm]
 
     rho = base.DENSITY_EPS + rho_f
-    denom = S0.dot(S0) + qsum
-    S = S0
+    S_fs, qsum_fs = S0, qsum
+    visc_s_of = None
+    if has_rigid:
+        # Fluid-solid terms fold into the SAME sums the reference uses
+        # (alpha_terms: coeff_fs = wf + ws — a pair slot is fluid OR
+        # solid, so |S_f+S_s|^2 + Q_f + Q_s matches term-for-term).
+        rw = rigid_dense.build_rigid_windows(
+            st, pos_s, dp.qcells, rigid.pos, arrays.rigid_volume,
+            cap=st.rq_cap)
+        rt = rigid_dense.rigid_terms(st, rw, float(RHO_0), st.n_fluid)
+        rho = rho + rt.rho
+        S_fs = S0 + rt.s
+        qsum_fs = qsum + rt.qsum
+        overflow = jnp.maximum(overflow, rw.overflow)
+        visc_s_of = rigid_dense.viscosity_op(
+            st, rw, float(RHO_0), st.n_fluid, VISCOSITY_C_S,
+            VISCOSITY_ALPHA)
+    denom = S_fs.dot(S_fs) + qsum_fs
+    S = S_fs
     if st.akinci:
         # Group-sparse boundary sums (bandmat.dense_boundary_terms): the
         # boundary vector sum is squared SEPARATELY from the fluid one —
@@ -415,14 +445,45 @@ def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
         visc = bandmat.dense_viscosity(
             pos_s, vel, rho, h=st.h, m=st.particle_m, plan=plan, B=B,
             c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+        if has_rigid:
+            # Solid viscosity branch incl. the seeding-order rho-quirk
+            # read (base.nbh_viscosity).
+            rho_orig = jnp.zeros_like(rho).at[oid].set(rho)
+            rho_quirk = rho_orig[jnp.clip(
+                jnp.arange(st.n_rigid, dtype=jnp.int32), 0,
+                st.n_fluid - 1)]
+            visc = visc + visc_s_of(vel, rho, rho_quirk, rigid.vel)
         return tension + visc
 
-    return _Pre(pos=pos_s, perm=perm, oid=fluid.oid[perm],
+    if has_rigid:
+        dot_of = rigid_dense.contact_dot_op(st, rw, float(RHO_0),
+                                            st.n_fluid)
+
+        def cs_fn(include_alpha, dt_arg):
+            v_r = base.rigid_contact_vel(st, rigid, dt_arg, include_alpha)
+            return dot_of(v_r)
+    else:
+        def cs_fn(include_alpha, dt_arg):
+            return jnp.float32(0.0)
+
+    scatter_fn = None
+    if has_rigid and st.fs_couple:
+        rs = rigid_dense.build_rigid_side(
+            st, rigid.pos, arrays.rigid_volume, pos_s, dp.starts,
+            float(RHO_0), Kf=st.K)
+        overflow = jnp.maximum(overflow, rs.overflow)
+
+        def scatter_fn(k_over_rho, rforce):
+            # Compact counterpart: gx * (ws k_over_rho_i m) per pair
+            # (rigid_scatter_fn); charged once per pair, rigid-side.
+            return rigid_dense.rigid_side_force(
+                rs, k_over_rho * jnp.float32(st.particle_m), rho, rforce)
+
+    return _Pre(pos=pos_s, perm=perm, oid=oid,
                 vel=fluid.vel.take(perm), warm_k=warm_k[perm],
                 rho=rho, alpha=alpha, count=count, S=S, mv=mv,
                 mvd=mvd, ext_force_fn=ext_force_fn,
-                cs_fn=lambda include_alpha, dt: jnp.float32(0.0),
-                scatter_fn=None, overflow=overflow)
+                cs_fn=cs_fn, scatter_fn=scatter_fn, overflow=overflow)
 
 
 def _prepare_compact(st: SceneStatic, arrays: SceneArrays,

@@ -189,12 +189,14 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     iisph_solver.py:36-147,229-340)."""
     from cfd_taichi_tpu.models import dfsph as _dfsph
     from cfd_taichi_tpu.ops import bandmat
+    from cfd_taichi_tpu.ops import rigid_dense
     from cfd_taichi_tpu.ops.loops import while_loop_unrolled
 
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
     (p_past,) = state.extra
     dt2 = dt * dt
     n = st.n_fluid
+    has_rigid = st.rigid_active and st.n_rigid > 0
 
     eng = _dfsph.build_dense_engine(st, arrays, fluid.pos)
     pos, perm = eng.pos, eng.perm
@@ -204,12 +206,26 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
 
     rho = base.DENSITY_EPS + eng.rho_f
     S_all = eng.S0
-    g2_b = jnp.zeros((n,), jnp.float32)
+    g2_sb = jnp.zeros((n,), jnp.float32)
+    overflow = eng.overflow
+    if has_rigid:
+        # Fluid-solid terms through the group-sparse rigid windows
+        # (ops/rigid_dense): rt.s folds into every S_all contraction
+        # (d_ii, a_ii, r_sum), rt.g2 into the d_ji correction, and the
+        # solid rho_adv velocity dot is the loop-constant contact dot.
+        rw = rigid_dense.build_rigid_windows(
+            st, pos, eng.dp.qcells, rigid.pos, arrays.rigid_volume,
+            cap=st.rq_cap)
+        rt = rigid_dense.rigid_terms(st, rw, float(RHO_0), n)
+        rho = rho + rt.rho
+        S_all = S_all + rt.s
+        g2_sb = g2_sb + rt.g2
+        overflow = jnp.maximum(overflow, rw.overflow)
     if st.akinci:
         bt = eng.dp.bterms
         rho = rho + bt.rho
         S_all = S_all + bt.s
-        g2_b = bt.g2
+        g2_sb = g2_sb + bt.g2
     inv_rho2 = 1.0 / (rho * rho)
 
     # --- predict advection ---------------------------------------------------
@@ -217,14 +233,27 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     viscosity = bandmat.dense_viscosity(
         pos, vel, rho, h=st.h, m=st.particle_m, plan=eng.plan,
         B=st.band_B, c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    if has_rigid:
+        rho_orig = jnp.zeros_like(rho).at[oid].set(rho)
+        rho_quirk = rho_orig[jnp.clip(
+            jnp.arange(st.n_rigid, dtype=jnp.int32), 0, st.n_fluid - 1)]
+        viscosity = viscosity + rigid_dense.viscosity_op(
+            st, rw, float(RHO_0), n, VISCOSITY_C_S, VISCOSITY_ALPHA)(
+                vel, rho, rho_quirk, rigid.vel)
     f_adv = base.gravity_acc(st) + tension + viscosity
     v_adv = vel + f_adv * (dt / st.particle_m)
 
     d_ii = S_all * (-dt2 * inv_rho2)
     rho_adv = rho + dt * (v_adv.dot(S_all) - eng.mvd(v_adv))
+    if has_rigid:
+        # Solid rho_adv velocity term: -Sigma_s w_s v_r_j . gradW with
+        # v_r incl. alpha dt (predict_advection / iisph_solver.py:325-334).
+        v_r = base.rigid_contact_vel(st, rigid, dt, include_alpha=True)
+        rho_adv = rho_adv - dt * rigid_dense.contact_dot_op(
+            st, rw, float(RHO_0), n)(v_r)
     a_ii = (d_ii.dot(S_all)
             - dt2 * st.particle_m * inv_rho2
-            * (eng.qsum / st.particle_m + g2_b))
+            * (eng.qsum / st.particle_m + g2_sb))
 
     p0 = 0.5 * p_past  # warm start (iisph_solver.py:67)
     err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
@@ -261,6 +290,17 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
 
     # --- integration (iisph_solver.py:150-206) ------------------------------
     f_press = (d_ij + d_ii * p_iter) * (st.particle_m / dt2)
+    rigid_force = rigid.force
+    if has_rigid and st.fs_couple:
+        # compute_rigid_force (iisph_solver.py:150-160): once per step,
+        # rigid-side (each fluid-rigid pair charged exactly once).
+        rs = rigid_dense.build_rigid_side(
+            st, rigid.pos, arrays.rigid_volume, pos, eng.dp.starts,
+            float(RHO_0), Kf=st.K)
+        overflow = jnp.maximum(overflow, rs.overflow)
+        rigid_force = rigid_dense.rigid_side_force(
+            rs, p_iter * inv_rho2 * jnp.float32(st.particle_m), rho,
+            rigid_force)
     new_vel = (v_adv + f_press * (dt / st.particle_m)) * base.ARTIFICIAL_FRICTION
     new_pos = pos + new_vel * dt
     if not st.akinci:
@@ -269,9 +309,10 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        overflow=eng.overflow,
+        overflow=overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
                               acc=fluid.acc.take(perm), oid=oid),
+        rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,
         extra=(p_iter,),

@@ -152,13 +152,18 @@ def loop_operators(st: SceneStatic, nbh, rho, pos, vel, ext_force, dt,
 
 
 def dense_eligible(st: SceneStatic) -> bool:
-    """Dense-mode PCISPH: fluid-only scenes in the BAND regime only. The
-    per-iteration predicted-rho pass stores a start-validity mask the size
-    of one band-matrix channel, so it rides the same byte budget; the coef
-    regime (1M) keeps the compact path."""
+    """Dense-mode PCISPH: BAND-regime scenes only. The per-iteration
+    predicted-rho pass stores a start-validity mask the size of one
+    band-matrix channel, so it rides the same byte budget; the coef
+    regime (1M) keeps the compact path. Rigid-coupled scenes go dense
+    too (VERDICT r03 item 4): fluid-fluid terms on the band engine,
+    fluid-solid terms through the group-sparse rigid windows + the
+    rigid-side compact reaction list (ops/rigid_dense), sized by
+    scene.rq_cap (0 = scene builder declined, e.g. body spans the box)."""
     from cfd_taichi_tpu.models import dfsph as _dfsph
     return (_dfsph.DENSE_FLUID
-            and not (st.rigid_active and st.n_rigid > 0)
+            and (st.rq_cap > 0
+                 or not (st.rigid_active and st.n_rigid > 0))
             and _dfsph.use_band_engine(st.n_fluid, st.band_nb))
 
 
@@ -181,10 +186,11 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     from cfd_taichi_tpu.ops import bandmat
     from cfd_taichi_tpu.ops.loops import while_loop_unrolled
 
-    fluid, dt = state.fluid, state.dt
+    fluid, rigid, dt = state.fluid, state.rigid, state.dt
     (delta,) = state.extra
     n = st.n_fluid
     B = st.band_B
+    has_rigid = st.rigid_active and st.n_rigid > 0
 
     eng = _dfsph.build_dense_engine(st, arrays, fluid.pos)
     pos, perm, plan = eng.pos, eng.perm, eng.plan
@@ -197,6 +203,24 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
         bt = eng.dp.bterms
         rho = rho + bt.rho
         S_b = bt.s
+    overflow = eng.overflow
+    if has_rigid:
+        # Group-sparse rigid windows over the body's per-step cell table
+        # (ops/rigid_dense): only rigid-near query groups pay; the
+        # reaction goes through the rigid-side compact list.
+        from cfd_taichi_tpu.ops import rigid_dense as rd
+
+        rw = rd.build_rigid_windows(st, pos, eng.dp.qcells, rigid.pos,
+                                    arrays.rigid_volume, cap=st.rq_cap)
+        rt = rd.rigid_terms(st, rw, float(RHO_0), n)
+        rho = rho + rt.rho
+        overflow = jnp.maximum(overflow, rw.overflow)
+        rs = None
+        if st.fs_couple:
+            rs = rd.build_rigid_side(st, rigid.pos, arrays.rigid_volume,
+                                     pos, eng.dp.starts, float(RHO_0),
+                                     Kf=st.K)
+            overflow = jnp.maximum(overflow, rs.overflow)
     inv_rho2 = 1.0 / (rho * rho)
 
     # --- external forces (pcisph_solver.py:220-226) -------------------------
@@ -204,6 +228,15 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     viscosity = bandmat.dense_viscosity(
         pos, vel, rho, h=st.h, m=st.particle_m, plan=plan, B=B,
         c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    if has_rigid:
+        # Solid viscosity branch, incl. the reference's rho-quirk read
+        # (base.nbh_viscosity): seeding-order rho at the rigid-LOCAL index.
+        rho_orig = jnp.zeros_like(rho).at[oid].set(rho)
+        rho_quirk = rho_orig[jnp.clip(
+            jnp.arange(st.n_rigid, dtype=jnp.int32), 0, st.n_fluid - 1)]
+        viscosity = viscosity + rd.viscosity_op(
+            st, rw, float(RHO_0), n, VISCOSITY_C_S, VISCOSITY_ALPHA)(
+                vel, rho, rho_quirk, rigid.vel)
     ext_force = base.gravity_acc(st) + tension + viscosity
 
     # --- loop operators on the dense engine ----------------------------------
@@ -214,12 +247,25 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
         brho_of = bandmat.boundary_predict_op(
             eng.dp.bwin, pos, h=st.h, rho0=float(RHO_0), B=B)
 
-    def press_force_of(p_iter):
+    rho_s_of = None
+    if has_rigid:
+        rho_s_of = rd.predict_rho_op(st, rw, float(RHO_0), n)
+
+    def press_force_of(p_iter, rigid_force):
         f = (eng.S0 * p_iter + eng.mv(p_iter)) \
             * jnp.float32(-st.particle_m / RHO_0 ** 2)
+        if has_rigid:
+            # Solid pairs: -V_j rho0 p_i/rho_i^2 gradW m — loop-linear in
+            # the row constant u = p inv_rho2 m against the step-constant
+            # solid row sum rt.s (compact path's s_scale term-for-term);
+            # the reaction charges each fluid-rigid pair once, rigid-side.
+            u = p_iter * inv_rho2 * jnp.float32(st.particle_m)
+            f = f - rt.s * u
+            if rs is not None:
+                rigid_force = rd.rigid_side_force(rs, u, rho, rigid_force)
         if st.akinci:
             f = f + S_b * (-st.particle_m * p_iter * inv_rho2)
-        return f
+        return f, rigid_force
 
     def predict(press_force: V3):
         vel_p = vel + (ext_force + press_force) * (dt / st.particle_m)
@@ -229,6 +275,8 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
                                              margin=st.particle_radius,
                                              decay_mul=-base.V_DECAY)
         rho_p = rho_of(pos_p)
+        if has_rigid:
+            rho_p = rho_p + rho_s_of(pos_p)
         if st.akinci:
             rho_p = rho_p + brho_of(pos_p)
         return rho_p - RHO_0
@@ -241,20 +289,22 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     err_thresh = RHO_0 * RHO_MAX_ERR_PERCENT * 0.01
 
     def cond(carry):
-        _, _, _, res, it = carry
+        _, _, _, res, _, it = carry
         return ((res > err_thresh) | (it < MIN_ITER)) & (it < MAX_ITER)
 
     def body(carry):
-        p_iter, _, rho_err, _, it = carry
+        p_iter, _, rho_err, _, rigid_force, it = carry
         p_iter = jnp.maximum(p_iter + rho_err * delta, 0.0)
-        force = press_force_of(p_iter)
+        force, rigid_force = press_force_of(p_iter, rigid_force)
         rho_err = predict(force)
-        return (p_iter, force, rho_err, _positive_avg(rho_err), it + 1)
+        return (p_iter, force, rho_err, _positive_avg(rho_err),
+                rigid_force, it + 1)
 
-    p_iter, press_force, rho_err, res, iters = while_loop_unrolled(
-        cond, body, (press0, force0, rho_err0, res0,
-                     jnp.zeros((), jnp.int32)),
-        unroll=_dfsph.loop_unroll(st))
+    p_iter, press_force, rho_err, res, rigid_force, iters = \
+        while_loop_unrolled(
+            cond, body, (press0, force0, rho_err0, res0, rigid.force,
+                         jnp.zeros((), jnp.int32)),
+            unroll=_dfsph.loop_unroll(st))
 
     # --- integration (pcisph_solver.py:200-217) -----------------------------
     new_vel = (vel + (ext_force + press_force) * (dt / st.particle_m)) \
@@ -266,9 +316,10 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
                                              decay_mul=-base.V_DECAY)
 
     return state._replace(
-        overflow=eng.overflow,
+        overflow=overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
                               acc=fluid.acc.take(perm), oid=oid),
+        rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,
         extra=(delta,),

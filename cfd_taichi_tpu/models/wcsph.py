@@ -48,14 +48,20 @@ DENSE_FLUID = True
 
 
 def dense_eligible(st: SceneStatic) -> bool:
-    return DENSE_FLUID and not (st.rigid_active and st.n_rigid > 0)
+    """Rigid-coupled scenes go dense too (VERDICT r03 item 4): the
+    fluid-solid terms ride the group-sparse rigid windows + rigid-side
+    reaction list (ops/rigid_dense), sized by scene.rq_cap."""
+    return DENSE_FLUID and (st.rq_cap > 0
+                            or not (st.rigid_active and st.n_rigid > 0))
 
 
 def _step_dense(st: SceneStatic, arrays: SceneArrays,
                 state: base.SimState) -> base.SimState:
     from cfd_taichi_tpu.ops import bandmat
+    from cfd_taichi_tpu.ops import rigid_dense
 
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
+    has_rigid = st.rigid_active and st.n_rigid > 0
     # Wide CSR cover for the one-shot rho pass, then a pair-tight plan
     # for the force pass (bandmat.compact_plan docstring: the CSR
     # cover's fragmentation is not physics-bounded; pair content is).
@@ -73,6 +79,13 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     rho = base.DENSITY_EPS + rho_f
     if st.akinci:
         rho = rho + dp.bterms.rho
+    if has_rigid:
+        rw = rigid_dense.build_rigid_windows(
+            st, pos, dp.qcells, rigid.pos, arrays.rigid_volume,
+            cap=st.rq_cap)
+        rt = rigid_dense.rigid_terms(st, rw, float(RHO_0), st.n_fluid)
+        rho = rho + rt.rho
+        overflow = jnp.maximum(overflow, rw.overflow)
     p = tait_pressure(rho)
     p_over_rho2 = p / (rho * rho)
 
@@ -86,6 +99,28 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
         # (bterms.s = Sigma_b rho0 V_b gc x_ib) — no (N, bK) list needed
         # (reference wcsph_solver.py:92-100).
         acc = acc - dp.bterms.s * p_over_rho2
+    rigid_force = rigid.force
+    if has_rigid:
+        # Solid pressure branch -Sigma_s V_j rho0 p'_i gradW is -p'_i
+        # times the solid row sum (accel_of's s_scale term-for-term);
+        # solid viscosity incl. the rho-quirk read; reaction charged
+        # once per fluid-rigid pair from the rigid side
+        # (wcsph_solver.py:117-129).
+        acc = acc - rt.s * p_over_rho2
+        rho_orig = jnp.zeros_like(rho).at[oid].set(rho)
+        rho_quirk = rho_orig[jnp.clip(
+            jnp.arange(st.n_rigid, dtype=jnp.int32), 0, st.n_fluid - 1)]
+        acc = acc + rigid_dense.viscosity_op(
+            st, rw, float(RHO_0), st.n_fluid, VISCOSITY_C_S,
+            VISCOSITY_ALPHA)(vel, rho, rho_quirk, rigid.vel)
+        if st.fs_couple:
+            rs = rigid_dense.build_rigid_side(
+                st, rigid.pos, arrays.rigid_volume, pos, dp.starts,
+                float(RHO_0), Kf=st.K)
+            overflow = jnp.maximum(overflow, rs.overflow)
+            rigid_force = rigid_dense.rigid_side_force(
+                rs, p_over_rho2 * jnp.float32(st.particle_m), rho,
+                rigid_force)
 
     # --- kinematic phase (reference wcsph_solver.py:40-63) ------------------
     new_vel = (vel + acc * dt) * WCSPH_DAMPING
@@ -98,6 +133,7 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     return state._replace(
         overflow=overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel, acc=acc, oid=oid),
+        rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,
     )

@@ -101,6 +101,11 @@ class SceneStatic:
     # plain single-width engine).
     coef_nbA: int = 0
     coef_capB: int = 0
+    # Rigid-near query-group capacity for the dense-mode coupling pass
+    # (ops/rigid_dense): bounds the fluid that can sit within h of the
+    # body by the body's padded-AABB volume (rotation-inflated), with
+    # overflow counted on-device. 0 = no rigid / coupling off.
+    rq_cap: int = 0
 
     @property
     def diameter(self) -> float:
@@ -336,6 +341,17 @@ def build_scene(cfg: SimConfig) -> Scene:
         coef_capB = _round_up(max(_QB // 12, 512), 8)
     else:
         coef_nbA = coef_capB = 0
+    # Rigid-near group capacity (ops/rigid_dense): fluid within h of the
+    # body is bounded by the padded rotated-AABB volume over the particle
+    # volume; x3 covers rotation inflation of the AABB (a rotated box's
+    # AABB volume grows at most ~2.6x) + compression. Overflow counted.
+    rq_cap = 0
+    if rigid_active and n_rigid > 0:
+        ext = vox.max(axis=0) - vox.min(axis=0)
+        pad = 2.0 * h + 4.0 * r
+        vol = float(np.prod(ext + pad))
+        rq_cap = min(_QB, _round_up(
+            int(vol / (2.0 * r) ** 3 / band_B * 3.0) + 64, 8))
 
     static = SceneStatic(
         n_fluid=n_fluid, n_boundary=n_boundary, n_rigid=n_rigid,
@@ -347,7 +363,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         K=K, bK=bK, cell_cap=cell_cap, bcell_cap=bcell_cap, k2=k2, bk2=bk2,
         band_nb=band_nb, bband_nb=bband_nb, pair_nb=pair_nb, band_B=band_B,
         band_nb_wide=band_nb_wide, bq_cap=bq_cap,
-        coef_nbA=coef_nbA, coef_capB=coef_capB,
+        coef_nbA=coef_nbA, coef_capB=coef_capB, rq_cap=rq_cap,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,

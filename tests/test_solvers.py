@@ -201,12 +201,19 @@ def test_grouped_build_engine_matches_default(monkeypatch):
     """The two list-build engines (per-query stencil-prune vs grouped
     block windows; chosen by particle count) must produce identical
     physics — run the same DFSPH scene through both and compare."""
+    import jax
+
     sim1 = make_sim("dfsph")
     for _ in range(5):
         sim1.step()
     import cfd_taichi_tpu.models.base as mbase
 
     monkeypatch.setattr(mbase, "GROUPED_BUILD_MIN_N", 0)
+    # jax.jit wrappers of the same module-level step fn share one global
+    # trace cache keyed by (fn, static args) — without clearing it, sim2
+    # would silently REUSE sim1's trace (the flag is read at trace time)
+    # and this test would compare the default engine against itself.
+    jax.clear_caches()
     sim2 = make_sim("dfsph")
     for _ in range(5):
         sim2.step()
@@ -242,6 +249,11 @@ def test_dense_mode_matches_compact(name, monkeypatch):
         sim_dense.step()
 
     monkeypatch.setattr(flag_mod, "DENSE_FLUID", False)
+    # Same-static jit trace reuse would make this test compare the dense
+    # path against itself (see test_grouped_build_engine_matches_default).
+    import jax
+
+    jax.clear_caches()
     sim_comp = make_sim(name)
     for _ in range(6):
         sim_comp.step()
