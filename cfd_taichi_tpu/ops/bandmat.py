@@ -182,7 +182,31 @@ def csr_intervals(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
         # (Measured on an evolved 1M dam break where largest-gap splits
         # with n_spans=6 left a 54-block worst group: per-member spans
         # cut it to the true stencil union.)
-        spans = [(qc[:, j], qc[:, j]) for j in range(B)]
+        #
+        # Fast path: fold the whole 9-offset / (-1, +2) fast-axis shift
+        # arithmetic into ONE per-cell table se18[c] = [starts[clip(c +
+        # o - 1)], starts[clip(c + o + 2)] for the 9 offsets] — built
+        # from 18 pad-shifted COPIES of starts (no gathers), then read
+        # with a single (QB, B) gather of 18-element rows. Identical
+        # values to the generic span loop below (same clip arithmetic);
+        # replaces its 2 x 9 x B element-gathers of starts, which
+        # dominated the 1M plan build (measured 157 -> ~10 ms).
+        cells = jnp.arange(ncells, dtype=jnp.int32)
+        cols = []
+        for o in offs:
+            cols.append(starts[jnp.clip(cells + (o - 1), 0, ncells)])
+            cols.append(starts[jnp.clip(cells + (o + 2), 0, ncells)])
+        se18 = jnp.stack(cols, axis=1)                    # (ncells, 18)
+        rows = se18[jnp.clip(qc, 0, ncells - 1)]          # (QB, B, 18)
+        lo, hi = [], []
+        for k in range(9):
+            s = rows[..., 2 * k]
+            e = jnp.maximum(rows[..., 2 * k + 1], s)
+            lo.append(s >> BLOCK_SHIFT)
+            hi.append(jnp.where(e > s, ((e - 1) >> BLOCK_SHIFT) + 1,
+                                s >> BLOCK_SHIFT))
+        return (jnp.concatenate(lo, axis=1),
+                jnp.concatenate(hi, axis=1))
     elif n_splits > 0:
         # Split at the (n_spans - 1) largest member gaps: covers a group
         # straddling several fast-row / plane boundaries (the dominant
@@ -232,9 +256,21 @@ def plan_from_intervals(lo: jnp.ndarray, hi: jnp.ndarray, *,
     QB, n_iv = lo.shape
 
     # Merge scan over lo-sorted intervals: run starts, lengths, offsets.
-    order = jnp.argsort(lo, axis=1)
-    lo_s = jnp.take_along_axis(lo, order, axis=1)
-    hi_s = jnp.take_along_axis(hi, order, axis=1)
+    # The sort is packed into a SINGLE int32 operand (lo in the high
+    # bits, hi in the low) whenever the block-id range allows: a
+    # one-operand lax.sort beats the payload sort + two take_along_axis
+    # row gathers (measured 262 -> 95 ms on the 1M plan, identical
+    # output). Sorting (lo, hi) lexicographically instead of lo-only is
+    # harmless: equal-lo runs merge identically in the scan below.
+    shift = max(int(nblocks_src) + 2, 2).bit_length()
+    if 2 * shift <= 31:
+        packed = jax.lax.sort((lo << shift) | hi, dimension=1)
+        lo_s = packed >> shift
+        hi_s = packed & ((1 << shift) - 1)
+    else:
+        order = jnp.argsort(lo, axis=1)
+        lo_s = jnp.take_along_axis(lo, order, axis=1)
+        hi_s = jnp.take_along_axis(hi, order, axis=1)
     starts_j = []
     offs_j = []
     total = jnp.zeros((QB,), jnp.int32)
@@ -719,17 +755,35 @@ def _coef_chunks(QB: int, W: int) -> int:
     return QB
 
 
+# bf16 BLOCK-RELATIVE rhs for the coef matvecs: the 4-lane f32 product
+# gather is 16 of the 18 bytes/slot each matvec streams; per-source-block
+# relative coordinates (x_j - c_b) bound the cancellation amplification
+# by the block extent (~2-3 cells), letting the product lanes go bf16 —
+# the same error class as the stored bf16 w itself — and making the dot
+# the MXU-native bf16 x bf16 -> f32 form. The einsum keeps the block
+# axis ('qbnc,qnrc->qbnr') and the c_b corrections fold back with small
+# (Qc, nbcap) gathers.
+#
+# MEASURED NEGATIVE RESULT (r4, 1M hot dam): the ~2% matvec_dot noise
+# sits near the density-loop threshold scale, so the solve grinds — den
+# iters 2 -> 12 and the step BLEW UP 1678 -> 4315 ms despite the ~1.8x
+# cheaper matvec. Default False (the exact-f32 absolute-coordinate
+# form); the path + its accuracy test are kept as the record of why.
+COEF_RHS_RELATIVE = False
+
+
 def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
     """(matvec, matvec_dot) closures — the drop-in counterpart of
     band_matvec_ops / window_matvec_ops / gather_matvec_ops.
 
-    One (nblocks, 4, 128) f32 product table per matvec ([k, sx k, sy k,
+    One (nblocks, 4, 128) product table per matvec ([k, sx k, sy k,
     sz k] — products at SOURCE-TABLE granularity, ~16 MB of work at 1M),
-    then ONE einsum 'qbnc,qnrc->qbr' whose rhs is the raw block-row
-    gather tab[blk]: no transpose, no materialized rhs — XLA fuses the
-    gather and the w bf16->f32 upcast into the dot (CoefEngine docstring;
-    measured 10.9 ms vs 32 ms for the round-3 transpose+stack form at
-    2^20/W=1536, a standalone block-row gather alone being 22.9 ms)."""
+    then ONE einsum whose rhs is the raw block-row gather tab[blk]: no
+    transpose, no materialized rhs — XLA fuses the gather and any
+    upcast into the dot (CoefEngine docstring; measured 10.9 ms vs 32 ms
+    for the round-3 transpose+stack form at 2^20/W=1536, a standalone
+    block-row gather alone being 22.9 ms). With COEF_RHS_RELATIVE the
+    table is bf16 in block-relative coordinates (see flag note)."""
     QB, _, W = eng.w.shape
     nbcap = eng.blkq.shape[1]
     nblocks = -(-n // BLOCK)
@@ -742,6 +796,17 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
     w_r = eng.w.reshape(nc, Qc, eng.w.shape[1], nbcap, BLOCK)
     blk_r = resh(eng.blkq)
     qx_r, qy_r, qz_r = resh(eng.qx), resh(eng.qy), resh(eng.qz)
+    relative = COEF_RHS_RELATIVE and eng.w.dtype == jnp.bfloat16
+    if relative:
+        # Per-source-block reference points. The mean of a (128,) block
+        # row (pad zeros included) is only a REFERENCE — any value works
+        # for exactness; closer to the block tightens the bf16 rounding.
+        cbx = eng.tbx.mean(axis=1)
+        cby = eng.tby.mean(axis=1)
+        cbz = eng.tbz.mean(axis=1)
+        rx = eng.tbx - cbx[:, None]
+        ry = eng.tby - cby[:, None]
+        rz = eng.tbz - cbz[:, None]
 
     def vb(vals):
         return jnp.pad(vals, (0, nblocks * BLOCK - n)).reshape(nblocks,
@@ -766,6 +831,27 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
 
     def matvec(k):
         tbl = vb(k)
+        if relative:
+            tab = jnp.stack([tbl, rx * tbl, ry * tbl, rz * tbl],
+                            axis=1).astype(jnp.bfloat16)
+
+            def chunk(args):
+                w_c, blk_c, qx_c, qy_c, qz_c = args
+                pw = tab[blk_c]                  # (Qc, nbcap, 4, 128) bf16
+                o4 = jnp.einsum("qbnc,qnrc->qbnr", w_c, pw,
+                                preferred_element_type=jnp.float32)
+                sk_n = o4[..., 0]                # (Qc, B, nbcap)
+                cx = cbx[blk_c][:, None, :]
+                cy = cby[blk_c][:, None, :]
+                cz = cbz[blk_c][:, None, :]
+                sk = sk_n.sum(axis=2)
+                # Sigma w x_j k = Sigma_blocks [Sigma w (x_j - c_b) k
+                #                               + c_b Sigma w k]
+                return V3(qx_c * sk - (o4[..., 1] + cx * sk_n).sum(axis=2),
+                          qy_c * sk - (o4[..., 2] + cy * sk_n).sum(axis=2),
+                          qz_c * sk - (o4[..., 3] + cz * sk_n).sum(axis=2))
+
+            return run(chunk)
         # (nblocks, 4, 128) f32: [k, sx k, sy k, sz k]
         tab = jnp.stack([tbl, eng.tbx * tbl, eng.tby * tbl,
                          eng.tbz * tbl], axis=1)
@@ -785,6 +871,27 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
 
     def matvec_dot(v: V3):
         tx, ty, tz = vb(v.x), vb(v.y), vb(v.z)
+        if relative:
+            tab = jnp.stack([tx, ty, tz, rx * tx + ry * ty + rz * tz],
+                            axis=1).astype(jnp.bfloat16)
+
+            def chunk(args):
+                w_c, blk_c, qx_c, qy_c, qz_c = args
+                pw = tab[blk_c]
+                o4 = jnp.einsum("qbnc,qnrc->qbnr", w_c, pw,
+                                preferred_element_type=jnp.float32)
+                cx = cbx[blk_c][:, None, :]
+                cy = cby[blk_c][:, None, :]
+                cz = cbz[blk_c][:, None, :]
+                # Sigma w (x_c - x_j) . v = Sigma_blocks [(x_c - c_b) .
+                #   Sigma w v - Sigma w (x_j - c_b) . v]
+                acc = ((qx_c[:, :, None] - cx) * o4[..., 0]
+                       + (qy_c[:, :, None] - cy) * o4[..., 1]
+                       + (qz_c[:, :, None] - cz) * o4[..., 2]
+                       - o4[..., 3])
+                return acc.sum(axis=2)
+
+            return run(chunk)
         # (nblocks, 4, 128) f32: [vx, vy, vz, s . v]
         tab = jnp.stack([tx, ty, tz, eng.tbx * tx + eng.tby * ty
                          + eng.tbz * tz], axis=1)
@@ -1174,12 +1281,15 @@ def build_boundary_windows(qcells: jnp.ndarray, bpos: V3,
     has = jnp.any(hi > lo, axis=1)
     n_near = jnp.sum(has.astype(jnp.int32))
     over_g = jnp.maximum(n_near - cap, 0).astype(jnp.int32)
-    # Ascending selection of near groups: key QB - i for near rows.
+    # Ascending selection of near groups by cumsum + unique-index
+    # scatter (replaces a top_k whose lowering is a full (QB,)-wide
+    # sort; selection order and drop-beyond-cap semantics identical).
     iota = jnp.arange(QB, dtype=jnp.int32)
-    key = jnp.where(has, QB - iota, 0)
-    topkey, _ = jax.lax.top_k(key, cap)
-    gmask = topkey > 0
-    gidx = jnp.where(gmask, QB - topkey, 0)
+    p = jnp.cumsum(has.astype(jnp.int32)) - 1
+    tgt = jnp.where(has & (p < cap), p, cap)
+    gidx = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(
+        iota, mode="drop")[:cap]
+    gmask = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(n_near, cap)
 
     sel_lo = lo[gidx]
     sel_hi = jnp.where(gmask[:, None], hi[gidx], sel_lo)  # masked: empty

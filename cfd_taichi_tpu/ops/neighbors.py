@@ -136,9 +136,11 @@ def build_cell_table(pos: V3, grid: GridSpec,
         cid = jnp.where(valid, cid, grid.num_cells)
     order = jnp.argsort(cid, stable=True).astype(jnp.int32)
     sorted_cid = cid[order]
+    # method="sort": sorted queries (arange) -> one concat-sort instead
+    # of per-query binary-search gathers (see base.build_dense_prep).
     starts = jnp.searchsorted(
-        sorted_cid, jnp.arange(grid.num_cells + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+        sorted_cid, jnp.arange(grid.num_cells + 1, dtype=jnp.int32),
+        side="left", method="sort").astype(jnp.int32)
     return CellTable(order=order, starts=starts)
 
 

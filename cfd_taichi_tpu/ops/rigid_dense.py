@@ -78,11 +78,14 @@ def build_rigid_windows(st, pos_q: V3, qcells: jnp.ndarray,
     has = jnp.any(hi > lo, axis=1)
     n_near = jnp.sum(has.astype(jnp.int32))
     over_g = jnp.maximum(n_near - cap, 0).astype(jnp.int32)
+    # Ascending selection by cumsum + unique-index scatter (see
+    # bandmat.build_boundary_windows).
     iota = jnp.arange(QB, dtype=jnp.int32)
-    key = jnp.where(has, QB - iota, 0)
-    topkey, _ = jax.lax.top_k(key, cap)
-    gmask = topkey > 0
-    gidx = jnp.where(gmask, QB - topkey, 0)
+    p = jnp.cumsum(has.astype(jnp.int32)) - 1
+    tgt = jnp.where(has & (p < cap), p, cap)
+    gidx = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(
+        iota, mode="drop")[:cap]
+    gmask = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(n_near, cap)
 
     nblk = -(-nr // BLOCK)
     padn = nblk * BLOCK - nr

@@ -33,6 +33,10 @@ RHO_0 = 1000.0  # fluid rest density (reference solver_base.py:19)
 # with models.base.build_nbh so the scene's band_B always matches the
 # engine that will consume it.
 GROUPED_BUILD_MIN_N = 150_000
+# Query-group width for the large-N (grouped/coef) regime; build_scene
+# keys the rest of the capacity ladder on `large`, not on this value,
+# so perf probes can vary the width alone.
+BAND_B_LARGE = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -277,7 +281,11 @@ def build_scene(cfg: SimConfig) -> Scene:
     else:
         _src = np.asarray(fluid_pos)
     n_dyn = n_fluid + (n_rigid if rigid_active else 0)
-    band_B = 8 if n_dyn >= GROUPED_BUILD_MIN_N else 16
+    # `large` keys the whole capacity-policy ladder; BAND_B_LARGE lets
+    # probes vary the large-N group width without dragging the small-N
+    # policies (full-width boundary pass, no coef split) along.
+    large = n_dyn >= GROUPED_BUILD_MIN_N
+    band_B = BAND_B_LARGE if large else 16
     _nb_seed = band_plan_raw_max(np.asarray(fluid_pos), grid,
                                  B=band_B, src_rows=_src)
     # CSR plans cover whole stencil runs. With per-member spans the need
@@ -298,8 +306,8 @@ def build_scene(cfg: SimConfig) -> Scene:
     # margin while keeping the dominant dense passes (whose cost scales
     # with this CAPACITY, not the true need) 1.7x cheaper than the
     # B=16 formula would. Overflow still counted on-device.
-    band_nb_wide = (int(np.ceil(_nb_seed * 1.5)) + 20 if band_B == 16
-                    else int(np.ceil(_nb_seed * 1.35)) + 4)
+    band_nb_wide = (int(np.ceil(_nb_seed * 1.35)) + 4 if large
+                    else int(np.ceil(_nb_seed * 1.5)) + 20)
     # The boundary shell is static but the QUERY groups drift: a drifted
     # group splits into several spans, each dragging its own 9 stencil
     # runs through the shell — measured need on the evolved 1M dam break
@@ -321,7 +329,7 @@ def build_scene(cfg: SimConfig) -> Scene:
     # overflow counted on-device.
     _QB = -(-n_fluid // band_B)
     if sv.boundary_handle:
-        if band_B == 16:
+        if not large:
             bq_cap = _QB
         else:
             _seed_near = boundary_near_group_capacity(
@@ -336,7 +344,7 @@ def build_scene(cfg: SimConfig) -> Scene:
     # against pair_nb=22, so the A-width covers the bulk (seed CSR max
     # x0.75) and a QB/12 remainder bucket carries the tail. Remainder
     # beyond coef_capB is counted overflow.
-    if band_B == 8:
+    if large:
         coef_nbA = max(8, int(np.ceil(_nb_seed * 0.75)))
         coef_capB = _round_up(max(_QB // 12, 512), 8)
     else:

