@@ -271,19 +271,19 @@ def plan_from_intervals(lo: jnp.ndarray, hi: jnp.ndarray, *,
         order = jnp.argsort(lo, axis=1)
         lo_s = jnp.take_along_axis(lo, order, axis=1)
         hi_s = jnp.take_along_axis(hi, order, axis=1)
-    starts_j = []
-    offs_j = []
-    total = jnp.zeros((QB,), jnp.int32)
-    run_end = jnp.full((QB,), -1, jnp.int32)
-    for j in range(n_iv):
-        s = jnp.maximum(lo_s[:, j], run_end)
-        starts_j.append(s)
-        offs_j.append(total)
-        total = total + jnp.maximum(hi_s[:, j] - s, 0)
-        run_end = jnp.maximum(run_end, hi_s[:, j])
+    # The merge scan is a pure cummax/cumsum recurrence (run_end only
+    # ever takes maxima of prior his): vectorizing it keeps the traced
+    # graph O(1) in n_iv — the unrolled Python-loop form put n_iv copies
+    # of the body in the HLO and blew the 1M B=32 compile to ~20 min.
+    run_end_prev = jnp.concatenate(
+        [jnp.full((QB, 1), -1, jnp.int32),
+         jax.lax.cummax(hi_s, axis=1)[:, :-1]], axis=1)
+    sarr = jnp.maximum(lo_s, run_end_prev)   # (QB, I) clipped run starts
+    lens = jnp.maximum(hi_s - sarr, 0)
+    csum = jnp.cumsum(lens, axis=1)
+    carr = csum - lens                       # (QB, I) exclusive offsets
+    total = csum[:, -1]
     overflow = jnp.maximum(jnp.max(total) - nbcap, 0).astype(jnp.int32)
-    sarr = jnp.stack(starts_j, axis=1)       # (QB, I) clipped run starts
-    carr = jnp.stack(offs_j, axis=1)         # (QB, I) exclusive offsets
 
     # Slot t belongs to the LAST interval j with c_j <= t (zero-length
     # runs have c_j == c_j+1 and are skipped automatically); its block is

@@ -35,8 +35,13 @@ RHO_0 = 1000.0  # fluid rest density (reference solver_base.py:19)
 GROUPED_BUILD_MIN_N = 150_000
 # Query-group width for the large-N (grouped/coef) regime; build_scene
 # keys the rest of the capacity ladder on `large`, not on this value,
-# so perf probes can vary the width alone.
-BAND_B_LARGE = 8
+# so perf probes can vary the width alone. Measured on the impact-hot
+# 1M dam (r4): every windowed pass scales with QB x plan-width slots,
+# and the per-member plan width grows far slower than 1/QB falls —
+# B=8: 1602 ms/step, B=16: 1475, B=32: 1307 (pair_nb 22/23/26, zero
+# overflow, identical iteration counts); B=64 overflows its pair plan
+# (capacity formula would need 36+ and still dropped pairs) and loses.
+BAND_B_LARGE = 32
 
 
 @dataclasses.dataclass(frozen=True)
