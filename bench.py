@@ -169,18 +169,21 @@ def dfsph_1m_roofline(out: dict, sps: float):
     from cfd_taichi_tpu import build_scene
     st = build_scene(cfg).static
     B, BLOCK = st.band_B, 128
-    QB = -(-st.n_fluid // B)
+    Bl = st.loop_B or B                  # split-width loop engine groups
+    QBq = -(-st.n_fluid // B)            # one-shot (wide) groups
+    QBl = -(-st.n_fluid // Bl)           # loop-engine groups
     iters = out.get("dfsph_1m_iters") or [15.0, 2.0]
     n_it = float(iters[0]) + float(iters[1]) + 2.0  # + warm-start/init pair
     if st.coef_nbA:
-        slots_mv = (QB * st.coef_nbA + st.coef_capB * st.pair_nb) * BLOCK
+        slots_mv = (QBl * st.coef_nbA + st.coef_capB * st.pair_nb) * BLOCK
     else:
-        slots_mv = QB * st.pair_nb * BLOCK
+        slots_mv = QBl * st.pair_nb * BLOCK
     per_matvec = slots_mv * (2 + 16)            # bf16 w + 4-lane f32 rhs
     loop = n_it * 2 * per_matvec
-    oneshot = (QB * st.band_nb_wide * BLOCK * 12      # dense_rho_count
-               + QB * st.pair_nb * BLOCK * (12 + 2)   # coef build + w write
-               + QB * st.pair_nb * BLOCK * 28)        # dense_viscosity
+    pq = st.pair_nb_q or st.pair_nb
+    oneshot = (QBq * st.band_nb_wide * BLOCK * 12      # dense_rho_count
+               + QBl * st.pair_nb * BLOCK * (12 + 2)   # coef build + w write
+               + QBq * pq * BLOCK * 28)                # dense_viscosity
     fields = 40 * st.n_fluid * 4
     total_gb = (loop + oneshot + fields) / 1e9
     achieved = total_gb * sps

@@ -345,7 +345,12 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
         bterms = bandmat.build_band_terms(pos_s, h=st.h, m=st.particle_m,
                                           plan=dp.plan, B=B,
                                           dtype=BAND_DTYPE)
-        plan = bandmat.compact_plan(dp.plan, bterms.blk_pair, st.pair_nb)
+        # pair_nb_q: the band_B-width tight capacity (pair_nb sizes the
+        # narrower loop_B plans when the split-width mode is active —
+        # a band_B=32 row needs ~22 blocks where a loop_B=8 row needs 13,
+        # measured impact-hot 157k).
+        plan = bandmat.compact_plan(dp.plan, bterms.blk_pair,
+                                    st.pair_nb_q or st.pair_nb)
         band = bandmat.build_band(pos_s, h=st.h, m=st.particle_m,
                                   plan=plan, B=B, dtype=BAND_DTYPE)
         rho_f, count, qsum, tvec = (bterms.rho, bterms.count, bterms.qsum,
@@ -360,27 +365,49 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
         # (dense_rho_count — one cubic_w eval per slot); qsum/tvec/S ride
         # the coef build's pair-TIGHT pass for free (same pair set: the
         # tight plan covers every pair-holding block; bandmat.CoefEngine
-        # qsum/tvec note). Replaces the round-3 dense_dfsph_terms wide
-        # pass that evaluated the full term set at wide capacity.
+        # qsum/tvec note).
+        #
+        # SPLIT-WIDTH (SceneStatic.loop_B): the one-shot passes keep the
+        # wide band_B groups (amortized plan/window overhead), but the
+        # LOOP engine compacts to loop_B=8 sub-groups whose pair plans
+        # are ~40% narrower — dense_rho_count emits flags at sub-group
+        # granularity, so both tight plans come from the one wide pass.
+        sub = B // st.loop_B if st.loop_B and st.loop_B < B else 1
         rho_f, count, blk_pair = bandmat.dense_rho_count(
-            pos_s, h=st.h, m=st.particle_m, plan=dp.plan, B=B)
-        plan = bandmat.compact_plan(dp.plan, blk_pair, st.pair_nb)
+            pos_s, h=st.h, m=st.particle_m, plan=dp.plan, B=B, sub=sub)
+        if sub > 1:
+            # QB*sub >= ceil(n/loop_B): trailing sub-rows cover only the
+            # wide groups' edge-padded queries — slice them off so the
+            # loop plan matches the engine's own group count.
+            QBl = -(-st.n_fluid // st.loop_B)
+            blk_w = jnp.repeat(dp.plan[0], sub, axis=0)[:QBl]
+            mask_w = jnp.repeat(dp.plan[1], sub, axis=0)[:QBl]
+            plan_loop = bandmat.compact_plan((blk_w, mask_w, dp.plan[2]),
+                                             blk_pair[:QBl], st.pair_nb)
+            flags_q = blk_pair.reshape(-1, sub,
+                                       blk_pair.shape[1]).any(axis=1)
+            plan = bandmat.compact_plan(dp.plan, flags_q, st.pair_nb_q)
+            Bl = st.loop_B
+        else:
+            plan = plan_loop = bandmat.compact_plan(dp.plan, blk_pair,
+                                                    st.pair_nb)
+            Bl = B
         if st.coef_nbA and st.coef_nbA < st.pair_nb:
             # Split-bucket engine: matvec traffic scales with plan
             # CAPACITY, and the pair-block distribution is tight but
             # skewed — pay the full width only for the tail groups.
             ceng = bandmat.build_split_coef_engine(
-                pos_s, h=st.h, m=st.particle_m, plan=plan, B=B,
+                pos_s, h=st.h, m=st.particle_m, plan=plan_loop, B=Bl,
                 nbA=st.coef_nbA, capB=st.coef_capB, dtype=BAND_DTYPE)
-            mv, mvd = bandmat.split_coef_matvec_ops(ceng, st.n_fluid, B)
+            mv, mvd = bandmat.split_coef_matvec_ops(ceng, st.n_fluid, Bl)
         else:
             ceng = bandmat.build_coef_engine(
-                pos_s, h=st.h, m=st.particle_m, plan=plan, B=B,
+                pos_s, h=st.h, m=st.particle_m, plan=plan_loop, B=Bl,
                 dtype=BAND_DTYPE)
-            mv, mvd = bandmat.coef_matvec_ops(ceng, st.n_fluid, B)
+            mv, mvd = bandmat.coef_matvec_ops(ceng, st.n_fluid, Bl)
         qsum, tvec = ceng.qsum, ceng.tvec
         S0 = ceng.s
-        engine_overflow = ceng.overflow
+        engine_overflow = jnp.maximum(ceng.overflow, plan_loop[2])
     overflow = jnp.maximum(jnp.maximum(dp.overflow, plan[2]),
                            jnp.maximum(engine_overflow,
                                        jnp.zeros((), jnp.int32)))

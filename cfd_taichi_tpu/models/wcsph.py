@@ -74,7 +74,10 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     # --- pressure phase (reference wcsph_solver.py:32-38) -------------------
     rho_f, _, blk_pair = bandmat.dense_rho_count(
         pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B)
-    plan = bandmat.compact_plan(dp.plan, blk_pair, st.pair_nb)
+    # pair_nb_q: the band_B-width tight capacity (pair_nb sizes the
+    # narrower loop_B plans in the large-N split-width mode).
+    plan = bandmat.compact_plan(dp.plan, blk_pair,
+                                st.pair_nb_q or st.pair_nb)
     overflow = jnp.maximum(dp.overflow, plan[2])
     rho = base.DENSITY_EPS + rho_f
     if st.akinci:

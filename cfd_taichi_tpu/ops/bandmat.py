@@ -999,12 +999,17 @@ def dense_viscosity(pos_s: V3, vel_s: V3, rho: jnp.ndarray, *, h: float,
     return V3(*(c.reshape(-1)[:n] for c in out.astuple())) * mf
 
 
-def dense_rho_count(pos_s: V3, *, h: float, m: float, plan, B: int):
+def dense_rho_count(pos_s: V3, *, h: float, m: float, plan, B: int,
+                    sub: int = 1):
     """Fluid-fluid density Sigma_j m W_ij + pair count + per-block pair
     flags as one chunked dense window pass (the dense-mode replacement
     for nbh_rho's fluid branch; the caller adds DENSITY_EPS and
     boundary/solid terms, and feeds the flags to compact_plan).
-    Chunked like dense_wcsph_forces so it serves the 1M scene."""
+    Chunked like dense_wcsph_forces so it serves the 1M scene.
+
+    sub > 1 emits flags at SUB-GROUP granularity — (QB*sub, nbcap), one
+    row per B//sub consecutive queries — so a narrower loop-engine plan
+    (SceneStatic.loop_B) can be compacted from the same wide pass."""
     n = pos_s.x.shape[0]
     blk, nb_mask, _ = plan
     QB, nbcap = blk.shape
@@ -1052,7 +1057,8 @@ def dense_rho_count(pos_s: V3, *, h: float, m: float, plan, B: int):
         wk = jnp.where(valid, sm.cubic_w(r, h), 0.0)
         return (jnp.float32(m) * wk.sum(axis=2),
                 valid.sum(axis=2).astype(jnp.int32),
-                valid.reshape(Qc, B, nbcap, BLOCK).any(axis=(1, 3)))
+                valid.reshape(Qc, sub, B // sub, nbcap,
+                              BLOCK).any(axis=(2, 4)))
 
     def resh(a):
         return a.reshape((nc, Qc) + a.shape[1:])
@@ -1064,7 +1070,7 @@ def dense_rho_count(pos_s: V3, *, h: float, m: float, plan, B: int):
     else:
         rho, count, flags = jax.lax.map(chunk, xs)
     return (rho.reshape(-1)[:n], count.reshape(-1)[:n],
-            flags.reshape(QB, nbcap))
+            flags.reshape(QB * sub, nbcap))
 
 
 class DenseTerms(NamedTuple):

@@ -42,6 +42,9 @@ GROUPED_BUILD_MIN_N = 150_000
 # overflow, identical iteration counts); B=64 overflows its pair plan
 # (capacity formula would need 36+ and still dropped pairs) and loses.
 BAND_B_LARGE = 32
+# Split-width loop engine group width (0 = off; see the loop_B note in
+# build_scene for the measured negative result that keeps it off).
+LOOP_B_LARGE = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,6 +118,17 @@ class SceneStatic:
     # body by the body's padded-AABB volume (rotation-inflated), with
     # overflow counted on-device. 0 = no rigid / coupling off.
     rq_cap: int = 0
+    # SPLIT-WIDTH dense mode (large-N only): the one-shot window passes
+    # run at band_B (wide groups amortize the plan + window overhead)
+    # while the per-ITERATION loop engine runs at the narrower loop_B —
+    # its w bytes scale with N x plan-width, and the width a B=8 group
+    # needs is ~40% less than a B=32 group's (measured 1M: 22 vs 26).
+    # loop_B = 0 disables the split (loop engine at band_B; small-N
+    # scenes). pair_nb then sizes the LOOP plan (at loop_B); pair_nb_q
+    # sizes the band_B-width tight plan the one-shot passes (viscosity,
+    # WCSPH forces, PCISPH predicted rho) run on.
+    loop_B: int = 0
+    pair_nb_q: int = 0
 
     @property
     def diameter(self) -> float:
@@ -301,7 +315,14 @@ def build_scene(cfg: SimConfig) -> Scene:
     # seed CSR cover): x1.2 + 2. Overflow beyond either is counted
     # on-device.
     band_nb = max(int(np.ceil(_nb_seed * 1.3)) + 4, 6)
-    pair_nb = max(int(np.ceil(_nb_seed * 1.2)) + 2, 6)
+    # Pair margin: x1.2 + 2 at small N (impact-hot 30k needs 11 of 16);
+    # x1.35 + 4 at large N, where the impact-hot mid-scale dams need
+    # MORE width relative to their seed than 1M does (measured at B=32
+    # after 14 seeded steps: 157k needs 22 on a seed of 15; 1M needs 18
+    # on a seed of 20 — the x1.2 + 2 cap dropped real pairs at 157k).
+    pair_margin = (1.35, 4) if large else (1.2, 2)
+    pair_nb = max(int(np.ceil(_nb_seed * pair_margin[0]))
+                  + pair_margin[1], 6)
     # Wide capacity for the dense-mode one-shot term passes. At B=16 the
     # CSR cover's fragmentation measured up to 2.1x the seed need on the
     # evolved 30k dam — x1.5 + 20 covers that (the pass is cheap at that
@@ -344,14 +365,33 @@ def build_scene(cfg: SimConfig) -> Scene:
             bq_cap = min(_QB, _round_up(max(2 * _seed_near, _floor, 64), 8))
     else:
         bq_cap = 0
-    # Split-bucket coef engine widths (B=8 / coef regime only): the
-    # evolved 1M pair-block distribution is p50=10 / p98=12 / max=17
-    # against pair_nb=22, so the A-width covers the bulk (seed CSR max
+    # SPLIT-WIDTH dense mode (SceneStatic.loop_B): run the loop engine
+    # at narrower groups than the one-shot passes. MEASURED NEGATIVE at
+    # 1M (r4): the loop-plan compaction machinery (row-repeat + a
+    # 4x-row compact_plan + a second coef-width build, ~+250 ms) eats
+    # the ~300 ms the narrower loop saves — single-width B=32 measured
+    # 1298 ms/step vs 1579 split. Plumbing + test kept (LOOP_B_LARGE
+    # flips it back on); pair_nb_q == pair_nb when off.
+    loop_B = LOOP_B_LARGE if large else 0
+    if loop_B:
+        _nb_seed_loop = band_plan_raw_max(np.asarray(fluid_pos), grid,
+                                          B=loop_B, src_rows=_src)
+        pair_nb_q = pair_nb
+        pair_nb = max(int(np.ceil(_nb_seed_loop * 1.2)) + 2, 6)
+    else:
+        _nb_seed_loop = _nb_seed
+        pair_nb_q = pair_nb
+    # Split-bucket coef engine widths (large-N coef regime only): the
+    # evolved 1M pair-block distribution is strongly skewed (p50 well
+    # under the max), so the A-width covers the bulk (seed CSR max
     # x0.75) and a QB/12 remainder bucket carries the tail. Remainder
-    # beyond coef_capB is counted overflow.
+    # beyond coef_capB is counted overflow. Sized at the LOOP width
+    # (the engine's group width: loop_B when split, band_B otherwise).
     if large:
-        coef_nbA = max(8, int(np.ceil(_nb_seed * 0.75)))
-        coef_capB = _round_up(max(_QB // 12, 512), 8)
+        _B_eng = loop_B or band_B
+        _QB_eng = -(-n_fluid // _B_eng)
+        coef_nbA = max(8, int(np.ceil(_nb_seed_loop * 0.75)))
+        coef_capB = _round_up(max(_QB_eng // 12, 512), 8)
     else:
         coef_nbA = coef_capB = 0
     # Rigid-near group capacity (ops/rigid_dense): fluid within h of the
@@ -377,6 +417,7 @@ def build_scene(cfg: SimConfig) -> Scene:
         band_nb=band_nb, bband_nb=bband_nb, pair_nb=pair_nb, band_B=band_B,
         band_nb_wide=band_nb_wide, bq_cap=bq_cap,
         coef_nbA=coef_nbA, coef_capB=coef_capB, rq_cap=rq_cap,
+        loop_B=loop_B, pair_nb_q=pair_nb_q,
     )
     arrays = SceneArrays(
         boundary_pos=bpos, boundary_volume=bvol, boundary_table=btable,

@@ -269,3 +269,47 @@ def test_dense_mode_matches_compact(name, monkeypatch):
     # iteration counts must agree (solver-loop contract)
     np.testing.assert_allclose(np.asarray(sim_dense.state.diag)[0],
                                np.asarray(sim_comp.state.diag)[0], atol=0)
+
+
+def test_large_n_policy_ladder_matches_default(monkeypatch):
+    """Force the LARGE-N policy ladder (wide band_B one-shot groups,
+    loop_B=8 split-width coef engine, group-sparse boundary caps) onto
+    the tiny scene and check the dense DFSPH step reproduces the
+    default small-N path — the only CPU-sized coverage of the 1M
+    regime's split-width plan compaction (scene.loop_B/pair_nb_q;
+    dfsph.build_dense_engine sub-flag path)."""
+    import jax
+
+    import cfd_taichi_tpu.models.base as mbase
+    import cfd_taichi_tpu.models.dfsph as D
+    import cfd_taichi_tpu.scene as scene_mod
+
+    sim1 = make_sim("dfsph")
+    for _ in range(5):
+        sim1.step()
+
+    monkeypatch.setattr(scene_mod, "GROUPED_BUILD_MIN_N", 0)
+    monkeypatch.setattr(mbase, "GROUPED_BUILD_MIN_N", 0)
+    # The split-width loop engine is off by default (measured negative,
+    # scene.LOOP_B_LARGE note); force it here so its plan-compaction
+    # path stays covered.
+    monkeypatch.setattr(scene_mod, "LOOP_B_LARGE", 8)
+    # Tiny N would still pick the band engine by byte budget; force the
+    # (split-)coef engine the 1M scene uses.
+    monkeypatch.setattr(D, "BAND_BYTE_BUDGET", 0)
+    jax.clear_caches()
+    sim2 = make_sim("dfsph")
+    st2 = sim2.scene.static
+    assert st2.band_B == scene_mod.BAND_B_LARGE and st2.loop_B == 8
+    assert st2.coef_nbA > 0 and st2.pair_nb_q > 0
+    assert D.dense_eligible(st2)
+    for _ in range(5):
+        sim2.step()
+    assert int(sim2.state.overflow) == 0
+    oa = np.argsort(np.asarray(sim1.state.fluid.oid))
+    ob = np.argsort(np.asarray(sim2.state.fluid.oid))
+    np.testing.assert_allclose(sim2.state.fluid.pos.to_numpy()[ob],
+                               sim1.state.fluid.pos.to_numpy()[oa],
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sim2.state.diag)[0],
+                               np.asarray(sim1.state.diag)[0], atol=0)

@@ -30,6 +30,7 @@ from cfd_taichi_tpu.config import read_config
 from cfd_taichi_tpu.models import dfsph
 
 MODE = os.environ.get("MODE", "b16")
+FORCE_COEF = os.environ.get("FORCE_COEF", "0") == "1"
 SIZES = os.environ.get("SIZES", "100k,157k,300k").split(",")
 WARM = int(os.environ.get("WARM", "6"))
 REPS = int(os.environ.get("REPS", "8"))
@@ -45,7 +46,10 @@ WATER["100k"] = (1.75, 3.0, 2.4)  # 35*60*48 = 100.8k
 
 
 def main():
-    print("device:", jax.devices(), "mode:", MODE, flush=True)
+    print("device:", jax.devices(), "mode:", MODE,
+          "force_coef:", FORCE_COEF, flush=True)
+    if FORCE_COEF:
+        dfsph.BAND_BYTE_BUDGET = 0
     thresh = 150_000 if MODE == "b8" else 10_000_000
     scene_mod.GROUPED_BUILD_MIN_N = thresh
     base_mod.GROUPED_BUILD_MIN_N = thresh

@@ -58,16 +58,32 @@ def main():
         if depth == 0:
             return chk
         rho_f, count, blk_pair = bandmat.dense_rho_count(
-            dp.pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B)
+            dp.pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B,
+            sub=st.band_B // st.loop_B if st.loop_B else 1)
         chk += jnp.sum(rho_f) + jnp.sum(count).astype(jnp.float32)
         if depth == 1:
             return chk
-        plan = bandmat.compact_plan(dp.plan, blk_pair, st.pair_nb)
-        chk += jnp.sum(plan[0]).astype(jnp.float32)
+        sub = st.band_B // st.loop_B if st.loop_B else 1
+        QBl = -(-st.n_fluid // st.loop_B) if st.loop_B else 0
+        if sub > 1:
+            blk_w = jnp.repeat(dp.plan[0], sub, axis=0)[:QBl]
+            mask_w = jnp.repeat(dp.plan[1], sub, axis=0)[:QBl]
+            plan_loop = bandmat.compact_plan(
+                (blk_w, mask_w, dp.plan[2]), blk_pair[:QBl], st.pair_nb)
+            flags_q = blk_pair.reshape(-1, sub,
+                                       blk_pair.shape[1]).any(axis=1)
+            plan = bandmat.compact_plan(dp.plan, flags_q, st.pair_nb_q)
+            Bl = st.loop_B
+        else:
+            plan = plan_loop = bandmat.compact_plan(dp.plan, blk_pair,
+                                                    st.pair_nb)
+            Bl = st.band_B
+        chk += jnp.sum(plan[0]).astype(jnp.float32) \
+            + jnp.sum(plan_loop[0]).astype(jnp.float32)
         if depth == 2:
             return chk
         seng = bandmat.build_split_coef_engine(
-            dp.pos, h=st.h, m=st.particle_m, plan=plan, B=st.band_B,
+            dp.pos, h=st.h, m=st.particle_m, plan=plan_loop, B=Bl,
             nbA=st.coef_nbA, capB=st.coef_capB, dtype=dfsph.BAND_DTYPE)
         chk += (jnp.sum(seng.s.x) + jnp.sum(seng.qsum)
                 + jnp.sum(seng.tvec.x)
@@ -75,8 +91,7 @@ def main():
                 + jnp.sum(seng.rem.w.astype(jnp.float32)))
         if depth == 3:
             return chk
-        mv, mvd = bandmat.split_coef_matvec_ops(seng, st.n_fluid,
-                                                st.band_B)
+        mv, mvd = bandmat.split_coef_matvec_ops(seng, st.n_fluid, Bl)
         u = mv(rho_f * 1e-6)
         chk += jnp.sum(mvd(u))
         if depth == 4:
