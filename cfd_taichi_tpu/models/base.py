@@ -304,17 +304,33 @@ class DensePrep(NamedTuple):
 def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
                      nbcap: int, B: int,
                      want_bterms: bool = True) -> DensePrep:
-    """Sort the fluid, derive CSR offsets + the CSR block plan directly
-    (no second argsort, no compact fluid list), and compute the Akinci
-    boundary sums via the group-sparse dense pass (no compact boundary
-    list either). The fused dense passes (ops/bandmat.build_band_terms /
-    dense_dfsph_terms / dense_rho_count / dense_wcsph_forces /
-    dense_viscosity) run over the returned plan."""
-    n = st.n_fluid
+    """Sort the fluid, then `dense_prep_sorted` (which derives CSR offsets
+    + the CSR block plan directly — no second argsort, no compact fluid
+    list — and computes the Akinci boundary sums via the group-sparse
+    dense pass, no compact boundary list either). The fused dense passes
+    (ops/bandmat.build_band_terms / dense_dfsph_terms / dense_rho_count /
+    dense_wcsph_forces / dense_viscosity) run over the returned plan."""
     cid = nb.cell_id(fluid_pos, st.grid)
     perm = jnp.argsort(cid, stable=True).astype(jnp.int32)
     pos_s = fluid_pos.take(perm)
     scid = cid[perm]
+    return dense_prep_sorted(st, arrays, pos_s, scid, nbcap, B,
+                             want_bterms=want_bterms, perm=perm)
+
+
+def dense_prep_sorted(st: SceneStatic, arrays: SceneArrays, pos_s: V3,
+                      scid: jnp.ndarray, nbcap: int, B: int,
+                      want_bterms: bool = True, perm=None) -> DensePrep:
+    """`build_dense_prep` on an ALREADY cell-sorted fluid set — the entry
+    point of the SHARDED dense path (parallel/domain), whose scaffold has
+    sorted the local+halo set itself (it needs the sort bookkeeping for
+    the per-iteration exchanges). Invalid slots must carry cell id
+    >= num_cells (they sort to the tail, beyond every CSR window) and a
+    far-field sentinel position (straddling blocks at the valid/invalid
+    boundary ARE covered by real plans — the sentinel keeps such slots
+    out of every r2 <= h^2 pair test). `st.n_fluid` is the (static)
+    sorted-set length; overflow is counted on every capacity as usual."""
+    n = st.n_fluid
     # method="sort": the queries (arange) are already sorted, so one
     # concat-sort beats the default per-query binary-search gathers
     # (measured inside the 1M one-shot attribution).
@@ -324,7 +340,18 @@ def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
 
     from cfd_taichi_tpu.ops import bandmat
     QB = -(-n // B)
-    qcells = jnp.pad(scid, (0, QB * B - n), mode="edge").reshape(QB, B)
+    # Invalid-tail query members claim the LAST VALID slot's cell for the
+    # plan stencil (plan_from_csr needs in-grid ids, and a far-away cell
+    # — e.g. the grid's last — would drag its 27-stencil into the
+    # straddle group's interval union and blow the plan capacity); their
+    # sentinel positions keep the resulting junk rows inert. All-valid
+    # sets (the single-chip path) are untouched bit-for-bit: mode="edge"
+    # already pads with a valid cell id there.
+    pad = jnp.pad(scid, (0, QB * B - n), mode="edge")
+    last_valid = jnp.maximum(
+        jnp.max(jnp.where(scid < st.grid.num_cells, scid, -1)), 0)
+    qcells = jnp.where(pad >= st.grid.num_cells, last_valid,
+                       pad).reshape(QB, B)
     plan = bandmat.plan_from_csr(qcells, starts, st.grid, nbcap)
     overflow = plan[2]
 
@@ -346,6 +373,20 @@ def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
     return DensePrep(pos=pos_s, perm=perm, starts=starts, plan=plan,
                      bterms=bterms, bwin=bwin, overflow=overflow,
                      qcells=qcells)
+
+
+def sentinel_positions(st: SceneStatic, pos: V3, valid: jnp.ndarray) -> V3:
+    """Replace invalid rows' positions with STAGGERED far-field sentinels
+    (outside every grid cell, spread 4h apart so no two sentinels pair
+    with each other either — a shared point would make r ~ 0 'pairs'
+    whose kernel coefficients can overflow). Used by the sharded dense
+    path, whose local slot arrays interleave stale/unoccupied rows."""
+    slot = jnp.arange(pos.x.shape[0], dtype=jnp.int32).astype(jnp.float32)
+    fx = jnp.float32(st.box_max[0] + 1e3 * st.h) + slot * (4.0 * st.h)
+    far = jnp.float32(st.box_max[1] + 1e3 * st.h)
+    return V3(jnp.where(valid, pos.x, fx),
+              jnp.where(valid, pos.y, far),
+              jnp.where(valid, pos.z, far))
 
 
 def rigid_lid(st: SceneStatic, j: jnp.ndarray) -> jnp.ndarray:

@@ -324,7 +324,7 @@ class DenseEngine(NamedTuple):
 
 
 def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
-                       fluid_pos: V3) -> DenseEngine:
+                       fluid_pos: V3, dp=None) -> DenseEngine:
     """Fluid-only fast path: NO compact (N, K) fluid list and NO compact
     (N, bK) boundary list are built. One dense pass over the CSR block
     plan produces the loop engine inputs AND rho/count/alpha-Q/tension
@@ -338,7 +338,9 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
     # capped CSR cover for the ONE-SHOT term pass (its fragmentation is
     # not physics-bounded), then a pair-tight plan — physics-bounded
     # capacity — for the stored engine and every per-iteration matvec.
-    dp = base.build_dense_prep(st, arrays, fluid_pos, st.band_nb_wide, B)
+    if dp is None:
+        dp = base.build_dense_prep(st, arrays, fluid_pos, st.band_nb_wide,
+                                   B)
     pos_s, perm = dp.pos, dp.perm
     if use_band_engine(st.n_fluid, st.band_nb):
         # Stored 3-component band matrix (fits HBM below ~150k).
@@ -416,6 +418,35 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
                        S0=S0, mv=mv, mvd=mvd, overflow=overflow)
 
 
+def dense_pre_terms(st: SceneStatic, eng: DenseEngine, rt=None):
+    """The dense-mode one-shot algebra (rho, alpha factor, self-side S,
+    tension vector) from a DenseEngine — defined ONCE for the single-chip
+    prepare and the sharded dense callback (parallel/domain._dfsph_physics)
+    so the two cannot drift. `rt` carries the rigid term sums
+    (rigid_dense.rigid_terms) when the scene is coupled: fluid-solid
+    terms fold into the SAME sums the reference uses (alpha_terms:
+    coeff_fs = wf + ws — a pair slot is fluid OR solid, so
+    |S_f+S_s|^2 + Q_f + Q_s matches term-for-term). The boundary vector
+    sum is squared SEPARATELY from the fluid one — reference quirk kept
+    (dfsph_solver.py:32-51)."""
+    rho = base.DENSITY_EPS + eng.rho_f
+    S_fs, qsum_fs = eng.S0, eng.qsum
+    if rt is not None:
+        rho = rho + rt.rho
+        S_fs = S_fs + rt.s
+        qsum_fs = qsum_fs + rt.qsum
+    denom = S_fs.dot(S_fs) + qsum_fs
+    S = S_fs
+    if st.akinci:
+        bt = eng.dp.bterms
+        rho = rho + bt.rho
+        denom = denom + bt.qsum + bt.s.dot(bt.s)
+        S = S + bt.s
+    alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
+    tension = eng.tvec * jnp.float32(-TENSION_K * st.particle_m)
+    return rho, alpha, S, tension
+
+
 def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
                    state: base.SimState) -> _Pre:
     """DFSPH dense-mode prepare on top of build_dense_engine: alpha
@@ -436,37 +467,19 @@ def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
     S0, mv, mvd, overflow = eng.S0, eng.mv, eng.mvd, eng.overflow
     oid = fluid.oid[perm]
 
-    rho = base.DENSITY_EPS + rho_f
-    S_fs, qsum_fs = S0, qsum
-    visc_s_of = None
+    rt = rw = visc_s_of = None
     if has_rigid:
-        # Fluid-solid terms fold into the SAME sums the reference uses
-        # (alpha_terms: coeff_fs = wf + ws — a pair slot is fluid OR
-        # solid, so |S_f+S_s|^2 + Q_f + Q_s matches term-for-term).
+        # Fluid-solid terms through the group-sparse rigid windows
+        # (ops/rigid_dense); folded into the one-shot sums below.
         rw = rigid_dense.build_rigid_windows(
             st, pos_s, dp.qcells, rigid.pos, arrays.rigid_volume,
             cap=st.rq_cap)
         rt = rigid_dense.rigid_terms(st, rw, float(RHO_0), st.n_fluid)
-        rho = rho + rt.rho
-        S_fs = S0 + rt.s
-        qsum_fs = qsum + rt.qsum
         overflow = jnp.maximum(overflow, rw.overflow)
         visc_s_of = rigid_dense.viscosity_op(
             st, rw, float(RHO_0), st.n_fluid, VISCOSITY_C_S,
             VISCOSITY_ALPHA)
-    denom = S_fs.dot(S_fs) + qsum_fs
-    S = S_fs
-    if st.akinci:
-        # Group-sparse boundary sums (bandmat.dense_boundary_terms): the
-        # boundary vector sum is squared SEPARATELY from the fluid one —
-        # reference quirk kept (dfsph_solver.py:32-51).
-        bt = dp.bterms
-        rho = rho + bt.rho
-        denom = denom + bt.qsum + bt.s.dot(bt.s)
-        S = S + bt.s
-    alpha = jnp.where(jnp.abs(denom) < 1e-6, 0.0, rho / denom)
-
-    tension = tvec * jnp.float32(-TENSION_K * st.particle_m)
+    rho, alpha, S, tension = dense_pre_terms(st, eng, rt)
 
     def ext_force_fn(vel):
         visc = bandmat.dense_viscosity(

@@ -167,6 +167,62 @@ def loop_operators(st: SceneStatic, nbh, rho, d_ii: V3, a_ii, rho_adv,
     return d_ij_of, r_sum_of, residual_of
 
 
+def dense_pre_terms(st: SceneStatic, eng, rt=None):
+    """One-shot sums of the dense-mode Jacobi algebra — defined ONCE for
+    the single-chip `_step_dense` and the sharded dense callback
+    (parallel/domain._iisph_physics) so the two cannot drift. `rt`
+    carries the rigid term sums (rigid_dense.rigid_terms) on coupled
+    scenes; summation order (rigid before Akinci) matches the original
+    inline code bit-for-bit."""
+    rho = base.DENSITY_EPS + eng.rho_f
+    S_all = eng.S0
+    g2_sb = jnp.zeros_like(rho)
+    if rt is not None:
+        rho = rho + rt.rho
+        S_all = S_all + rt.s
+        g2_sb = g2_sb + rt.g2
+    if st.akinci:
+        bt = eng.dp.bterms
+        rho = rho + bt.rho
+        S_all = S_all + bt.s
+        g2_sb = g2_sb + bt.g2
+    tension = eng.tvec * jnp.float32(-TENSION_K * st.particle_m)
+    return rho, S_all, g2_sb, tension
+
+
+def dense_jacobi_ops(eng, S_all, inv_rho2, d_ii, dt2):
+    """Per-iteration dense-engine contractions (d_ij and the off-diagonal
+    r_sum; _step_dense docstring derivation), shared single-chip/sharded."""
+    cP = dt2 * inv_rho2 * eng.qsum  # the d_ji correction row constant
+
+    def d_ij_of(p):
+        return eng.mv(p * inv_rho2) * (-dt2)
+
+    def r_sum_of(p, d_ij):
+        return (d_ij.dot(S_all) - eng.mvd(d_ij) - eng.mvd(d_ii * p)
+                + cP * p)
+
+    return d_ij_of, r_sum_of
+
+
+def dense_residual_fn(a_ii, rho_adv, resid_mask=None, allreduce=None):
+    """The positive-pressure residual average (iisph_solver.py:101-113;
+    RESIDUAL_REF keeps the hardcoded-1000 quirk). `resid_mask`/`allreduce`
+    restrict the average to owned rows and psum it in the sharded path."""
+    def residual_of(p, r_sum):
+        active = p > 0.0
+        if resid_mask is not None:
+            active = active & resid_mask
+        cnt = jnp.sum(active.astype(jnp.float32))
+        total = jnp.sum(jnp.where(
+            active, a_ii * p + r_sum + rho_adv - RESIDUAL_REF, 0.0))
+        if allreduce is not None:
+            cnt, total = allreduce(cnt), allreduce(total)
+        return jnp.where(cnt > 0, total / cnt, 0.0)
+
+    return residual_of
+
+
 def _step_dense(st: SceneStatic, arrays: SceneArrays,
                 state: base.SimState) -> base.SimState:
     """Dense-mode IISPH (fluid-only scenes): no compact lists; the
@@ -204,10 +260,8 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     oid = fluid.oid[perm]
     p_past = p_past[perm]
 
-    rho = base.DENSITY_EPS + eng.rho_f
-    S_all = eng.S0
-    g2_sb = jnp.zeros((n,), jnp.float32)
     overflow = eng.overflow
+    rt = rw = None
     if has_rigid:
         # Fluid-solid terms through the group-sparse rigid windows
         # (ops/rigid_dense): rt.s folds into every S_all contraction
@@ -217,19 +271,11 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
             st, pos, eng.dp.qcells, rigid.pos, arrays.rigid_volume,
             cap=st.rq_cap)
         rt = rigid_dense.rigid_terms(st, rw, float(RHO_0), n)
-        rho = rho + rt.rho
-        S_all = S_all + rt.s
-        g2_sb = g2_sb + rt.g2
         overflow = jnp.maximum(overflow, rw.overflow)
-    if st.akinci:
-        bt = eng.dp.bterms
-        rho = rho + bt.rho
-        S_all = S_all + bt.s
-        g2_sb = g2_sb + bt.g2
+    rho, S_all, g2_sb, tension = dense_pre_terms(st, eng, rt)
     inv_rho2 = 1.0 / (rho * rho)
 
     # --- predict advection ---------------------------------------------------
-    tension = eng.tvec * jnp.float32(-TENSION_K * st.particle_m)
     viscosity = bandmat.dense_viscosity(
         pos, vel, rho, h=st.h, m=st.particle_m, plan=eng.plan,
         B=st.band_B, c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
@@ -257,7 +303,8 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
 
     p0 = 0.5 * p_past  # warm start (iisph_solver.py:67)
     err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
-    cP = dt2 * inv_rho2 * eng.qsum  # the d_ji correction row constant
+    d_ij_of, r_sum_of = dense_jacobi_ops(eng, S_all, inv_rho2, d_ii, dt2)
+    residual_of = dense_residual_fn(a_ii, rho_adv)
 
     def cond(carry):
         _, _, _, res, _, stop, l = carry
@@ -266,19 +313,14 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
 
     def body(carry):
         p, d_ij, r_sum, res, _, _, l = carry
-        d_ij = eng.mv(p * inv_rho2) * (-dt2)
-        r_sum = (d_ij.dot(S_all) - eng.mvd(d_ij) - eng.mvd(d_ii * p)
-                 + cP * p)
+        d_ij = d_ij_of(p)
+        r_sum = r_sum_of(p, d_ij)
         p_new = jnp.where(jnp.abs(a_ii) > 1e-7,
                           (1.0 - OMEGA) * p
                           + OMEGA * (RHO_0 - rho_adv - r_sum) / a_ii,
                           0.0)
         p = jnp.maximum(p_new, 0.0)
-        active = p > 0.0
-        cnt = jnp.sum(active)
-        total = jnp.sum(jnp.where(
-            active, a_ii * p + r_sum + rho_adv - RESIDUAL_REF, 0.0))
-        new_res = jnp.where(cnt > 0, total / cnt, 0.0)
+        new_res = residual_of(p, r_sum)
         stop = (l >= 1) & (new_res - res > 0.0)
         return (p, d_ij, r_sum, new_res, res, stop, l + 1)
 

@@ -42,6 +42,12 @@ from cfd_taichi_tpu.scene import RHO_0, SceneArrays, SceneStatic
 
 AXIS = "shard"
 
+# Solvers whose sharded physics callback understands ShardCtx.dense (the
+# per-shard dense-engine route, VERDICT r03 item 6). Fluid-only scenes of
+# these solvers skip the compact-list build entirely when the local+halo
+# set is dense-eligible.
+DENSE_ROUTE_SOLVERS = ("dfsph", "iisph")
+
 
 def make_mesh(n_devices: int, devices=None) -> Mesh:
     if devices is None:
@@ -326,6 +332,13 @@ class ShardCtx(NamedTuple):
     rigid: object = None     # replicated models.base.RigidBodyState
     quirk_tbl: object = None  # rho_sorted -> psum'd seeding-order rho table
     #                           for the solid-viscosity quirk read
+    # Dense-route addition (VERDICT r03 item 6): models.dfsph.DenseEngine
+    # over the sorted local+halo set. When set, `nbh` is None — the shard
+    # built NO compact (ns, K) fluid list and NO compact boundary list;
+    # physics callbacks take their one-shot sums + loop matvecs from here
+    # (dfsph.dense_pre_terms / eng.mv / eng.mvd), inheriting the
+    # single-chip dense-mode economics per chip.
+    dense: object = None
 
 
 class ShardedState(NamedTuple):
@@ -389,6 +402,7 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
     from jax import shard_map
 
     from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.models import dfsph as mdfsph
     from cfd_taichi_tpu.models.base import GROUPED_BUILD_MIN_N
 
     physics = {"dfsph": _dfsph_physics, "pcisph": _pcisph_physics,
@@ -464,101 +478,143 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
         def own_of(sorted_vals):
             return sorted_vals[inv_own]
 
-        # --- dynamic source set: local fluid [+ replicated rigid] --------
-        if coupled:
-            dyn_pos = V3(*(jnp.concatenate([a, b]) for a, b in
-                           zip(spos.astuple(), rigid.pos.astuple())))
-            dyn_valid = jnp.concatenate(
-                [smask, jnp.ones((st.n_rigid,), bool)])
-        else:
-            dyn_pos, dyn_valid = spos, smask
-
-        # --- neighborhood (engine policy identical to build_nbh) ---------
-        table = nb.build_cell_table(dyn_pos, st.grid, valid=dyn_valid)
-        qid = jnp.arange(ns, dtype=jnp.int32)
-        if ns >= GROUPED_BUILD_MIN_N:
-            nl, wplan = nb.find_neighbors_grouped(
-                spos, qid, dyn_pos, table, st.grid, K=st.K,
-                nbcap=st.band_nb, B=st.band_B, exclude_self=True,
-                src_valid=dyn_valid)
-            # Coupled scenes interleave rigid ids into the source space,
-            # so the CSR plan cannot back the fluid-only band engine
-            # (same rule as build_nbh's plan=None when with_rigid).
+        def _compact_ctx():
+            # --- dynamic source set: local fluid [+ replicated rigid] --------
             if coupled:
-                wplan = None
-            cell_over = jnp.zeros((), jnp.int32)
-        else:
-            nl = nb.find_neighbors(spos, qid, dyn_pos, table, st.grid,
-                                   K=st.K, cell_cap=st.cell_cap,
-                                   exclude_self=True, k2=st.k2)
-            wplan = None
-            occ = table.starts[1:] - table.starts[:-1]
-            cell_over = jnp.maximum(jnp.max(occ) - st.cell_cap, 0)
-        jmask = nl.mask & dyn_valid[nl.idx] & smask[:, None]
-        x_ij = spos.expand(1) - nl.spos
-
-        overflow = jnp.maximum(
-            jnp.max(jnp.where(smask, nl.count, 0)) - st.K, 0)
-        overflow = jnp.maximum(overflow, nl.dropped)
-        overflow = jnp.maximum(overflow, cell_over)
-        overflow = jnp.maximum(overflow, plan.dropped)
-
-        bidx = bmask = bxv = br = bvolg = None
-        if st.akinci:
-            if ns >= GROUPED_BUILD_MIN_N:
-                blist, _ = nb.find_neighbors_grouped(
-                    spos, None, bpos, arrays.boundary_table, st.grid,
-                    K=st.bK, nbcap=st.bband_nb, B=st.band_B)
+                dyn_pos = V3(*(jnp.concatenate([a, b]) for a, b in
+                               zip(spos.astuple(), rigid.pos.astuple())))
+                dyn_valid = jnp.concatenate(
+                    [smask, jnp.ones((st.n_rigid,), bool)])
             else:
-                blist = nb.find_neighbors(spos, None, bpos,
-                                          arrays.boundary_table, st.grid,
-                                          K=st.bK, cell_cap=st.bcell_cap,
-                                          k2=st.bk2)
-            bidx = blist.idx
-            bmask = blist.mask & smask[:, None]
-            bxv = spos.expand(1) - blist.spos
-            br = bxv.norm()
-            bvolg = bvol[bidx]
+                dyn_pos, dyn_valid = spos, smask
+
+            # --- neighborhood (engine policy identical to build_nbh) ---------
+            table = nb.build_cell_table(dyn_pos, st.grid, valid=dyn_valid)
+            qid = jnp.arange(ns, dtype=jnp.int32)
+            if ns >= GROUPED_BUILD_MIN_N:
+                nl, wplan = nb.find_neighbors_grouped(
+                    spos, qid, dyn_pos, table, st.grid, K=st.K,
+                    nbcap=st.band_nb, B=st.band_B, exclude_self=True,
+                    src_valid=dyn_valid)
+                # Coupled scenes interleave rigid ids into the source space,
+                # so the CSR plan cannot back the fluid-only band engine
+                # (same rule as build_nbh's plan=None when with_rigid).
+                if coupled:
+                    wplan = None
+                cell_over = jnp.zeros((), jnp.int32)
+            else:
+                nl = nb.find_neighbors(spos, qid, dyn_pos, table, st.grid,
+                                       K=st.K, cell_cap=st.cell_cap,
+                                       exclude_self=True, k2=st.k2)
+                wplan = None
+                occ = table.starts[1:] - table.starts[:-1]
+                cell_over = jnp.maximum(jnp.max(occ) - st.cell_cap, 0)
+            jmask = nl.mask & dyn_valid[nl.idx] & smask[:, None]
+            x_ij = spos.expand(1) - nl.spos
+
             overflow = jnp.maximum(
-                overflow, jnp.max(jnp.where(smask, blist.count, 0)) - st.bK)
+                jnp.max(jnp.where(smask, nl.count, 0)) - st.K, 0)
+            overflow = jnp.maximum(overflow, nl.dropped)
+            overflow = jnp.maximum(overflow, cell_over)
+            overflow = jnp.maximum(overflow, plan.dropped)
 
-        st_local = _shim_static(st, ns, keep_rigid=coupled)
-        mask_f = jmask & (nl.idx < ns) if coupled else jmask
-        if coupled and st.fs_couple:
-            mask_s = jmask & (nl.idx >= ns)
-            rigid_vol = arrays.rigid_volume[
-                mbase.rigid_lid(st_local, nl.idx)]
+            bidx = bmask = bxv = br = bvolg = None
+            if st.akinci:
+                if ns >= GROUPED_BUILD_MIN_N:
+                    blist, _ = nb.find_neighbors_grouped(
+                        spos, None, bpos, arrays.boundary_table, st.grid,
+                        K=st.bK, nbcap=st.bband_nb, B=st.band_B)
+                else:
+                    blist = nb.find_neighbors(spos, None, bpos,
+                                              arrays.boundary_table, st.grid,
+                                              K=st.bK, cell_cap=st.bcell_cap,
+                                              k2=st.bk2)
+                bidx = blist.idx
+                bmask = blist.mask & smask[:, None]
+                bxv = spos.expand(1) - blist.spos
+                br = bxv.norm()
+                bvolg = bvol[bidx]
+                overflow = jnp.maximum(
+                    overflow, jnp.max(jnp.where(smask, blist.count, 0)) - st.bK)
+
+            st_local = _shim_static(st, ns, keep_rigid=coupled)
+            mask_f = jmask & (nl.idx < ns) if coupled else jmask
+            if coupled and st.fs_couple:
+                mask_s = jmask & (nl.idx >= ns)
+                rigid_vol = arrays.rigid_volume[
+                    mbase.rigid_lid(st_local, nl.idx)]
+            else:
+                mask_s = jnp.zeros_like(jmask)
+                rigid_vol = None
+            nbh = mbase.Nbh(
+                pos=spos, perm=perm, pos_all=dyn_pos, idx=nl.idx, mask=jmask,
+                mask_f=mask_f, mask_s=mask_s,
+                count=jnp.sum(jmask, axis=1), x=x_ij, r=x_ij.norm(),
+                rigid_vol=rigid_vol, bidx=bidx, bmask=bmask, bx=bxv, br=br,
+                bvol=bvolg, overflow=overflow, plan=wplan)
+
+            # Seeding-order rho table for the solid-viscosity quirk read
+            # (models/base.nbh_viscosity): each shard scatters its OWNED rows'
+            # rho at their global seeding ids < n_quirk, psum makes it global
+            # (every global id is owned by exactly one shard).
+            s_oid = jnp.concatenate(
+                [oid, jnp.full((2 * spec.hcap,), -1, jnp.int32)])[perm]
+
+            def quirk_tbl(rho_sorted):
+                qi = jnp.where(s_owned & (s_oid >= 0) & (s_oid < n_quirk),
+                               s_oid, n_quirk)
+                tbl = jnp.zeros((n_quirk + 1,), jnp.float32).at[qi].set(
+                    rho_sorted, mode="drop")[:n_quirk]
+                return jax.lax.psum(tbl, AXIS)
+
+            ctx = ShardCtx(st=st_local, nbh=nbh, wplan=wplan, smask=smask,
+                           s_owned=s_owned, s_upd=s_upd, own_of=own_of,
+                           full_sorted=full_sorted,
+                           psum=lambda x: jax.lax.psum(x, AXIS),
+                           pmax=lambda x: jax.lax.pmax(x, AXIS),
+                           rigid=rigid,
+                           quirk_tbl=quirk_tbl if coupled else None)
+            return ctx, overflow
+
+        # --- dense route (fluid-only; VERDICT r03 item 6) -----------------
+        # When the local+halo set is dense-eligible, the shard builds NO
+        # compact (ns, K) fluid list and NO compact (ns, bK) boundary
+        # list: the single-chip dense-mode engines (models.dfsph.
+        # build_dense_engine — wide CSR plan, fused one-shot term passes,
+        # stored band / stored-coefficient loop matvecs, group-sparse
+        # Akinci sums) run directly on the sorted local+halo set, so
+        # multi-chip steps inherit the per-chip economics the dense mode
+        # bought single-chip (the compact build was ~65 ms of a ~136 ms
+        # step at 29k). Invalid slots already sort to the tail (cell id
+        # forced to num_cells above); sentinel positions keep them out of
+        # every geometric pair test.
+        dense_route = (solver in DENSE_ROUTE_SOLVERS and not coupled
+                       and mdfsph.dense_eligible(_shim_static(st, ns)))
+        if dense_route:
+            st_local = _shim_static(st, ns)
+            if st.akinci and st.bq_cap >= -(-st.n_fluid // st.band_B):
+                # Small-N scenes use the EXACT wall-near group policy
+                # (bq_cap = QB, overflow impossible — scene.py bq_cap
+                # note). The per-shard local+halo set has MORE groups
+                # than the global QB (halo rows duplicate), so restore
+                # exactness against the LOCAL group count.
+                st_local = dataclasses.replace(st_local, bq_cap=ns)
+            scid = cid[perm]
+            spos_d = mbase.sentinel_positions(st, spos, smask)
+            dp = mbase.dense_prep_sorted(st_local, arrays, spos_d, scid,
+                                         st.band_nb_wide, st.band_B,
+                                         perm=perm)
+            eng = mdfsph.build_dense_engine(st_local, arrays, spos_d,
+                                            dp=dp)
+            overflow = jnp.maximum(eng.overflow, plan.dropped)
+            ctx = ShardCtx(st=st_local, nbh=None, wplan=None, smask=smask,
+                           s_owned=s_owned, s_upd=s_upd, own_of=own_of,
+                           full_sorted=full_sorted,
+                           psum=lambda x: jax.lax.psum(x, AXIS),
+                           pmax=lambda x: jax.lax.pmax(x, AXIS),
+                           dense=eng)
         else:
-            mask_s = jnp.zeros_like(jmask)
-            rigid_vol = None
-        nbh = mbase.Nbh(
-            pos=spos, perm=perm, pos_all=dyn_pos, idx=nl.idx, mask=jmask,
-            mask_f=mask_f, mask_s=mask_s,
-            count=jnp.sum(jmask, axis=1), x=x_ij, r=x_ij.norm(),
-            rigid_vol=rigid_vol, bidx=bidx, bmask=bmask, bx=bxv, br=br,
-            bvol=bvolg, overflow=overflow, plan=wplan)
-
-        # Seeding-order rho table for the solid-viscosity quirk read
-        # (models/base.nbh_viscosity): each shard scatters its OWNED rows'
-        # rho at their global seeding ids < n_quirk, psum makes it global
-        # (every global id is owned by exactly one shard).
-        s_oid = jnp.concatenate(
-            [oid, jnp.full((2 * spec.hcap,), -1, jnp.int32)])[perm]
-
-        def quirk_tbl(rho_sorted):
-            qi = jnp.where(s_owned & (s_oid >= 0) & (s_oid < n_quirk),
-                           s_oid, n_quirk)
-            tbl = jnp.zeros((n_quirk + 1,), jnp.float32).at[qi].set(
-                rho_sorted, mode="drop")[:n_quirk]
-            return jax.lax.psum(tbl, AXIS)
-
-        ctx = ShardCtx(st=st_local, nbh=nbh, wplan=wplan, smask=smask,
-                       s_owned=s_owned, s_upd=s_upd, own_of=own_of,
-                       full_sorted=full_sorted,
-                       psum=lambda x: jax.lax.psum(x, AXIS),
-                       pmax=lambda x: jax.lax.pmax(x, AXIS),
-                       rigid=rigid,
-                       quirk_tbl=quirk_tbl if coupled else None)
+            ctx, overflow = _compact_ctx()
 
         res = physics(ctx, sv, extras, dt, consts)
         # Velocity-form solvers return 5 values; position-based solvers
@@ -672,51 +728,85 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     st, nbh = ctx.st, ctx.nbh
     (wk,) = extras
     m = st.particle_m
-    coupled = nbh.rigid_vol is not None
+    coupled = nbh is not None and nbh.rigid_vol is not None
 
-    rho = mbase.nbh_rho(st, nbh)
-    gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
-    gx = V3(nbh.x.x * gc_f, nbh.x.y * gc_f, nbh.x.z * gc_f)
-    wf = jnp.where(nbh.mask_f, jnp.float32(m), 0.0)
-    ws = (jnp.where(nbh.mask_s, RHO_0 * nbh.rigid_vol, 0.0)
-          if coupled else None)
-    gb = gc_b = wb = None
-    if st.akinci:
-        gc_b = sm.cubic_grad_coeff(nbh.br, st.h)
-        gb = V3(nbh.bx.x * gc_b, nbh.bx.y * gc_b, nbh.bx.z * gc_b)
-        wb = jnp.where(nbh.bmask, RHO_0 * nbh.bvol, 0.0)
-    alpha, sb_vec = D.alpha_terms(st, nbh, rho, gx, gc_f, wf, ws=ws,
-                                  gb=gb, gc_b=gc_b, wb=wb)
+    if ctx.dense is not None:
+        # Dense route (fluid-only): one-shot sums + loop matvecs from the
+        # per-shard DenseEngine — the SAME algebra as the single-chip
+        # dense prepare (D.dense_pre_terms / bandmat.dense_viscosity), so
+        # the two paths cannot drift. No compact list exists here.
+        eng = ctx.dense
+        rho, alpha, S, tension = D.dense_pre_terms(st, eng)
+        count = eng.count
+        mv, mvd = eng.mv, eng.mvd
+        engine_over = jnp.zeros((), jnp.int32)  # folded by the scaffold
+
+        def ext_force_fn(vel):
+            visc = bandmat.dense_viscosity(
+                eng.pos, vel, rho, h=st.h, m=m, plan=eng.plan,
+                B=st.band_B, c_s=D.VISCOSITY_C_S, alpha=D.VISCOSITY_ALPHA)
+            return tension + visc
+
+        def cs_fn(include_alpha, dt_arg):
+            return jnp.float32(0.0)
+
+        scatter_fn = None
+    else:
+        rho = mbase.nbh_rho(st, nbh)
+        gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
+        gx = V3(nbh.x.x * gc_f, nbh.x.y * gc_f, nbh.x.z * gc_f)
+        wf = jnp.where(nbh.mask_f, jnp.float32(m), 0.0)
+        ws = (jnp.where(nbh.mask_s, RHO_0 * nbh.rigid_vol, 0.0)
+              if coupled else None)
+        gb = gc_b = wb = None
+        if st.akinci:
+            gc_b = sm.cubic_grad_coeff(nbh.br, st.h)
+            gb = V3(nbh.bx.x * gc_b, nbh.bx.y * gc_b, nbh.bx.z * gc_b)
+            wb = jnp.where(nbh.bmask, RHO_0 * nbh.bvol, 0.0)
+        alpha, sb_vec = D.alpha_terms(st, nbh, rho, gx, gc_f, wf, ws=ws,
+                                      gb=gb, gc_b=gc_b, wb=wb)
+        count = nbh.count
+
+        use_csr_plan = ctx.wplan is not None and D.use_band_engine(
+            st.n_fluid, st.band_nb)
+        if use_csr_plan or D.use_band_engine(st.n_fluid, st.pair_nb):
+            band = bandmat.build_band(
+                nbh.pos, nbh.idx, nbh.mask_f, h=st.h, m=m,
+                nbcap=st.band_nb if use_csr_plan else st.pair_nb,
+                B=st.band_B, src_valid=ctx.smask,
+                plan=ctx.wplan if use_csr_plan else None,
+                dtype=D.BAND_DTYPE)
+            engine_over = band.overflow
+            S = band.s
+            mv, mvd = D.band_matvec_ops(band)
+        else:
+            S = mbase.sum_vec(gx, wf)
+            mv, mvd = D.gather_matvec_ops(st, nbh, wf, gx, rho, alpha)
+            engine_over = jnp.zeros((), jnp.int32)
+        if coupled:
+            S = S + mbase.sum_vec(gx, ws)
+        if st.akinci:
+            S = S + sb_vec
+        cs_fn = (D.solid_dot_const_fn(st, nbh, ctx.rigid, ws, gx)
+                 if coupled
+                 else (lambda include_alpha, dt_arg: jnp.float32(0.0)))
+        scatter_fn = (D.rigid_scatter_fn(
+            st, nbh, ws, gx, scatter_mask=nbh.mask_s & ctx.s_owned[:, None])
+            if coupled else None)
+
+        def ext_force_fn(vel):
+            tension = mbase.nbh_tension(st, nbh, D.TENSION_K)
+            viscosity = mbase.nbh_viscosity(
+                st, nbh, vel, rho,
+                ctx.rigid if coupled else mbase.empty_rigid(),
+                c_s=D.VISCOSITY_C_S, alpha=D.VISCOSITY_ALPHA,
+                rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
+            return tension + viscosity
+
     rho_own = ctx.own_of(rho)
     alpha_own = ctx.own_of(alpha)
-
-    use_csr_plan = ctx.wplan is not None and D.use_band_engine(
-        st.n_fluid, st.band_nb)
-    if use_csr_plan or D.use_band_engine(st.n_fluid, st.pair_nb):
-        band = bandmat.build_band(
-            nbh.pos, nbh.idx, nbh.mask_f, h=st.h, m=m,
-            nbcap=st.band_nb if use_csr_plan else st.pair_nb,
-            B=st.band_B, src_valid=ctx.smask,
-            plan=ctx.wplan if use_csr_plan else None,
-            dtype=D.BAND_DTYPE)
-        engine_over = band.overflow
-        S = band.s
-        mv, mvd = D.band_matvec_ops(band)
-    else:
-        S = mbase.sum_vec(gx, wf)
-        mv, mvd = D.gather_matvec_ops(st, nbh, wf, gx, rho, alpha)
-        engine_over = jnp.zeros((), jnp.int32)
-    if coupled:
-        S = S + mbase.sum_vec(gx, ws)
-    if st.akinci:
-        S = S + sb_vec
-    cs_fn = (D.solid_dot_const_fn(st, nbh, ctx.rigid, ws, gx) if coupled
-             else (lambda include_alpha, dt_arg: jnp.float32(0.0)))
-    scatter_fn = (D.rigid_scatter_fn(
-        st, nbh, ws, gx, scatter_mask=nbh.mask_s & ctx.s_owned[:, None])
-        if coupled else None)
     stiff_vel_delta, _, rho_derivative, rho_adv_residual = \
-        D.loop_operators(mv, mvd, S, nbh.count, resid_mask=ctx.s_owned,
+        D.loop_operators(mv, mvd, S, count, resid_mask=ctx.s_owned,
                          allreduce=ctx.psum)
 
     def masked_step(vv, delta, dt_):
@@ -754,13 +844,7 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
          jnp.zeros((), jnp.int32)))
 
     # --- external forces + v_adv + CFL dt ---------------------------------
-    tension = mbase.nbh_tension(st, nbh, D.TENSION_K)
-    viscosity = mbase.nbh_viscosity(
-        st, nbh, sv, rho,
-        ctx.rigid if coupled else mbase.empty_rigid(),
-        c_s=D.VISCOSITY_C_S, alpha=D.VISCOSITY_ALPHA,
-        rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
-    fext = mbase.gravity_acc(st) + tension + viscosity
+    fext = mbase.gravity_acc(st) + ext_force_fn(sv)
     v_adv_own = V3(*(ctx.own_of(vv) + ctx.own_of(fe) * (dt / m)
                      for vv, fe in zip(sv.astuple(), fext.astuple())))
     v_adv = V3(*(ctx.full_sorted(c) for c in v_adv_own.astuple()))
@@ -903,24 +987,51 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     st, nbh = ctx.st, ctx.nbh
     (p_past,) = extras
     dt2 = dt * dt
-    coupled = nbh.rigid_vol is not None
+    coupled = nbh is not None and nbh.rigid_vol is not None
 
-    rho = mbase.nbh_rho(st, nbh)
-    tension = mbase.nbh_tension(st, nbh, II.TENSION_K)
-    viscosity = mbase.nbh_viscosity(
-        st, nbh, sv, rho, ctx.rigid if coupled else mbase.empty_rigid(),
-        c_s=II.VISCOSITY_C_S, alpha=II.VISCOSITY_ALPHA,
-        rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
-    f_adv = mbase.gravity_acc(st) + tension + viscosity
-    v_adv = sv + f_adv * (dt / st.particle_m)
+    if ctx.dense is not None:
+        # Dense route (fluid-only): one-shot sums + Jacobi contractions
+        # from the per-shard DenseEngine via the SAME helpers the
+        # single-chip _step_dense uses (II.dense_pre_terms /
+        # dense_jacobi_ops / dense_residual_fn) — the paths cannot drift.
+        eng = ctx.dense
+        rho, S_all, g2_sb, tension = II.dense_pre_terms(st, eng)
+        inv_rho2 = 1.0 / (rho * rho)
+        viscosity = bandmat.dense_viscosity(
+            eng.pos, sv, rho, h=st.h, m=st.particle_m, plan=eng.plan,
+            B=st.band_B, c_s=II.VISCOSITY_C_S, alpha=II.VISCOSITY_ALPHA)
+        f_adv = mbase.gravity_acc(st) + tension + viscosity
+        v_adv = sv + f_adv * (dt / st.particle_m)
+        d_ii = S_all * (-dt2 * inv_rho2)
+        rho_adv = rho + dt * (v_adv.dot(S_all) - eng.mvd(v_adv))
+        a_ii = (d_ii.dot(S_all)
+                - dt2 * st.particle_m * inv_rho2
+                * (eng.qsum / st.particle_m + g2_sb))
+        d_ij_of, r_sum_of = II.dense_jacobi_ops(eng, S_all, inv_rho2,
+                                                d_ii, dt2)
+        residual_of = II.dense_residual_fn(a_ii, rho_adv,
+                                           resid_mask=ctx.s_owned,
+                                           allreduce=ctx.psum)
+    else:
+        rho = mbase.nbh_rho(st, nbh)
+        tension = mbase.nbh_tension(st, nbh, II.TENSION_K)
+        viscosity = mbase.nbh_viscosity(
+            st, nbh, sv, rho,
+            ctx.rigid if coupled else mbase.empty_rigid(),
+            c_s=II.VISCOSITY_C_S, alpha=II.VISCOSITY_ALPHA,
+            rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
+        f_adv = mbase.gravity_acc(st) + tension + viscosity
+        v_adv = sv + f_adv * (dt / st.particle_m)
 
-    d_ii, rho_adv, a_ii, gc_f, gc_b, inv_rho2, r2 = II.predict_advection(
-        st, nbh, rho, v_adv, ctx.rigid if coupled else None, dt,
-        has_rigid=coupled)
+        d_ii, rho_adv, a_ii, gc_f, gc_b, inv_rho2, r2 = \
+            II.predict_advection(
+                st, nbh, rho, v_adv, ctx.rigid if coupled else None, dt,
+                has_rigid=coupled)
 
-    d_ij_of, r_sum_of, residual_of = II.loop_operators(
-        st, nbh, rho, d_ii, a_ii, rho_adv, gc_f, gc_b, inv_rho2, r2, dt2,
-        has_rigid=coupled, resid_mask=ctx.s_owned, allreduce=ctx.psum)
+        d_ij_of, r_sum_of, residual_of = II.loop_operators(
+            st, nbh, rho, d_ii, a_ii, rho_adv, gc_f, gc_b, inv_rho2, r2,
+            dt2, has_rigid=coupled, resid_mask=ctx.s_owned,
+            allreduce=ctx.psum)
 
     p0 = ctx.full_sorted(0.5 * p_past)  # warm start (iisph_solver.py:67)
     err_thresh = II.RHO_ERR_PERCENT * RHO_0 * 0.01
