@@ -169,7 +169,8 @@ def dfsph_1m_roofline(out: dict, sps: float):
     cfg = read_config(os.path.join(REPO, "configs", "breaking_dam_1m.json"))
     from cfd_taichi_tpu import build_scene
     st = build_scene(cfg).static
-    B, BLOCK = st.band_B, 128
+    from cfd_taichi_tpu.ops import bandmat
+    B, BLOCK = st.band_B, bandmat.BLOCK
     Bl = st.loop_B or B                  # split-width loop engine groups
     QBq = -(-st.n_fluid // B)            # one-shot (wide) groups
     QBl = -(-st.n_fluid // Bl)           # loop-engine groups

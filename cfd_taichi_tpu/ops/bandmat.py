@@ -56,8 +56,14 @@ import jax.numpy as jnp
 from cfd_taichi_tpu.ops import smoothing as sm
 from cfd_taichi_tpu.ops.vec import V3
 
-BLOCK = 128          # source slots per block (one lane row)
-BLOCK_SHIFT = 7
+# Source slots per block. 128 (one lane row) through round 3; 64 from
+# round 4: the plan's block-alignment padding is the dominant slack in
+# every windowed pass, and halving the granularity cuts the hot-1M
+# stencil-union width ~35% (host-measured on the impact-compressed dam:
+# B=32 union 4.11 GB/matvec at 128 vs 2.69 at 64; gather rows stay fast —
+# the 4-lane matvec tables remain (4, 64) f32 = 1 KB rows).
+BLOCK = 64
+BLOCK_SHIFT = 6
 
 
 class BandA(NamedTuple):

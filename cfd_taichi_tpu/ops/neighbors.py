@@ -447,7 +447,8 @@ def find_neighbors_grouped(pos_q: V3, qid, pos_src: V3, table: CellTable,
         col = jnp.where(mask, W - topkey, 0)                 # (G*B, K)
         # winner column -> sorted-source slot
         blk_q = jnp.repeat(cblk, B, axis=0)                  # (G*B, nbcap)
-        slot = (jnp.take_along_axis(blk_q, col >> 7, axis=1) * BLOCK
+        slot = (jnp.take_along_axis(blk_q, col >> bandmat.BLOCK_SHIFT,
+                                    axis=1) * BLOCK
                 + (col & (BLOCK - 1)))
         rows = packed[:, slot]                               # (4, G*B, K)
         idx = jnp.where(mask, _f32_to_id(rows[3]), 0)

@@ -510,7 +510,7 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
 
 
 def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
-                      B: int = 8, block: int = 128,
+                      B: int = 8, block: int | None = None,
                       src_rows: np.ndarray | None = None) -> int:
     """Raw seed measurement for the block-plan capacities (ops/bandmat):
     the max number of `block`-slot source blocks covering the stencil of B
@@ -523,6 +523,9 @@ def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
     [starts[c0 + o - 1], starts[c1 + o + 2]) (fast axis has stride 1), and
     the group's block count is the size of the union of the 9 runs'
     block-id ranges (exact interval-union arithmetic below)."""
+    if block is None:
+        from cfd_taichi_tpu.ops import bandmat
+        block = bandmat.BLOCK
     n = fluid_pos_rows.shape[0]
     if n == 0:
         return 4
@@ -611,13 +614,16 @@ def boundary_near_group_capacity(fluid_pos_rows: np.ndarray,
 
 
 def boundary_band_capacity(boundary_pos_rows: np.ndarray, grid: nb.GridSpec,
-                           block: int = 128) -> int:
+                           block: int | None = None) -> int:
     """Static bound on the grouped-window plan size against the boundary
     shell: the shell never moves, so take the worst 9-run block union
     over EVERY possible query-group cell span [c, c+1]. Exact for groups
     spanning <= 2 consecutive cell ids (the dense-fluid norm); sparse
     spray groups can span more and overflow — which the runtime counts
     (NeighborList.dropped) like every other capacity."""
+    if block is None:
+        from cfd_taichi_tpu.ops import bandmat
+        block = bandmat.BLOCK
     if boundary_pos_rows.shape[0] == 0:
         return 6
     bcells = nb.cell_id_np(boundary_pos_rows, grid)
