@@ -21,7 +21,6 @@ during the solve, so all pair geometry is hoisted out of the loop.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from cfd_taichi_tpu.models import base
@@ -205,6 +204,65 @@ def dense_jacobi_ops(eng, S_all, inv_rho2, d_ii, dt2):
     return d_ij_of, r_sum_of
 
 
+def jacobi_loop(d_ij_of, r_sum_of, residual_of, p0, a_ii, rho_adv,
+                unroll: int = 1, project=None):
+    """The reference's `pressure_solve` control flow (iisph_solver.py:78-99)
+    as ONE on-device while loop, shared by the single-chip compact/dense
+    steps and the sharded physics callback (parallel/domain._iisph_physics)
+    so the three can never drift. Per iteration, in the reference's order:
+
+      d_ij <- d_ij_of(p);  r_sum <- r_sum_of(p, d_ij)     (compute_all_d_ij
+                                                           + update_p's row
+                                                           sums, py:121-137)
+      p <- max(relaxed Jacobi update, 0)                  (update_p, 139-146)
+      l += 1;  residual <- residual_of(p, r_sum)          (py:92-95; the
+          residual reads the POST-update p against the PRE-update r_sum —
+          compute_residual consumes the r_sum buffer update_p just wrote)
+      break if residual - previous residual > 0           (divergence-trend
+          break, py:91-93 — fires on ANY increase, no check on iter 1)
+
+    The loop exits either converged (residual <= 0.1% rho0, py:83) or via
+    the trend break with the residual still ABOVE tolerance — the
+    reference itself overshoots its printed contract on hot states, which
+    is why a hot-phase bench row may legitimately report >0.1%
+    (tests/test_solvers.py::test_iisph_trend_break_matches_reference pins
+    this equivalence). `project` post-processes each clamped update (the
+    sharded path exchanges owner rows into ghost slots); identity-like
+    (plain clamp) when None. Returns (p, d_ij, r_sum, res, iters)."""
+    from cfd_taichi_tpu.ops.loops import while_loop_unrolled
+
+    err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
+    n = p0.shape[0]
+
+    def cond(carry):
+        _, _, _, res, _, stop, l = carry
+        return (((res > err_thresh) | (l < MIN_ITER)) & (l < MAX_ITER)
+                & jnp.logical_not(stop))
+
+    def body(carry):
+        p, d_ij, r_sum, res, _, _, l = carry
+        d_ij = d_ij_of(p)
+        r_sum = r_sum_of(p, d_ij)
+        p_new = jnp.where(jnp.abs(a_ii) > 1e-7,
+                          (1.0 - OMEGA) * p
+                          + OMEGA * (RHO_0 - rho_adv - r_sum) / a_ii,
+                          0.0)
+        if project is None:
+            p = jnp.maximum(p_new, 0.0)
+        else:
+            p = project(p_new)
+        new_res = residual_of(p, r_sum)
+        stop = (l >= 1) & (new_res - res > 0.0)
+        return (p, d_ij, r_sum, new_res, res, stop, l + 1)
+
+    p, d_ij, r_sum, res, _, _, iters = while_loop_unrolled(
+        cond, body,
+        (p0, V3.zeros((n,)), jnp.zeros(n, jnp.float32),
+         jnp.float32(jnp.inf), jnp.float32(jnp.inf), jnp.zeros((), bool),
+         jnp.zeros((), jnp.int32)), unroll=unroll)
+    return p, d_ij, r_sum, res, iters
+
+
 def dense_residual_fn(a_ii, rho_adv, resid_mask=None, allreduce=None):
     """The positive-pressure residual average (iisph_solver.py:101-113;
     RESIDUAL_REF keeps the hardcoded-1000 quirk). `resid_mask`/`allreduce`
@@ -246,7 +304,6 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     from cfd_taichi_tpu.models import dfsph as _dfsph
     from cfd_taichi_tpu.ops import bandmat
     from cfd_taichi_tpu.ops import rigid_dense
-    from cfd_taichi_tpu.ops.loops import while_loop_unrolled
 
     fluid, rigid, dt = state.fluid, state.rigid, state.dt
     (p_past,) = state.extra
@@ -302,33 +359,11 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
             * (eng.qsum / st.particle_m + g2_sb))
 
     p0 = 0.5 * p_past  # warm start (iisph_solver.py:67)
-    err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
     d_ij_of, r_sum_of = dense_jacobi_ops(eng, S_all, inv_rho2, d_ii, dt2)
     residual_of = dense_residual_fn(a_ii, rho_adv)
-
-    def cond(carry):
-        _, _, _, res, _, stop, l = carry
-        return (((res > err_thresh) | (l < MIN_ITER)) & (l < MAX_ITER)
-                & jnp.logical_not(stop))
-
-    def body(carry):
-        p, d_ij, r_sum, res, _, _, l = carry
-        d_ij = d_ij_of(p)
-        r_sum = r_sum_of(p, d_ij)
-        p_new = jnp.where(jnp.abs(a_ii) > 1e-7,
-                          (1.0 - OMEGA) * p
-                          + OMEGA * (RHO_0 - rho_adv - r_sum) / a_ii,
-                          0.0)
-        p = jnp.maximum(p_new, 0.0)
-        new_res = residual_of(p, r_sum)
-        stop = (l >= 1) & (new_res - res > 0.0)
-        return (p, d_ij, r_sum, new_res, res, stop, l + 1)
-
-    p_iter, d_ij, r_sum, res, _, _, iters = while_loop_unrolled(
-        cond, body,
-        (p0, V3.zeros((n,)), jnp.zeros(n, jnp.float32),
-         jnp.float32(jnp.inf), jnp.float32(jnp.inf), jnp.zeros((), bool),
-         jnp.zeros((), jnp.int32)), unroll=_dfsph.loop_unroll(st))
+    p_iter, d_ij, r_sum, res, iters = jacobi_loop(
+        d_ij_of, r_sum_of, residual_of, p0, a_ii, rho_adv,
+        unroll=_dfsph.loop_unroll(st))
 
     # --- integration (iisph_solver.py:150-206) ------------------------------
     f_press = (d_ij + d_ii * p_iter) * (st.particle_m / dt2)
@@ -393,38 +428,11 @@ def step(st: SceneStatic, arrays: SceneArrays, state: base.SimState) -> base.Sim
     p0 = 0.5 * p_past  # warm start (iisph_solver.py:67)
 
     # --- relaxed Jacobi solve (iisph_solver.py:78-147) ----------------------
-    err_thresh = RHO_ERR_PERCENT * RHO_0 * 0.01
-    n = st.n_fluid
-
     d_ij_of, r_sum_of, residual_of = loop_operators(
         st, nbh, rho, d_ii, a_ii, rho_adv, gc_f, gc_b, inv_rho2, r2, dt2,
         has_rigid)
-
-    def cond(carry):
-        _, _, _, res, _, stop, l = carry
-        return (((res > err_thresh) | (l < MIN_ITER)) & (l < MAX_ITER)
-                & jnp.logical_not(stop))
-
-    def body(carry):
-        p, d_ij, r_sum, res, _, _, l = carry
-        d_ij = d_ij_of(p)
-        r_sum = r_sum_of(p, d_ij)
-        p_new = jnp.where(jnp.abs(a_ii) > 1e-7,
-                          (1.0 - OMEGA) * p
-                          + OMEGA * (RHO_0 - rho_adv - r_sum) / a_ii,
-                          0.0)
-        p = jnp.maximum(p_new, 0.0)
-        new_res = residual_of(p, r_sum)
-        # Divergence-trend break (iisph_solver.py:91-93): compare with the
-        # previous accepted residual; no check on the first iteration.
-        stop = (l >= 1) & (new_res - res > 0.0)
-        return (p, d_ij, r_sum, new_res, res, stop, l + 1)
-
-    p_iter, d_ij, r_sum, res, _, _, iters = jax.lax.while_loop(
-        cond, body,
-        (p0, V3.zeros((n,)), jnp.zeros(n, jnp.float32),
-         jnp.float32(jnp.inf), jnp.float32(jnp.inf), jnp.zeros((), bool),
-         jnp.zeros((), jnp.int32)))
+    p_iter, d_ij, r_sum, res, iters = jacobi_loop(
+        d_ij_of, r_sum_of, residual_of, p0, a_ii, rho_adv)
 
     # --- integration (iisph_solver.py:150-206) ------------------------------
     f_press = (d_ij + d_ii * p_iter) * (st.particle_m / dt2)

@@ -1034,34 +1034,14 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
             allreduce=ctx.psum)
 
     p0 = ctx.full_sorted(0.5 * p_past)  # warm start (iisph_solver.py:67)
-    err_thresh = II.RHO_ERR_PERCENT * RHO_0 * 0.01
-    ns = st.n_fluid
 
-    def cond(carry):
-        _, _, _, res, _, stop, l = carry
-        return (((res > err_thresh) | (l < II.MIN_ITER)) & (l < II.MAX_ITER)
-                & jnp.logical_not(stop))
-
-    def body(carry):
-        p, d_ij, r_sum, res, _, _, l = carry
-        d_ij = d_ij_of(p)
-        r_sum = r_sum_of(p, d_ij)
-        p_new = jnp.where(jnp.abs(a_ii) > 1e-7,
-                          (1.0 - II.OMEGA) * p
-                          + II.OMEGA * (RHO_0 - rho_adv - r_sum) / a_ii,
-                          0.0)
+    def project(p_new):
         # Owner values are exact (their r_sum neighborhoods are complete);
         # exchange them so every ghost carries its owner's pressure.
-        p = ctx.full_sorted(jnp.maximum(ctx.own_of(p_new), 0.0))
-        new_res = residual_of(p, r_sum)
-        stop = (l >= 1) & (new_res - res > 0.0)
-        return (p, d_ij, r_sum, new_res, res, stop, l + 1)
+        return ctx.full_sorted(jnp.maximum(ctx.own_of(p_new), 0.0))
 
-    p_iter, d_ij, r_sum, res, _, _, iters = jax.lax.while_loop(
-        cond, body,
-        (p0, V3.zeros((ns,)), jnp.zeros(ns, jnp.float32),
-         jnp.float32(jnp.inf), jnp.float32(jnp.inf), jnp.zeros((), bool),
-         jnp.zeros((), jnp.int32)))
+    p_iter, d_ij, r_sum, res, iters = II.jacobi_loop(
+        d_ij_of, r_sum_of, residual_of, p0, a_ii, rho_adv, project=project)
 
     f_press = (d_ij + d_ii * p_iter) * (st.particle_m / dt2)
 

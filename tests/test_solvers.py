@@ -313,3 +313,93 @@ def test_large_n_policy_ladder_matches_default(monkeypatch):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(sim2.state.diag)[0],
                                np.asarray(sim1.state.diag)[0], atol=0)
+
+
+def _iisph_synthetic_ops(gain):
+    """Synthetic-but-structured Jacobi operators sharing one code path
+    between the on-device loop and the host replay. `gain` sets the
+    spectral radius of the fixed-point map: <1 converges, >1 diverges
+    (which must trip the reference's divergence-trend break)."""
+    import jax.numpy as jnp
+    from cfd_taichi_tpu.ops.vec import V3
+
+    def d_ij_of(p):
+        return V3(0.001 * p, -0.0005 * p, 0.0 * p)
+
+    def r_sum_of(p, d_ij):
+        mix = 0.5 * p + 0.25 * jnp.roll(p, 1) + 0.25 * jnp.roll(p, -1)
+        return gain * mix + 100.0 * d_ij.x
+
+    def residual_of(p, r_sum):
+        # The reference's positive-pressure residual form
+        # (iisph_solver.py:101-113) over the synthetic system.
+        sel = p > 0.0
+        num = jnp.sum(jnp.where(sel, -p + r_sum + 1.5, 0.0))
+        cnt = jnp.sum(sel)
+        return jnp.where(cnt > 0, num / cnt, 0.0)
+
+    return d_ij_of, r_sum_of, residual_of
+
+
+def _reference_pressure_solve_replay(ops, p0, a_ii, rho_adv):
+    """Host transliteration of the reference's pressure_solve control flow
+    (/root/reference/iisph_solver.py:78-99): Python while loop, residual
+    list, divergence-trend break `residual - residuals[-1] > 0` checked
+    only once a residual has been accepted, residual computed from the
+    POST-update p against the r_sum update_p just wrote."""
+    import jax.numpy as jnp
+    from cfd_taichi_tpu.models import iisph as II
+
+    d_ij_of, r_sum_of, residual_of = ops
+    err = II.RHO_ERR_PERCENT * II.RHO_0 * 0.01
+    p, l, residual, residuals = p0, 0, float("inf"), []
+    broke = False
+    while (residual > err or l < II.MIN_ITER) and l < II.MAX_ITER:
+        d_ij = d_ij_of(p)
+        r_sum = r_sum_of(p, d_ij)
+        p_new = jnp.where(jnp.abs(a_ii) > 1e-7,
+                          (1.0 - II.OMEGA) * p
+                          + II.OMEGA * (II.RHO_0 - rho_adv - r_sum) / a_ii,
+                          0.0)
+        p = jnp.maximum(p_new, 0.0)
+        l += 1
+        residual = float(residual_of(p, r_sum))
+        if residuals and residual - residuals[-1] > 0:
+            broke = True
+            break
+        residuals.append(residual)
+    return p, residual, l, broke
+
+
+@pytest.mark.parametrize("gain,expect_break", [(0.55, False), (2.5, True)])
+def test_iisph_trend_break_matches_reference(gain, expect_break):
+    """Pin models.iisph.jacobi_loop (shared by the compact, dense, and
+    sharded IISPH paths) to the reference's pressure_solve control flow on
+    a system where the Jacobi map's contraction is controlled directly:
+    gain<1 exits via convergence, gain>1 must fire the divergence-trend
+    break (iisph_solver.py:91-93) with the residual still ABOVE the 0.1%
+    tolerance — the reference itself overshoots its printed contract on
+    such states, which is why hot-phase bench rows may report >0.1%."""
+    import jax.numpy as jnp
+    from cfd_taichi_tpu.models import iisph as II
+
+    n = 64
+    rng = np.random.default_rng(7)
+    p0 = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    a_ii = jnp.full((n,), -1.0, jnp.float32)
+    # rho_adv slightly above RHO_0 => positive pressure sustains itself.
+    rho_adv = jnp.asarray(
+        (II.RHO_0 + 1.0 + rng.uniform(0, 0.5, n)).astype(np.float32))
+    ops = _iisph_synthetic_ops(gain)
+
+    p_ref, res_ref, l_ref, broke = _reference_pressure_solve_replay(
+        ops, p0, a_ii, rho_adv)
+    assert broke == expect_break
+    err = II.RHO_ERR_PERCENT * II.RHO_0 * 0.01
+    if expect_break:
+        assert res_ref > err  # exits hot: the contract is overshot
+
+    p, _, _, res, iters = II.jacobi_loop(*ops, p0, a_ii, rho_adv)
+    assert int(iters) == l_ref
+    np.testing.assert_allclose(float(res), res_ref, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-6)
