@@ -19,9 +19,13 @@ TPU-native answer is:
     (dfsph_solver.py:125,253; pcisph_solver.py:122).
 
 Particle state is component-separated (V3, ops/vec.py) so every buffer
-tiles cleanly on TPU. All five solvers run sharded (WCSPH via its own
-fused step; DFSPH/PCISPH/IISPH/PBF through the generic scaffold), clamp
-or Akinci boundary; rigid coupling remains single-chip.
+tiles cleanly on TPU. All five solvers run sharded through the generic
+scaffold, clamp or Akinci boundary. Two-way rigid coupling runs sharded
+too: the (tiny) body is replicated per shard, owned fluid rows scatter
+their reaction locally, and one psum per step globalizes the force
+(make_sharded_rigid_step consumes it on the replicated state). Dense-
+eligible fluid-only scenes take the per-shard dense route — no compact
+neighbor lists at all (DENSE_ROUTE_SOLVERS note).
 """
 
 from __future__ import annotations
@@ -42,11 +46,16 @@ from cfd_taichi_tpu.scene import RHO_0, SceneArrays, SceneStatic
 
 AXIS = "shard"
 
-# Solvers whose sharded physics callback understands ShardCtx.dense (the
-# per-shard dense-engine route, VERDICT r03 item 6). Fluid-only scenes of
-# these solvers skip the compact-list build entirely when the local+halo
-# set is dense-eligible.
-DENSE_ROUTE_SOLVERS = ("dfsph", "iisph")
+# Solvers whose sharded physics callback understands the dense route (the
+# per-shard dense-engine/dense-prep path, VERDICT r03 item 6 + r04 item 4).
+# Fluid-only scenes of ALL FIVE solvers skip the compact-list build when
+# the local+halo set is dense-eligible per the model's OWN policy (PCISPH
+# and PBF require the band regime; DFSPH/IISPH/WCSPH are unconditional).
+# DFSPH/IISPH/PCISPH consume the full DenseEngine (loop matvecs); WCSPH
+# and PBF consume only the DensePrep (plan + boundary windows) — their
+# steps are one-shot window passes with no stored engine.
+DENSE_ROUTE_SOLVERS = ("dfsph", "iisph", "pcisph", "wcsph", "pbf")
+DENSE_ENGINE_SOLVERS = ("dfsph", "iisph", "pcisph")
 
 
 def make_mesh(n_devices: int, devices=None) -> Mesh:
@@ -339,6 +348,11 @@ class ShardCtx(NamedTuple):
     # (dfsph.dense_pre_terms / eng.mv / eng.mvd), inheriting the
     # single-chip dense-mode economics per chip.
     dense: object = None
+    # Dense route for the engine-less solvers (WCSPH/PBF, r04 item 4):
+    # the models.base.DensePrep over the sorted local+halo set (CSR plan
+    # + group-sparse boundary windows). Also None on compact-route steps;
+    # dense-engine solvers read it via `dense.dp`.
+    dp: object = None
 
 
 class ShardedState(NamedTuple):
@@ -410,6 +424,19 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
                "wcsph": _wcsph_physics}[solver]
     n_extras = _N_EXTRAS[solver]
     consts = consts or {}
+
+    # Per-solver dense-route policy — the model's OWN single-chip gate
+    # evaluated on the shard-local (shimmed) static, so single-chip and
+    # sharded steps pick the dense regime by identical rules (IISPH
+    # shares DFSPH's gate, models/iisph.py step()).
+    from cfd_taichi_tpu.models import pbf as _mpbf
+    from cfd_taichi_tpu.models import pcisph as _mpcisph
+    from cfd_taichi_tpu.models import wcsph as _mwcsph
+    _dense_ok = {"dfsph": mdfsph.dense_eligible,
+                 "iisph": mdfsph.dense_eligible,
+                 "pcisph": _mpcisph.dense_eligible,
+                 "wcsph": _mwcsph.dense_eligible,
+                 "pbf": _mpbf.dense_eligible}[solver]
 
     h = st.h
     cap = spec.cap
@@ -589,7 +616,7 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
         # forced to num_cells above); sentinel positions keep them out of
         # every geometric pair test.
         dense_route = (solver in DENSE_ROUTE_SOLVERS and not coupled
-                       and mdfsph.dense_eligible(_shim_static(st, ns)))
+                       and _dense_ok(_shim_static(st, ns)))
         if dense_route:
             st_local = _shim_static(st, ns)
             if st.akinci and st.bq_cap >= -(-st.n_fluid // st.band_B):
@@ -603,16 +630,25 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
             spos_d = mbase.sentinel_positions(st, spos, smask)
             dp = mbase.dense_prep_sorted(st_local, arrays, spos_d, scid,
                                          st.band_nb_wide, st.band_B,
+                                         want_bterms=(solver != "pbf"),
                                          perm=perm)
-            eng = mdfsph.build_dense_engine(st_local, arrays, spos_d,
-                                            dp=dp)
-            overflow = jnp.maximum(eng.overflow, plan.dropped)
+            eng = None
+            if solver in DENSE_ENGINE_SOLVERS:
+                eng = mdfsph.build_dense_engine(st_local, arrays, spos_d,
+                                                dp=dp)
+                overflow = jnp.maximum(eng.overflow, plan.dropped)
+            else:
+                # Engine-less solvers (WCSPH/PBF): the callback runs its
+                # one-shot window passes straight off the DensePrep; the
+                # pair-tight plan it builds reports its own overflow
+                # through the physics return.
+                overflow = jnp.maximum(dp.overflow, plan.dropped)
             ctx = ShardCtx(st=st_local, nbh=None, wplan=None, smask=smask,
                            s_owned=s_owned, s_upd=s_upd, own_of=own_of,
                            full_sorted=full_sorted,
                            psum=lambda x: jax.lax.psum(x, AXIS),
                            pmax=lambda x: jax.lax.pmax(x, AXIS),
-                           dense=eng)
+                           dense=eng, dp=dp)
         else:
             ctx, overflow = _compact_ctx()
 
@@ -911,20 +947,74 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
 
     st, nbh = ctx.st, ctx.nbh
     delta = jnp.float32(consts["delta"])
-    coupled = nbh.rigid_vol is not None
+    coupled = nbh is not None and nbh.rigid_vol is not None
 
-    rho = mbase.nbh_rho(st, nbh)
-    tension = mbase.nbh_tension(st, nbh, PC.TENSION_K)
-    viscosity = mbase.nbh_viscosity(
-        st, nbh, sv, rho, ctx.rigid if coupled else mbase.empty_rigid(),
-        c_s=PC.VISCOSITY_C_S, alpha=PC.VISCOSITY_ALPHA,
-        rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
-    ext_force = mbase.gravity_acc(st) + tension + viscosity
+    if ctx.dense is not None:
+        # Dense route (fluid-only, r04 item 4): identical algebra to the
+        # single-chip _step_dense (models/pcisph.py:169-263) — the
+        # pressure force is ONE stored-engine matvec plus row constants,
+        # the predict pass re-gathers kernels at predicted positions over
+        # the step-pinned pair plan. Loop-correct under sharding for the
+        # same reason as the compact route: p is owner-exchanged into
+        # every ghost slot each iteration, and any row within h of an
+        # owned row has a complete neighborhood inside the 2h halo, so
+        # its predicted position (hence the owned row's predicted rho)
+        # is locally exact.
+        eng = ctx.dense
+        pos = eng.pos
+        rho = mbase.DENSITY_EPS + eng.rho_f
+        S_b = None
+        if st.akinci:
+            bt = eng.dp.bterms
+            rho = rho + bt.rho
+            S_b = bt.s
+        inv_rho2 = 1.0 / (rho * rho)
 
-    press_force_of, predict = PC.loop_operators(
-        st, nbh, rho, nbh.pos, sv, ext_force, dt, has_rigid=coupled,
-        scatter_mask=(nbh.mask_s & ctx.s_owned[:, None]) if coupled
-        else None)
+        tension = eng.tvec * jnp.float32(-PC.TENSION_K * st.particle_m)
+        viscosity = bandmat.dense_viscosity(
+            pos, sv, rho, h=st.h, m=st.particle_m, plan=eng.plan,
+            B=st.band_B, c_s=PC.VISCOSITY_C_S, alpha=PC.VISCOSITY_ALPHA)
+        ext_force = mbase.gravity_acc(st) + tension + viscosity
+
+        rho_of = bandmat.predicted_rho_op(pos, h=st.h, m=st.particle_m,
+                                          plan=eng.plan, B=st.band_B)
+        brho_of = None
+        if st.akinci:
+            brho_of = bandmat.boundary_predict_op(
+                eng.dp.bwin, pos, h=st.h, rho0=float(RHO_0), B=st.band_B)
+
+        def press_force_of(p_iter, rigid_force):
+            f = (eng.S0 * p_iter + eng.mv(p_iter)) \
+                * jnp.float32(-st.particle_m / RHO_0 ** 2)
+            if st.akinci:
+                f = f + S_b * (-st.particle_m * p_iter * inv_rho2)
+            return f, rigid_force
+
+        def predict(press_force):
+            vel_p = sv + (ext_force + press_force) * (dt / st.particle_m)
+            pos_p = pos + vel_p * dt
+            if not st.akinci:
+                pos_p, vel_p = mbase.clamp_to_box(
+                    st, pos_p, vel_p, margin=st.particle_radius,
+                    decay_mul=-mbase.V_DECAY)
+            rho_p = rho_of(pos_p)
+            if st.akinci:
+                rho_p = rho_p + brho_of(pos_p)
+            return rho_p - RHO_0
+    else:
+        pos = nbh.pos
+        rho = mbase.nbh_rho(st, nbh)
+        tension = mbase.nbh_tension(st, nbh, PC.TENSION_K)
+        viscosity = mbase.nbh_viscosity(
+            st, nbh, sv, rho, ctx.rigid if coupled else mbase.empty_rigid(),
+            c_s=PC.VISCOSITY_C_S, alpha=PC.VISCOSITY_ALPHA,
+            rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
+        ext_force = mbase.gravity_acc(st) + tension + viscosity
+
+        press_force_of, predict = PC.loop_operators(
+            st, nbh, rho, nbh.pos, sv, ext_force, dt, has_rigid=coupled,
+            scatter_mask=(nbh.mask_s & ctx.s_owned[:, None]) if coupled
+            else None)
 
     def avg_of(err):
         return PC._positive_avg(err, resid_mask=ctx.s_owned,
@@ -1081,33 +1171,62 @@ def _wcsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     from cfd_taichi_tpu.models import wcsph as W
 
     st, nbh = ctx.st, ctx.nbh
-    coupled = nbh.rigid_vol is not None
+    coupled = nbh is not None and nbh.rigid_vol is not None
+    phys_over = jnp.zeros((), jnp.int32)
 
-    rho = mbase.nbh_rho(st, nbh)
-    acc, rforce = W.accel_of(
-        st, nbh, sv, rho,
-        ctx.rigid if coupled else mbase.empty_rigid(),
-        V3.zeros(ctx.rigid.force.x.shape) if coupled else V3.zeros((0,)),
-        scatter_mask=(nbh.mask_s & ctx.s_owned[:, None]) if coupled
-        else None,
-        rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
-    new_rforce = None
-    if coupled:
-        new_rforce = ctx.rigid.force + V3(*(ctx.psum(c) for c in
-                                            rforce.astuple()))
+    if ctx.dp is not None:
+        # Dense route (fluid-only, r04 item 4): the whole pressure phase
+        # is the SAME two fused window passes as the single-chip
+        # _step_dense (models/wcsph.py:58-134) — wide-plan rho, then the
+        # pair-tight fused force pass. No exchanges needed: owned rows'
+        # neighbors lie within h, whose densities are locally exact
+        # inside the 2h halo.
+        dp = ctx.dp
+        pos = dp.pos
+        rho_f, _, blk_pair = bandmat.dense_rho_count(
+            pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B)
+        tplan = bandmat.compact_plan(dp.plan, blk_pair,
+                                     st.pair_nb_q or st.pair_nb)
+        phys_over = tplan[2]
+        rho = mbase.DENSITY_EPS + rho_f
+        if st.akinci:
+            rho = rho + dp.bterms.rho
+        p = W.tait_pressure(rho)
+        p_over_rho2 = p / (rho * rho)
+        acc = mbase.gravity_acc(st) + bandmat.dense_wcsph_forces(
+            pos, sv, rho, p_over_rho2, h=st.h, m=st.particle_m,
+            plan=tplan, B=st.band_B, c_s=W.VISCOSITY_C_S,
+            alpha=W.VISCOSITY_ALPHA, tension_k=W.TENSION_K)
+        if st.akinci:
+            acc = acc - dp.bterms.s * p_over_rho2
+        new_rforce = None
+    else:
+        pos = nbh.pos
+        rho = mbase.nbh_rho(st, nbh)
+        acc, rforce = W.accel_of(
+            st, nbh, sv, rho,
+            ctx.rigid if coupled else mbase.empty_rigid(),
+            V3.zeros(ctx.rigid.force.x.shape) if coupled
+            else V3.zeros((0,)),
+            scatter_mask=(nbh.mask_s & ctx.s_owned[:, None]) if coupled
+            else None,
+            rho_quirk_tbl=ctx.quirk_tbl(rho) if coupled else None)
+        new_rforce = None
+        if coupled:
+            new_rforce = ctx.rigid.force + V3(*(ctx.psum(c) for c in
+                                                rforce.astuple()))
 
     new_vel_own = V3(*((ctx.own_of(v) + ctx.own_of(a) * dt)
                        * W.WCSPH_DAMPING
                        for v, a in zip(sv.astuple(), acc.astuple())))
-    pos_own = V3(*(ctx.own_of(c) for c in nbh.pos.astuple()))
+    pos_own = V3(*(ctx.own_of(c) for c in pos.astuple()))
     new_pos_own = pos_own + new_vel_own * dt
     if not st.akinci:
         new_pos_own, new_vel_own = mbase.clamp_to_box(
             st, new_pos_own, new_vel_own, margin=2.0 * st.particle_radius,
             decay_mul=-mbase.V_DECAY)
     diag = jnp.zeros((4,), jnp.float32)
-    return (new_vel_own, [], dt, diag, jnp.zeros((), jnp.int32),
-            new_pos_own, new_rforce)
+    return (new_vel_own, [], dt, diag, phys_over, new_pos_own, new_rforce)
 
 
 def _pbf_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
@@ -1125,20 +1244,53 @@ def _pbf_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     owner-exact neighbor values. Returns final positions (6-tuple form):
     PBF's update is position-based with its own clamp semantics
     (margin = radius, POSITIVE 0.5 velocity decay, pbf_solver.py:74-82)."""
+    import math
+
     from cfd_taichi_tpu.models import base as mbase
     from cfd_taichi_tpu.models import pbf as PB
 
     st, nbh = ctx.st, ctx.nbh
+    pos0 = ctx.dp.pos if ctx.dp is not None else nbh.pos
 
     # --- external force + predicted positions (pbf_solver.py:26-30) -------
     vel = sv + mbase.gravity_acc(st) * dt
-    pos_predict = nbh.pos + vel * dt
+    pos_predict = pos0 + vel * dt
 
-    rho, lam, delta_pos = PB.constraint_pass(st, nbh)
+    if ctx.dp is not None:
+        # Dense route (fluid-only, r04 item 4): the same three fused
+        # window passes as the single-chip _step_dense
+        # (models/pbf.py:57-135) — one-shot start-geometry sums, the
+        # lambda pass, and the XSPH pass at exchanged updated values.
+        dp = ctx.dp
+        t = 1.0 - PB.S_CORR_FACTOR ** 2
+        w_ref = 315.0 / (64.0 * math.pi * st.h ** 3) * t ** 3
+        terms, lam_mv, xsph_of = bandmat.dense_pbf_ops(
+            pos0, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B,
+            w_ref=w_ref, k_corr=PB.TENSION_K)
+        rho = mbase.DENSITY_EPS + terms.rho
+        gsum, around, ssum = terms.gsum, terms.around, terms.ssum
+        if st.akinci:
+            b_rho, b_g, b_around, b_ssum = bandmat.pbf_boundary_terms(
+                dp.bwin, pos0, h=st.h, rho0=float(RHO_0), B=st.band_B,
+                w_ref=w_ref, k_corr=PB.TENSION_K)
+            rho = rho + b_rho
+            gsum = gsum + b_g
+            around = around + b_around
+            ssum = ssum + b_ssum
+        constraint = jnp.maximum(rho / RHO_0 - 1.0, 0.0)
+        grad_c_i = gsum * jnp.float32(1.0 / RHO_0)
+        denom = (grad_c_i.dot(grad_c_i)
+                 + around * jnp.float32(1.0 / RHO_0 ** 2))
+        lam = jnp.where(constraint == 0.0, 0.0,
+                        -constraint / (denom + PB.EPSILON))
+        delta_pos = (gsum * lam + lam_mv(lam) + ssum) \
+            * jnp.float32(1.0 / RHO_0)
+    else:
+        rho, lam, delta_pos = PB.constraint_pass(st, nbh)
 
     # --- position/velocity update (pbf_solver.py:67-82) -------------------
     pos_predict = pos_predict + delta_pos
-    new_vel = (pos_predict - nbh.pos) * (1.0 / dt)
+    new_vel = (pos_predict - pos0) * (1.0 / dt)
     if not st.akinci:
         pos_predict, new_vel = mbase.clamp_to_box(
             st, pos_predict, new_vel, margin=st.particle_radius,
@@ -1150,7 +1302,11 @@ def _pbf_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     new_vel_own = V3(*(ctx.own_of(c) for c in new_vel.astuple()))
     np_full = V3(*(ctx.full_sorted(c) for c in new_pos_own.astuple()))
     nv_full = V3(*(ctx.full_sorted(c) for c in new_vel_own.astuple()))
-    nv_full = nv_full + PB.XSPH_C * PB.xsph_delta(st, nbh, np_full, nv_full)
+    if ctx.dp is not None:
+        nv_full = nv_full + PB.XSPH_C * xsph_of(np_full, nv_full)
+    else:
+        nv_full = nv_full + PB.XSPH_C * PB.xsph_delta(st, nbh, np_full,
+                                                      nv_full)
     new_vel_own = V3(*(ctx.own_of(c) for c in nv_full.astuple()))
 
     # diag[1]: global max density constraint violation (telemetry only).

@@ -346,15 +346,25 @@ def test_multihost_single_process_seam():
     assert int(np.asarray(out.mask).sum()) == sim.scene.static.n_fluid
 
 
-@pytest.mark.parametrize("solver", ["dfsph", "iisph"])
+@pytest.mark.parametrize("solver",
+                         ["dfsph", "iisph", "pcisph", "wcsph", "pbf"])
 def test_sharded_dense_route_builds_no_compact_list(solver):
-    """VERDICT r03 item 6: when the local+halo set is dense-eligible on a
-    fluid-only scene, the sharded step must NOT build a compact neighbor
-    list — the dense-engine route (ShardCtx.dense) replaces it. Poisoning
-    the compact-list builders proves the route by construction; the step
-    must still run clean (zero overflow, sane state)."""
+    """VERDICT r03 item 6 + r04 item 4: when the local+halo set is
+    dense-eligible on a fluid-only scene, the sharded step must NOT build
+    a compact neighbor list — the dense route (ShardCtx.dense for the
+    engine solvers, ShardCtx.dp window passes for WCSPH/PBF) replaces it,
+    for ALL FIVE solvers. Poisoning the compact-list builders proves the
+    route by construction; the step must still run clean (zero overflow,
+    sane state)."""
+    import importlib
+
     import cfd_taichi_tpu.ops.neighbors as nbmod
-    from cfd_taichi_tpu.models import dfsph as mdfsph
+
+    model = importlib.import_module(f"cfd_taichi_tpu.models.{solver}")
+    eligible = getattr(
+        model, "dense_eligible",
+        importlib.import_module("cfd_taichi_tpu.models.dfsph")
+        .dense_eligible)
 
     cfg = copy.deepcopy(CFG)
     cfg["solver"]["name"] = solver
@@ -362,14 +372,18 @@ def test_sharded_dense_route_builds_no_compact_list(solver):
     mesh = domain.make_mesh(NDEV)
     spec = domain.make_spec(sim.scene.static, NDEV)
     ns = spec.cap + 2 * spec.hcap
-    assert mdfsph.dense_eligible(
-        domain._shim_static(sim.scene.static, ns)), \
+    assert eligible(domain._shim_static(sim.scene.static, ns)), \
         "test scene must be dense-eligible per shard"
+    consts = None
+    if solver == "pcisph":
+        from cfd_taichi_tpu.models import pcisph
+
+        consts = {"delta": float(pcisph.init_state(sim.scene).extra[0])}
     state = domain.init_sharded_solver(mesh, spec, sim.scene.static,
                                        sim.scene.fluid_pos0, solver)
     step = domain.make_sharded_solver_step(sim.scene.static,
                                            sim.scene.arrays, mesh, spec,
-                                           solver)
+                                           solver, consts=consts)
 
     def boom(*a, **k):
         raise AssertionError("compact list built in the dense regime")
@@ -383,3 +397,48 @@ def test_sharded_dense_route_builds_no_compact_list(solver):
     assert int(np.asarray(state.overflow)) == 0
     pos, vel = domain.unshard(state.fluid)
     assert np.isfinite(pos).all() and np.isfinite(vel).all()
+
+
+def test_sharded_dense_route_coef_regime_matches_single_chip(monkeypatch):
+    """VERDICT r04 item 8: the sharded dense route under the LARGE-N
+    policy ladder (BAND_B_LARGE one-shot groups + the stored-coefficient
+    split-bucket loop engine the 1M scene uses) — forced onto a
+    CPU-sized scene exactly like tests/test_solvers.py::
+    test_large_n_policy_ladder_matches_default does single-chip, but
+    inside shard_map: the per-shard dense engines must run the coef
+    matvecs and agree with the (equally forced) single-chip dense step,
+    with zero overflow."""
+    import cfd_taichi_tpu.models.base as mbase
+    import cfd_taichi_tpu.models.dfsph as D
+    import cfd_taichi_tpu.scene as scene_mod
+
+    monkeypatch.setattr(scene_mod, "GROUPED_BUILD_MIN_N", 0)
+    monkeypatch.setattr(mbase, "GROUPED_BUILD_MIN_N", 0)
+    monkeypatch.setattr(D, "BAND_BYTE_BUDGET", 0)
+    jax.clear_caches()
+
+    cfg = copy.deepcopy(CFG)
+    cfg["solver"]["name"] = "dfsph"
+    sim = Simulation(parse_config(cfg))
+    st = sim.scene.static
+    assert st.band_B == scene_mod.BAND_B_LARGE and st.coef_nbA > 0
+    mesh = domain.make_mesh(NDEV)
+    spec = domain.make_spec(st, NDEV)
+    ns = spec.cap + 2 * spec.hcap
+    assert D.dense_eligible(domain._shim_static(st, ns))
+    assert not D.use_band_engine(ns, st.band_nb), \
+        "forced coef regime must hold for the shard-local set too"
+    state = domain.init_sharded_solver(mesh, spec, st,
+                                       sim.scene.fluid_pos0, "dfsph")
+    step = domain.make_sharded_solver_step(st, sim.scene.arrays, mesh,
+                                           spec, "dfsph")
+    for _ in range(3):
+        sim.step()
+        state = step(state)
+    np.testing.assert_allclose(np.asarray(state.diag)[[0, 2]],
+                               np.asarray(sim.state.diag)[[0, 2]], atol=0)
+    assert int(np.asarray(state.overflow)) == 0
+    ref_pos = sim.state.fluid.pos.to_numpy()
+    got_pos, _ = domain.unshard(state.fluid)
+    assert got_pos.shape[0] == ref_pos.shape[0]
+    _nearest_match(got_pos, ref_pos, 1e-4)
