@@ -66,22 +66,53 @@ def left() -> float:
 
 def time_solver(cfg_name: str, solver_name: str, min_steps=MIN_STEPS,
                 min_wall=MIN_WALL_S, warmup=N_WARMUP, batch=BATCH,
-                impact=0.0):
+                impact=0.0, resume_steps=0, use_frame=False):
     """steps/sec for one solver on a bundled config, plus end-of-window
-    telemetry (density-error parity, overflow).
+    telemetry (density-error parity, overflow) and the timed scene's
+    static (feeds the roofline byte model).
 
-    `impact` > 0 seeds a uniform downward initial velocity (m/s): the
-    column compresses within a few steps, so the timed window measures
-    the HOT phase — railed solver loops and a genuinely over-dense flow
-    — instead of free fall (VERDICT r03 item 2: from-rest windows made
-    the 1M and breadth parity rows trivially 0.0)."""
+    `impact` > 0 seeds a uniform downward initial velocity (m/s) so the
+    column is violent within a few steps (VERDICT r03 item 2).
+
+    `resume_steps` > 0 runs the HOT-RESUME protocol (VERDICT r04 items
+    1+2): a donor run evolves `resume_steps` steps into its violent
+    phase, its state is dumped with the real checkpoint machinery
+    (utils.io.save_checkpoint), and the timed simulation is rebuilt with
+    capacities RE-PLANNED from the checkpointed distribution
+    (Simulation plan_pos; scene.build_scene docstring) before resuming
+    from the checkpoint. The timed window then measures genuinely hot
+    physics on honestly-sized plans; overflow counters still guard.
+
+    `use_frame`: time whole frames (iter_cnt fluid steps + rigid steps,
+    the reference's main.py:165-173 frame structure) — used by the
+    coupled row so the body actually reacts during the window."""
+    import tempfile
+
     cfg = read_config(os.path.join(REPO, "configs", cfg_name))
     cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
         cfg.solver, name=solver_name))
     if impact:
         cfg = dataclasses.replace(cfg, fluid=dataclasses.replace(
             cfg.fluid, initial_velocity=(0.0, -float(impact), 0.0)))
-    sim = Simulation(cfg)
+
+    if resume_steps:
+        from cfd_taichi_tpu.utils import io as io_utils
+
+        donor = Simulation(cfg)
+        for _ in range(resume_steps):
+            if use_frame:
+                donor.frame()
+            else:
+                donor.step()
+        with tempfile.TemporaryDirectory() as td:
+            ck = os.path.join(td, "hot.npz")
+            io_utils.save_checkpoint(ck, donor.state)
+            plan_pos = donor.state.fluid.pos.to_numpy()
+            del donor
+            sim = Simulation(cfg, plan_pos=plan_pos)
+            sim.state = io_utils.load_checkpoint(ck, sim.state)
+    else:
+        sim = Simulation(cfg)
 
     import jax.numpy as jnp
 
@@ -92,44 +123,75 @@ def time_solver(cfg_name: str, solver_name: str, min_steps=MIN_STEPS,
         # ~30 ms dispatch+fetch floor amortizes over the batch.
         return float(jnp.sum(sim.state.fluid.pos.x))
 
+    tick = sim.frame if use_frame else sim.step
     for _ in range(warmup):
-        sim.step()
+        tick()
     sync()
 
     steps = 0
     t0 = time.perf_counter()
     while True:
         for _ in range(batch):
-            sim.step()
+            tick()
         sync()
         steps += batch
         wall = time.perf_counter() - t0
         if steps >= min_steps and wall >= min_wall:
             stats = sim.telemetry()
-            return steps / wall, sim.scene.static.n_fluid, stats
+            if sim.rigid_enabled:
+                # Fluid->rigid reaction magnitude, read right after one
+                # more fluid step (the rigid step consumes and zeroes
+                # it): nonzero proves the coupling is actually hot.
+                sim.step()
+                f = sim.state.rigid.force
+                stats["rigid_force_norm"] = float(jnp.sqrt(jnp.sum(
+                    f.x ** 2 + f.y ** 2 + f.z ** 2)))
+            return steps / wall, sim.scene.static.n_fluid, stats, \
+                sim.scene.static
 
 
 def row(out: dict, key: str, cfg_name: str, solver: str, *, min_steps,
-        min_wall, batch, reserve: float, impact=0.0, warmup=3):
+        min_wall, batch, reserve: float, impact=0.0, warmup=3,
+        resume_steps=0, use_frame=False):
     """Measure one breadth row unless the deadline would be blown
-    (`reserve` = rough compile+run budget the row needs)."""
+    (`reserve` = rough compile+run budget the row needs). Returns the
+    timed scene's static (None on skip/error) and stamps the row's
+    measurement protocol into out["protocols"]."""
+    proto = []
+    if impact:
+        proto.append(f"impact-seeded -{impact:g} m/s")
+    else:
+        proto.append("from rest")
+    if resume_steps:
+        proto.append(f"checkpoint-resumed after {resume_steps} "
+                     f"{'frames' if use_frame else 'steps'} with "
+                     "capacities re-planned from the hot state")
+    if use_frame:
+        proto.append("timed per frame (fluid+rigid, main.py:165-173)")
+    out.setdefault("protocols", {})[key] = "; ".join(proto)
     if left() < reserve:
         out[key] = None
         out[key.replace("_steps_per_sec", "_skipped")] = "deadline"
-        return
+        return None
     try:
-        sps, n, stats = time_solver(cfg_name, solver, min_steps=min_steps,
-                                    min_wall=min_wall, warmup=warmup,
-                                    batch=batch, impact=impact)
+        sps, n, stats, static = time_solver(
+            cfg_name, solver, min_steps=min_steps, min_wall=min_wall,
+            warmup=warmup, batch=batch, impact=impact,
+            resume_steps=resume_steps, use_frame=use_frame)
         out[key] = round(sps, 4)
         out[key.replace("_steps_per_sec", "_density_err_pct")] = round(
             float(stats["avg_pos_err"]) / 1000.0 * 100.0, 4)
         out[key.replace("_steps_per_sec", "_overflow")] = int(
             stats["window_overflow"])
         out[key.replace("_steps_per_sec", "_iters")] = stats["solver_iters"]
+        if "rigid_force_norm" in stats:
+            out[key.replace("_steps_per_sec", "_rigid_force_norm")] = round(
+                stats["rigid_force_norm"], 4)
+        return static
     except Exception as e:  # a failed row must not kill the whole bench
         out[key] = None
         out[key.replace("_steps_per_sec", "_error")] = type(e).__name__
+        return None
 
 
 def hbm_copy_gbps() -> float:
@@ -152,7 +214,7 @@ def hbm_copy_gbps() -> float:
     return 2.0 * x.nbytes / dt_s / 1e9
 
 
-def dfsph_1m_roofline(out: dict, sps: float):
+def dfsph_1m_roofline(out: dict, sps: float, st=None):
     """Model the 1M DFSPH hot step's streamed bytes from the scene's
     engine capacities + the measured iteration counts, and report the
     fraction of the measured HBM copy rate the step achieves
@@ -166,9 +228,11 @@ def dfsph_1m_roofline(out: dict, sps: float):
     viscosity pass at pair capacity) re-gather 3/3/7 f32 position or
     velocity row lanes per slot. Sorts, scatters and (N,)-sized field
     ops are ~40 x 4 MB and ride in the 'fields' term."""
-    cfg = read_config(os.path.join(REPO, "configs", "breaking_dam_1m.json"))
-    from cfd_taichi_tpu import build_scene
-    st = build_scene(cfg).static
+    if st is None:
+        cfg = read_config(os.path.join(REPO, "configs",
+                                       "breaking_dam_1m.json"))
+        from cfd_taichi_tpu import build_scene
+        st = build_scene(cfg).static
     from cfd_taichi_tpu.ops import bandmat
     B, BLOCK = st.band_B, bandmat.BLOCK
     Bl = st.loop_B or B                  # split-width loop engine groups
@@ -196,8 +260,8 @@ def dfsph_1m_roofline(out: dict, sps: float):
 
 
 def main():
-    dfsph_sps, n, dstats = time_solver("breaking_dam_30k.json", "dfsph")
-    wcsph_sps, _, _ = time_solver("breaking_dam_30k.json", "wcsph")
+    dfsph_sps, n, dstats, _ = time_solver("breaking_dam_30k.json", "dfsph")
+    wcsph_sps, _, _, _ = time_solver("breaking_dam_30k.json", "wcsph")
 
     vs = None
     baseline_path = os.path.join(REPO, "BENCH_BASELINE.json")
@@ -227,36 +291,53 @@ def main():
         "dfsph_iters": dstats["solver_iters"],
     }
 
+    out["protocols"] = {
+        "dfsph_breaking_dam_30k_steps_per_sec": "from rest (r01-r04 "
+        "continuity headline)",
+        "wcsph_steps_per_sec": "from rest (r01-r04 continuity)",
+    }
+
     # --- breadth rows (time-budgeted; VERDICT r02 item 2) -------------------
     # The 1M rows are the north-star scale (BASELINE.md): they run FIRST
-    # so a cold-compile-heavy run can never deadline them away. All
-    # breadth rows are IMPACT-SEEDED (-3 m/s): the timed window is the
-    # hot phase — railed solver loops, genuinely over-dense flow — so
-    # the parity columns are non-trivial (VERDICT r03 item 2; the
-    # r02/r03 values for these keys were measured from rest and thus
-    # read systematically FASTER than the new protocol).
-    row(out, "dfsph_1m_steps_per_sec", "breaking_dam_1m.json", "dfsph",
-        min_steps=6, min_wall=10, batch=3, reserve=500, impact=3.0,
-        warmup=4)
+    # so a cold-compile-heavy run can never deadline them away. Every
+    # breadth row is impact-seeded AND checkpoint-resumed at its violent
+    # phase with capacities re-planned from the hot state (VERDICT r04
+    # items 1+2; see time_solver resume_steps). Each key's exact
+    # protocol is stamped in out["protocols"].
+    st_1m = row(out, "dfsph_1m_steps_per_sec", "breaking_dam_1m.json",
+                "dfsph", min_steps=6, min_wall=10, batch=3, reserve=700,
+                impact=3.0, warmup=4, resume_steps=12)
     if out.get("dfsph_1m_steps_per_sec"):
         try:
-            dfsph_1m_roofline(out, out["dfsph_1m_steps_per_sec"])
+            dfsph_1m_roofline(out, out["dfsph_1m_steps_per_sec"], st_1m)
         except Exception as e:
             out["dfsph_1m_roofline_error"] = type(e).__name__
     row(out, "wcsph_1m_steps_per_sec", "breaking_dam_1m.json", "wcsph",
-        min_steps=6, min_wall=10, batch=3, reserve=300, impact=3.0,
-        warmup=4)
+        min_steps=6, min_wall=10, batch=3, reserve=400, impact=3.0,
+        warmup=4, resume_steps=12)
+    # Hot-phase twin of the from-rest headline (VERDICT r04 item 7).
+    row(out, "dfsph_30k_hot_steps_per_sec", "breaking_dam_30k.json",
+        "dfsph", min_steps=60, min_wall=6, batch=20, reserve=220,
+        impact=3.0, resume_steps=30)
     for solver in ("pcisph", "iisph", "pbf"):
         row(out, f"{solver}_steps_per_sec", "breaking_dam_30k.json", solver,
-            min_steps=60, min_wall=6, batch=20, reserve=150, impact=3.0)
+            min_steps=60, min_wall=6, batch=20, reserve=170, impact=3.0,
+            resume_steps=30)
     row(out, "dfsph_157k_steps_per_sec", "breaking_dam_157k.json", "dfsph",
-        min_steps=10, min_wall=10, batch=5, reserve=240, impact=3.0)
+        min_steps=10, min_wall=10, batch=5, reserve=300, impact=3.0,
+        resume_steps=14)
     row(out, "coupling_pcisph_55k_steps_per_sec", "coupling_demo.json",
-        "pcisph", min_steps=10, min_wall=10, batch=5, reserve=200)
-    out["hot_rows_protocol"] = (
-        "breadth rows impact-seeded -3 m/s (fluid.initial_velocity); "
-        "headline 30k rows from rest for r01-r03 continuity")
+        "pcisph", min_steps=10, min_wall=10, batch=5, reserve=260,
+        impact=3.0, resume_steps=10, use_frame=True)
+    out["iisph_parity_note"] = (
+        "IISPH may report >0.1% on hot windows: the reference's own "
+        "divergence-trend break (iisph_solver.py:91-93) exits the Jacobi "
+        "loop on ANY residual increase, above tolerance; pinned by "
+        "tests/test_solvers.py::test_iisph_trend_break_matches_reference")
     out["r02_baselines"] = R02_BASELINES
+    out["r02_baselines_note"] = (
+        "r02 values were measured from rest on seed-sized plans; "
+        "hot-resumed rows are a stricter protocol (see protocols)")
     out["bench_wall_s"] = round(time.perf_counter() - T0, 1)
 
     print(json.dumps(out))

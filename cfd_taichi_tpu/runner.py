@@ -33,9 +33,13 @@ MAX_SIM_TIME = 4.0       # reference main.py:205
 class Simulation:
     """Owns scene, solver state, and the jitted step functions."""
 
-    def __init__(self, cfg: SimConfig, check_nan: bool = False):
+    def __init__(self, cfg: SimConfig, check_nan: bool = False,
+                 plan_pos: np.ndarray | None = None):
+        """`plan_pos`: size runtime capacities from this (N, 3) particle
+        distribution instead of the seed — checkpoint-resume re-planning
+        (scene.build_scene docstring). Physics is unchanged."""
         self.cfg = cfg
-        self.scene = build_scene(cfg)
+        self.scene = build_scene(cfg, plan_pos=plan_pos)
         self.solver = models.get_solver(cfg.solver.name)
         print(f"\033[32m[Solver]: {cfg.solver.name}\033[0m")  # solver_base.py:39
         self.state = self.solver.init_state(self.scene)

@@ -202,7 +202,17 @@ def rotation3d_swapped_jnp(att_rad: jnp.ndarray) -> jnp.ndarray:
     return rz @ ry @ rx
 
 
-def build_scene(cfg: SimConfig) -> Scene:
+def build_scene(cfg: SimConfig, plan_pos: Optional[np.ndarray] = None) -> Scene:
+    """`plan_pos` (N, 3 rows, N = the config's fluid count): size every
+    runtime capacity (neighbor lists, block plans, wall-near groups) from
+    THIS particle distribution instead of the freshly seeded lattice.
+    Checkpoint-resume re-planning: the seed lattice's CSR block cover is
+    heavily fragmented (measured 1M dam: seed needs 33 blocks/group where
+    the impact-hot flow needs 20, so seed-sized plans make every window
+    pass and loop matvec pay ~1.6x capacity for nothing). A run resumed
+    from a checkpoint re-plans against the state it will actually
+    simulate; overflow counters still guard drift beyond the margins.
+    Physics is UNCHANGED — capacities only bound static shapes."""
     sc, sv, fl, so = cfg.scene, cfg.solver, cfg.fluid, cfg.solid
     r = sc.particle_radius
     h = cfg.support_radius
@@ -288,24 +298,30 @@ def build_scene(cfg: SimConfig) -> Scene:
         rigid_mass_total = jnp.zeros((), jnp.float32)
 
     # --- compact neighbor-list capacities (models/base.Nbh) ------------------
+    cap_pos = np.asarray(fluid_pos)
+    if plan_pos is not None:
+        cap_pos = np.asarray(plan_pos, np.float32)
+        if cap_pos.shape != (n_fluid, 3):
+            raise ValueError(
+                f"plan_pos shape {cap_pos.shape} != ({n_fluid}, 3)")
     K, bK, cell_cap, bcell_cap, k2, bk2 = neighbor_capacities(
-        np.asarray(fluid_pos), np.asarray(boundary_pos), grid, h,
+        cap_pos, np.asarray(boundary_pos), grid, h,
         akinci=sv.boundary_handle,
         rigid=rigid_active and n_rigid > 0)
     if rigid_active and n_rigid > 0:
         # The dynamic set interleaves rigid particles into the sorted
         # source space; size the plan over the combined seed.
-        _src = np.concatenate([np.asarray(fluid_pos),
+        _src = np.concatenate([cap_pos,
                                rigid_init.pos.to_numpy()], axis=0)
     else:
-        _src = np.asarray(fluid_pos)
+        _src = cap_pos
     n_dyn = n_fluid + (n_rigid if rigid_active else 0)
     # `large` keys the whole capacity-policy ladder; BAND_B_LARGE lets
     # probes vary the large-N group width without dragging the small-N
     # policies (full-width boundary pass, no coef split) along.
     large = n_dyn >= GROUPED_BUILD_MIN_N
     band_B = BAND_B_LARGE if large else 16
-    _nb_seed = band_plan_raw_max(np.asarray(fluid_pos), grid,
+    _nb_seed = band_plan_raw_max(cap_pos, grid,
                                  B=band_B, src_rows=_src)
     # CSR plans cover whole stencil runs. With per-member spans the need
     # tracks local stencil DENSITY (physics-bounded), not group order:
@@ -359,7 +375,7 @@ def build_scene(cfg: SimConfig) -> Scene:
             bq_cap = _QB
         else:
             _seed_near = boundary_near_group_capacity(
-                np.asarray(fluid_pos), np.asarray(boundary_pos), grid,
+                cap_pos, np.asarray(boundary_pos), grid,
                 band_B)
             _floor = (3 * _QB) // 20
             bq_cap = min(_QB, _round_up(max(2 * _seed_near, _floor, 64), 8))
@@ -374,7 +390,7 @@ def build_scene(cfg: SimConfig) -> Scene:
     # flips it back on); pair_nb_q == pair_nb when off.
     loop_B = LOOP_B_LARGE if large else 0
     if loop_B:
-        _nb_seed_loop = band_plan_raw_max(np.asarray(fluid_pos), grid,
+        _nb_seed_loop = band_plan_raw_max(cap_pos, grid,
                                           B=loop_B, src_rows=_src)
         pair_nb_q = pair_nb
         pair_nb = max(int(np.ceil(_nb_seed_loop * 1.2)) + 2, 6)

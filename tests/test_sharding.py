@@ -269,7 +269,7 @@ COUPLED_CFG = {
 }
 
 
-@pytest.mark.parametrize("solver", ["pcisph", "dfsph", "wcsph"])
+@pytest.mark.parametrize("solver", ["pcisph", "dfsph", "wcsph", "iisph"])
 def test_sharded_rigid_coupling_matches_single_chip(solver):
     """Two-way rigid coupling SHARDED (VERDICT r03 item 5): the rigid body
     is replicated per shard, owned fluid rows scatter their reaction
