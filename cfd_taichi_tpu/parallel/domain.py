@@ -353,6 +353,15 @@ class ShardCtx(NamedTuple):
     # + group-sparse boundary windows). Also None on compact-route steps;
     # dense-engine solvers read it via `dense.dp`.
     dp: object = None
+    # Coupled dense route (r04 item 4, second half): the group-sparse
+    # rigid windows / term sums / rigid-side reaction list
+    # (ops/rigid_dense) over the shard-local sorted set against the
+    # REPLICATED body. rs reaction calls must mask their per-fluid
+    # scalar to owned rows (each fluid-rigid pair charged exactly once
+    # across shards; one psum after the loop).
+    rw: object = None
+    rt: object = None
+    rs: object = None
 
 
 class ShardedState(NamedTuple):
@@ -615,10 +624,11 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
         # step at 29k). Invalid slots already sort to the tail (cell id
         # forced to num_cells above); sentinel positions keep them out of
         # every geometric pair test.
-        dense_route = (solver in DENSE_ROUTE_SOLVERS and not coupled
-                       and _dense_ok(_shim_static(st, ns)))
+        dense_route = (solver in DENSE_ROUTE_SOLVERS
+                       and _dense_ok(_shim_static(st, ns,
+                                                  keep_rigid=coupled)))
         if dense_route:
-            st_local = _shim_static(st, ns)
+            st_local = _shim_static(st, ns, keep_rigid=coupled)
             if st.akinci and st.bq_cap >= -(-st.n_fluid // st.band_B):
                 # Small-N scenes use the EXACT wall-near group policy
                 # (bq_cap = QB, overflow impossible — scene.py bq_cap
@@ -626,6 +636,15 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
                 # than the global QB (halo rows duplicate), so restore
                 # exactness against the LOCAL group count.
                 st_local = dataclasses.replace(st_local, bq_cap=ns)
+            if coupled:
+                # Rigid-near groups: halo rows duplicate the body's
+                # neighborhood on adjacent shards, so the LOCAL near-
+                # group need can exceed the global bound — x2 with the
+                # local group count as the hard ceiling (overflow
+                # counted by build_rigid_windows as usual).
+                st_local = dataclasses.replace(
+                    st_local,
+                    rq_cap=min(-(-ns // st.band_B), 2 * st.rq_cap + 8))
             scid = cid[perm]
             spos_d = mbase.sentinel_positions(st, spos, smask)
             dp = mbase.dense_prep_sorted(st_local, arrays, spos_d, scid,
@@ -643,12 +662,42 @@ def make_sharded_solver_step(st: SceneStatic, arrays: SceneArrays,
                 # pair-tight plan it builds reports its own overflow
                 # through the physics return.
                 overflow = jnp.maximum(dp.overflow, plan.dropped)
+            rw = rt = rs = quirk_tbl = None
+            if coupled:
+                from cfd_taichi_tpu.ops import rigid_dense
+
+                rw = rigid_dense.build_rigid_windows(
+                    st_local, spos_d, dp.qcells, rigid.pos,
+                    arrays.rigid_volume, cap=st_local.rq_cap)
+                rt = rigid_dense.rigid_terms(st_local, rw, float(RHO_0),
+                                             ns)
+                overflow = jnp.maximum(overflow, rw.overflow)
+                if st.fs_couple:
+                    rs = rigid_dense.build_rigid_side(
+                        st_local, rigid.pos, arrays.rigid_volume, spos_d,
+                        dp.starts, float(RHO_0), Kf=st.K)
+                    overflow = jnp.maximum(overflow, rs.overflow)
+                s_oid_d = jnp.concatenate(
+                    [oid, jnp.full((2 * spec.hcap,), -1, jnp.int32)])[perm]
+
+                def quirk_tbl(rho_sorted):
+                    # Seeding-order rho table for the solid-viscosity
+                    # quirk read (same construction as _compact_ctx).
+                    qi = jnp.where(
+                        s_owned & (s_oid_d >= 0) & (s_oid_d < n_quirk),
+                        s_oid_d, n_quirk)
+                    tbl = jnp.zeros((n_quirk + 1,), jnp.float32).at[
+                        qi].set(rho_sorted, mode="drop")[:n_quirk]
+                    return jax.lax.psum(tbl, AXIS)
+
             ctx = ShardCtx(st=st_local, nbh=None, wplan=None, smask=smask,
                            s_owned=s_owned, s_upd=s_upd, own_of=own_of,
                            full_sorted=full_sorted,
                            psum=lambda x: jax.lax.psum(x, AXIS),
                            pmax=lambda x: jax.lax.pmax(x, AXIS),
-                           dense=eng, dp=dp)
+                           rigid=rigid if coupled else None,
+                           quirk_tbl=quirk_tbl,
+                           dense=eng, dp=dp, rw=rw, rt=rt, rs=rs)
         else:
             ctx, overflow = _compact_ctx()
 
@@ -753,6 +802,31 @@ def make_sharded_rigid_step(st: SceneStatic, arrays: SceneArrays):
 # --- per-solver physics callbacks (orchestration only; algebra is shared
 # with the single-chip modules) ---------------------------------------------
 
+def _dense_rho_quirk(ctx: ShardCtx, rho):
+    """Seeding-order rho vector for the solid-viscosity quirk read on the
+    dense route: the psum'd owned-row table (ctx.quirk_tbl) clipped to
+    rigid-local indices — matches the single-chip dense read
+    `rho_orig[clip(arange(n_rigid), 0, n_fluid-1)]` (models/*._step_dense)
+    because table entry i IS the seeding-order rho at global id i."""
+    tbl = ctx.quirk_tbl(rho)
+    nq = tbl.shape[0]
+    return tbl[jnp.clip(jnp.arange(ctx.st.n_rigid, dtype=jnp.int32), 0,
+                        nq - 1)]
+
+
+def _dense_rigid_reaction(ctx: ShardCtx, u, rho, psum=True):
+    """Owned-row-masked rigid-side reaction (ops/rigid_dense
+    .rigid_side_force): ghosts' u zeroed so each fluid-rigid pair is
+    charged by exactly one shard; one psum globalizes."""
+    from cfd_taichi_tpu.ops import rigid_dense
+
+    u_own = jnp.where(ctx.s_owned, u, 0.0)
+    f = rigid_dense.rigid_side_force(
+        ctx.rs, u_own, rho, V3.zeros(ctx.rigid.force.x.shape))
+    if psum:
+        f = V3(*(ctx.psum(c) for c in f.astuple()))
+    return f
+
 def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     """Sharded DFSPH: models.dfsph loop algebra + per-iteration stiffness
     exchange + psum residuals + pmax CFL (dfsph_solver.py:221-233,393-416).
@@ -764,15 +838,21 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     st, nbh = ctx.st, ctx.nbh
     (wk,) = extras
     m = st.particle_m
-    coupled = nbh is not None and nbh.rigid_vol is not None
+    coupled = ((nbh is not None and nbh.rigid_vol is not None)
+               or ctx.rt is not None)
 
     if ctx.dense is not None:
-        # Dense route (fluid-only): one-shot sums + loop matvecs from the
-        # per-shard DenseEngine — the SAME algebra as the single-chip
-        # dense prepare (D.dense_pre_terms / bandmat.dense_viscosity), so
-        # the two paths cannot drift. No compact list exists here.
+        # Dense route: one-shot sums + loop matvecs from the per-shard
+        # DenseEngine — the SAME algebra as the single-chip dense
+        # prepare (D.dense_pre_terms / bandmat.dense_viscosity), so the
+        # two paths cannot drift. No compact list exists here. Coupled
+        # scenes fold the rigid window terms into the same sums and run
+        # the reaction rigid-side, owned-masked (models/dfsph.
+        # _prepare_dense term-for-term).
+        from cfd_taichi_tpu.ops import rigid_dense
+
         eng = ctx.dense
-        rho, alpha, S, tension = D.dense_pre_terms(st, eng)
+        rho, alpha, S, tension = D.dense_pre_terms(st, eng, ctx.rt)
         count = eng.count
         mv, mvd = eng.mv, eng.mvd
         engine_over = jnp.zeros((), jnp.int32)  # folded by the scaffold
@@ -781,12 +861,31 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
             visc = bandmat.dense_viscosity(
                 eng.pos, vel, rho, h=st.h, m=m, plan=eng.plan,
                 B=st.band_B, c_s=D.VISCOSITY_C_S, alpha=D.VISCOSITY_ALPHA)
+            if ctx.rt is not None:
+                visc = visc + rigid_dense.viscosity_op(
+                    st, ctx.rw, float(RHO_0), st.n_fluid,
+                    D.VISCOSITY_C_S, D.VISCOSITY_ALPHA)(
+                        vel, rho, _dense_rho_quirk(ctx, rho),
+                        ctx.rigid.vel)
             return tension + visc
 
-        def cs_fn(include_alpha, dt_arg):
-            return jnp.float32(0.0)
+        if ctx.rt is not None:
+            dot_of = rigid_dense.contact_dot_op(st, ctx.rw, float(RHO_0),
+                                                st.n_fluid)
+
+            def cs_fn(include_alpha, dt_arg):
+                v_r = mbase.rigid_contact_vel(st, ctx.rigid, dt_arg,
+                                              include_alpha)
+                return dot_of(v_r)
+        else:
+            def cs_fn(include_alpha, dt_arg):
+                return jnp.float32(0.0)
 
         scatter_fn = None
+        if ctx.rs is not None:
+            def scatter_fn(k_full, rforce):
+                return rforce + _dense_rigid_reaction(
+                    ctx, k_full * jnp.float32(m), rho, psum=False)
     else:
         rho = mbase.nbh_rho(st, nbh)
         gc_f = sm.cubic_grad_coeff(nbh.r, st.h)
@@ -947,7 +1046,10 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
 
     st, nbh = ctx.st, ctx.nbh
     delta = jnp.float32(consts["delta"])
-    coupled = nbh is not None and nbh.rigid_vol is not None
+    # Compact route: rigid_vol present; dense route: rigid-side reaction
+    # list present. Either way the loop carries an (Nr,) reaction.
+    coupled = ((nbh is not None and nbh.rigid_vol is not None)
+               or ctx.rs is not None)
 
     if ctx.dense is not None:
         # Dense route (fluid-only, r04 item 4): identical algebra to the
@@ -960,6 +1062,8 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         # owned row has a complete neighborhood inside the 2h halo, so
         # its predicted position (hence the owned row's predicted rho)
         # is locally exact.
+        from cfd_taichi_tpu.ops import rigid_dense
+
         eng = ctx.dense
         pos = eng.pos
         rho = mbase.DENSITY_EPS + eng.rho_f
@@ -968,12 +1072,19 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
             bt = eng.dp.bterms
             rho = rho + bt.rho
             S_b = bt.s
+        if ctx.rt is not None:
+            rho = rho + ctx.rt.rho
         inv_rho2 = 1.0 / (rho * rho)
 
         tension = eng.tvec * jnp.float32(-PC.TENSION_K * st.particle_m)
         viscosity = bandmat.dense_viscosity(
             pos, sv, rho, h=st.h, m=st.particle_m, plan=eng.plan,
             B=st.band_B, c_s=PC.VISCOSITY_C_S, alpha=PC.VISCOSITY_ALPHA)
+        if ctx.rt is not None:
+            viscosity = viscosity + rigid_dense.viscosity_op(
+                st, ctx.rw, float(RHO_0), st.n_fluid, PC.VISCOSITY_C_S,
+                PC.VISCOSITY_ALPHA)(sv, rho, _dense_rho_quirk(ctx, rho),
+                                    ctx.rigid.vel)
         ext_force = mbase.gravity_acc(st) + tension + viscosity
 
         rho_of = bandmat.predicted_rho_op(pos, h=st.h, m=st.particle_m,
@@ -982,10 +1093,25 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         if st.akinci:
             brho_of = bandmat.boundary_predict_op(
                 eng.dp.bwin, pos, h=st.h, rho0=float(RHO_0), B=st.band_B)
+        rho_s_of = None
+        if ctx.rt is not None:
+            rho_s_of = rigid_dense.predict_rho_op(st, ctx.rw,
+                                                  float(RHO_0),
+                                                  st.n_fluid)
 
         def press_force_of(p_iter, rigid_force):
             f = (eng.S0 * p_iter + eng.mv(p_iter)) \
                 * jnp.float32(-st.particle_m / RHO_0 ** 2)
+            if ctx.rt is not None:
+                # Solid pairs (models/pcisph._step_dense term-for-term):
+                # loop-linear row constant u against the solid row sum;
+                # reaction charged once per pair, rigid-side, OWNED rows
+                # only (psum after the loop).
+                u = p_iter * inv_rho2 * jnp.float32(st.particle_m)
+                f = f - ctx.rt.s * u
+                if ctx.rs is not None:
+                    rigid_force = rigid_force + _dense_rigid_reaction(
+                        ctx, u, rho, psum=False)
             if st.akinci:
                 f = f + S_b * (-st.particle_m * p_iter * inv_rho2)
             return f, rigid_force
@@ -998,6 +1124,8 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
                     st, pos_p, vel_p, margin=st.particle_radius,
                     decay_mul=-mbase.V_DECAY)
             rho_p = rho_of(pos_p)
+            if rho_s_of is not None:
+                rho_p = rho_p + rho_s_of(pos_p)
             if st.akinci:
                 rho_p = rho_p + brho_of(pos_p)
             return rho_p - RHO_0
@@ -1084,16 +1212,30 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         # from the per-shard DenseEngine via the SAME helpers the
         # single-chip _step_dense uses (II.dense_pre_terms /
         # dense_jacobi_ops / dense_residual_fn) — the paths cannot drift.
+        from cfd_taichi_tpu.ops import rigid_dense
+
         eng = ctx.dense
-        rho, S_all, g2_sb, tension = II.dense_pre_terms(st, eng)
+        rho, S_all, g2_sb, tension = II.dense_pre_terms(st, eng, ctx.rt)
         inv_rho2 = 1.0 / (rho * rho)
         viscosity = bandmat.dense_viscosity(
             eng.pos, sv, rho, h=st.h, m=st.particle_m, plan=eng.plan,
             B=st.band_B, c_s=II.VISCOSITY_C_S, alpha=II.VISCOSITY_ALPHA)
+        if ctx.rt is not None:
+            viscosity = viscosity + rigid_dense.viscosity_op(
+                st, ctx.rw, float(RHO_0), st.n_fluid, II.VISCOSITY_C_S,
+                II.VISCOSITY_ALPHA)(sv, rho, _dense_rho_quirk(ctx, rho),
+                                    ctx.rigid.vel)
         f_adv = mbase.gravity_acc(st) + tension + viscosity
         v_adv = sv + f_adv * (dt / st.particle_m)
         d_ii = S_all * (-dt2 * inv_rho2)
         rho_adv = rho + dt * (v_adv.dot(S_all) - eng.mvd(v_adv))
+        if ctx.rt is not None:
+            # Solid rho_adv velocity term (models/iisph._step_dense /
+            # iisph_solver.py:325-334).
+            v_r = mbase.rigid_contact_vel(st, ctx.rigid, dt,
+                                          include_alpha=True)
+            rho_adv = rho_adv - dt * rigid_dense.contact_dot_op(
+                st, ctx.rw, float(RHO_0), st.n_fluid)(v_r)
         a_ii = (d_ii.dot(S_all)
                 - dt2 * st.particle_m * inv_rho2
                 * (eng.qsum / st.particle_m + g2_sb))
@@ -1136,7 +1278,12 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     f_press = (d_ij + d_ii * p_iter) * (st.particle_m / dt2)
 
     new_rforce = None
-    if coupled:
+    if ctx.rs is not None:
+        # compute_rigid_force (iisph_solver.py:150-160) on the dense
+        # route: once per step, rigid-side, owned-masked u, one psum.
+        new_rforce = ctx.rigid.force + _dense_rigid_reaction(
+            ctx, p_iter * inv_rho2 * jnp.float32(st.particle_m), rho)
+    elif coupled:
         # compute_rigid_force (iisph_solver.py:150-160): once per step,
         # owned rows only, one psum (each pair charged exactly once).
         c_scale = jnp.where(
@@ -1175,12 +1322,15 @@ def _wcsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     phys_over = jnp.zeros((), jnp.int32)
 
     if ctx.dp is not None:
-        # Dense route (fluid-only, r04 item 4): the whole pressure phase
-        # is the SAME two fused window passes as the single-chip
-        # _step_dense (models/wcsph.py:58-134) — wide-plan rho, then the
-        # pair-tight fused force pass. No exchanges needed: owned rows'
+        # Dense route (r04 item 4): the SAME fused window passes as the
+        # single-chip _step_dense (models/wcsph.py:58-134) — wide-plan
+        # rho, then the pair-tight fused force pass; coupled scenes add
+        # the group-sparse rigid window terms and the owned-row-masked
+        # rigid-side reaction. No in-loop exchanges needed: owned rows'
         # neighbors lie within h, whose densities are locally exact
         # inside the 2h halo.
+        from cfd_taichi_tpu.ops import rigid_dense
+
         dp = ctx.dp
         pos = dp.pos
         rho_f, _, blk_pair = bandmat.dense_rho_count(
@@ -1191,6 +1341,8 @@ def _wcsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         rho = mbase.DENSITY_EPS + rho_f
         if st.akinci:
             rho = rho + dp.bterms.rho
+        if ctx.rt is not None:
+            rho = rho + ctx.rt.rho
         p = W.tait_pressure(rho)
         p_over_rho2 = p / (rho * rho)
         acc = mbase.gravity_acc(st) + bandmat.dense_wcsph_forces(
@@ -1200,6 +1352,17 @@ def _wcsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         if st.akinci:
             acc = acc - dp.bterms.s * p_over_rho2
         new_rforce = None
+        if ctx.rt is not None:
+            # Solid pressure + viscosity branches (wcsph_solver.py:
+            # 92-129), term-for-term with models/wcsph._step_dense.
+            acc = acc - ctx.rt.s * p_over_rho2
+            acc = acc + rigid_dense.viscosity_op(
+                st, ctx.rw, float(RHO_0), st.n_fluid, W.VISCOSITY_C_S,
+                W.VISCOSITY_ALPHA)(sv, rho, _dense_rho_quirk(ctx, rho),
+                                   ctx.rigid.vel)
+            if ctx.rs is not None:
+                new_rforce = ctx.rigid.force + _dense_rigid_reaction(
+                    ctx, p_over_rho2 * jnp.float32(st.particle_m), rho)
     else:
         pos = nbh.pos
         rho = mbase.nbh_rho(st, nbh)

@@ -321,8 +321,8 @@ def build_scene(cfg: SimConfig, plan_pos: Optional[np.ndarray] = None) -> Scene:
     # policies (full-width boundary pass, no coef split) along.
     large = n_dyn >= GROUPED_BUILD_MIN_N
     band_B = BAND_B_LARGE if large else 16
-    _nb_seed = band_plan_raw_max(cap_pos, grid,
-                                 B=band_B, src_rows=_src)
+    _cover_B = band_plan_cover(cap_pos, grid, B=band_B, src_rows=_src)
+    _nb_seed = int(_cover_B.max())
     # CSR plans cover whole stencil runs. With per-member spans the need
     # tracks local stencil DENSITY (physics-bounded), not group order:
     # measured evolved/seed drift on the 1M dam break (t=0.009, B=8) was
@@ -377,8 +377,15 @@ def build_scene(cfg: SimConfig, plan_pos: Optional[np.ndarray] = None) -> Scene:
             _seed_near = boundary_near_group_capacity(
                 cap_pos, np.asarray(boundary_pos), grid,
                 band_B)
-            _floor = (3 * _QB) // 20
-            bq_cap = min(_QB, _round_up(max(2 * _seed_near, _floor, 64), 8))
+            # x3 growth margin (r05: the wetted surface keeps growing
+            # through the impact window — a hot-resumed 1M run measured
+            # near-groups at 16% of QB twelve steps in and STILL growing;
+            # the old x2 + 15% floor overflowed, and a dropped wall-near
+            # group loses its whole boundary contribution) with a 25%-QB
+            # floor; the pass is group-sparse, so generosity here costs
+            # far less than the pair-width capacities.
+            _floor = _QB // 4
+            bq_cap = min(_QB, _round_up(max(3 * _seed_near, _floor, 64), 8))
     else:
         bq_cap = 0
     # SPLIT-WIDTH dense mode (SceneStatic.loop_B): run the loop engine
@@ -398,16 +405,31 @@ def build_scene(cfg: SimConfig, plan_pos: Optional[np.ndarray] = None) -> Scene:
         _nb_seed_loop = _nb_seed
         pair_nb_q = pair_nb
     # Split-bucket coef engine widths (large-N coef regime only): the
-    # evolved 1M pair-block distribution is strongly skewed (p50 well
-    # under the max), so the A-width covers the bulk (seed CSR max
-    # x0.75) and a QB/12 remainder bucket carries the tail. Remainder
-    # beyond coef_capB is counted overflow. Sized at the LOOP width
-    # (the engine's group width: loop_B when split, band_B otherwise).
+    # pair-block distribution is strongly skewed (p50 well under the
+    # max), so the A-width covers the bulk and a remainder bucket
+    # carries the tail. DISTRIBUTION-AWARE (r05): sized from the
+    # per-group cover distribution of the sizing distribution itself —
+    # A-width at the p97 cover (cover >= pair width, so p97-of-cover is
+    # a generous bulk bound) and the tail bucket at 3x the count of
+    # groups above it (+ the old QB/12 floor). The r04 formula
+    # (0.75 x max) broke under checkpoint-resume re-planning: a hot
+    # state's max cover is ~2/3 of the seed's, so nbA fell to ~p50 of
+    # the PAIR distribution while capB stayed at QB/12 — thousands of
+    # groups spilled past the remainder bucket and the dropped loop
+    # pairs wrecked the solve (measured: 21% density error, 65 railed
+    # iters, overflow 499). Remainder beyond coef_capB is still counted
+    # overflow. Sized at the LOOP width (the engine's group width:
+    # loop_B when split, band_B otherwise).
     if large:
         _B_eng = loop_B or band_B
         _QB_eng = -(-n_fluid // _B_eng)
-        coef_nbA = max(8, int(np.ceil(_nb_seed_loop * 0.75)))
-        coef_capB = _round_up(max(_QB_eng // 12, 512), 8)
+        _cover_eng = (band_plan_cover(cap_pos, grid, B=_B_eng,
+                                      src_rows=_src)
+                      if _B_eng != band_B else _cover_B)
+        coef_nbA = max(8, int(np.percentile(_cover_eng, 97.0)))
+        _n_tail = int((_cover_eng > coef_nbA).sum())
+        coef_capB = _round_up(
+            min(_QB_eng, max(3 * _n_tail + 64, _QB_eng // 12, 512)), 8)
     else:
         coef_nbA = coef_capB = 0
     # Rigid-near group capacity (ops/rigid_dense): fluid within h of the
@@ -528,10 +550,20 @@ def neighbor_capacities(fluid_pos_rows: np.ndarray,
 def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
                       B: int = 8, block: int | None = None,
                       src_rows: np.ndarray | None = None) -> int:
-    """Raw seed measurement for the block-plan capacities (ops/bandmat):
-    the max number of `block`-slot source blocks covering the stencil of B
-    consecutive CELL-SORTED queries on the initial seed (callers apply
-    engine-specific headroom; runtime overflow is counted on-device).
+    """Max of `band_plan_cover` (see below)."""
+    return int(band_plan_cover(fluid_pos_rows, grid, B=B, block=block,
+                               src_rows=src_rows).max())
+
+
+def band_plan_cover(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
+                    B: int = 8, block: int | None = None,
+                    src_rows: np.ndarray | None = None) -> np.ndarray:
+    """Raw per-group measurement for the block-plan capacities
+    (ops/bandmat): for EACH group of B consecutive CELL-SORTED queries,
+    the number of `block`-slot source blocks covering its stencil —
+    a (QB,) distribution (callers apply engine-specific headroom and,
+    for the split-bucket engine, pick a bulk percentile + tail-bucket
+    count from it; runtime overflow is counted on-device).
 
     Vectorized over all groups: each group's member cells span contiguous
     ids [c0, c1]; for each of the 9 (mid, slow)-axis stencil offsets the
@@ -544,7 +576,7 @@ def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
         block = bandmat.BLOCK
     n = fluid_pos_rows.shape[0]
     if n == 0:
-        return 4
+        return np.full((1,), 4, np.int64)
     cells = nb.cell_id_np(fluid_pos_rows, grid)
     order = np.argsort(cells, kind="stable")
     sc = cells[order]
@@ -594,7 +626,7 @@ def band_plan_raw_max(fluid_pos_rows: np.ndarray, grid: nb.GridSpec,
         s = np.maximum(lo[:, j], run_end)
         total += np.maximum(hi[:, j] - s, 0)
         run_end = np.maximum(run_end, hi[:, j])
-    return int(total.max())
+    return total
 
 
 def boundary_near_group_capacity(fluid_pos_rows: np.ndarray,

@@ -442,3 +442,74 @@ def test_sharded_dense_route_coef_regime_matches_single_chip(monkeypatch):
     got_pos, _ = domain.unshard(state.fluid)
     assert got_pos.shape[0] == ref_pos.shape[0]
     _nearest_match(got_pos, ref_pos, 1e-4)
+
+
+@pytest.mark.parametrize("solver", ["pcisph", "dfsph", "iisph", "wcsph"])
+def test_sharded_coupled_dense_route_builds_no_compact_list(solver):
+    """r04 item 4, second half: COUPLED scenes take the per-shard dense
+    route too (group-sparse rigid windows + owned-masked rigid-side
+    reaction against the replicated body) — no compact neighbor list,
+    proven by poisoning the builders. build_rigid_side's internal
+    find_neighbors over the tiny rigid set is exempt (that (Nr, Kf)
+    list IS the dense design, rigid_dense.py docstring)."""
+    import importlib
+
+    import cfd_taichi_tpu.ops.neighbors as nbmod
+    from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.ops import rigid_dense
+
+    model = importlib.import_module(f"cfd_taichi_tpu.models.{solver}")
+    eligible = getattr(
+        model, "dense_eligible",
+        importlib.import_module("cfd_taichi_tpu.models.dfsph")
+        .dense_eligible)
+
+    cfg = copy.deepcopy(COUPLED_CFG)
+    cfg["solver"]["name"] = solver
+    sim = Simulation(parse_config(cfg))
+    mesh = domain.make_mesh(NDEV)
+    spec = domain.make_spec(sim.scene.static, NDEV)
+    ns = spec.cap + 2 * spec.hcap
+    assert eligible(domain._shim_static(sim.scene.static, ns,
+                                        keep_rigid=True)), \
+        "test scene must be dense-eligible per shard (coupled)"
+    consts = None
+    if solver == "pcisph":
+        from cfd_taichi_tpu.models import pcisph
+
+        consts = {"delta": float(pcisph.init_state(sim.scene).extra[0])}
+    state = domain.init_sharded_solver(mesh, spec, sim.scene.static,
+                                       sim.scene.fluid_pos0, solver,
+                                       rigid=mbase.init_rigid_state(
+                                           sim.scene))
+    step = domain.make_sharded_solver_step(sim.scene.static,
+                                           sim.scene.arrays, mesh, spec,
+                                           solver, consts=consts)
+
+    # The rigid-side (Nr, Kf) list is allowed; every FLUID-query list is
+    # poison. Wrap find_neighbors to allow only rigid-sized query sets.
+    n_rigid = sim.scene.static.n_rigid
+    orig_fn, orig_fg = nbmod.find_neighbors, nbmod.find_neighbors_grouped
+
+    def guarded(qpos, qid, *a, **k):
+        if qpos.x.shape[0] != n_rigid:
+            raise AssertionError("compact fluid list built in the dense "
+                                 "coupled regime")
+        return orig_fn(qpos, qid, *a, **k)
+
+    def boom(*a, **k):
+        raise AssertionError("grouped compact list built in the dense "
+                             "coupled regime")
+
+    nbmod.find_neighbors = guarded
+    nbmod.find_neighbors_grouped = boom
+    rigid_dense.nb.find_neighbors = guarded
+    try:
+        state = step(state)
+    finally:
+        nbmod.find_neighbors, nbmod.find_neighbors_grouped = \
+            orig_fn, orig_fg
+        rigid_dense.nb.find_neighbors = orig_fn
+    assert int(np.asarray(state.overflow)) == 0
+    pos, vel = domain.unshard(state.fluid)
+    assert np.isfinite(pos).all() and np.isfinite(vel).all()
