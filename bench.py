@@ -86,8 +86,6 @@ def time_solver(cfg_name: str, solver_name: str, min_steps=MIN_STEPS,
     `use_frame`: time whole frames (iter_cnt fluid steps + rigid steps,
     the reference's main.py:165-173 frame structure) — used by the
     coupled row so the body actually reacts during the window."""
-    import tempfile
-
     cfg = read_config(os.path.join(REPO, "configs", cfg_name))
     cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
         cfg.solver, name=solver_name))
@@ -96,6 +94,8 @@ def time_solver(cfg_name: str, solver_name: str, min_steps=MIN_STEPS,
             cfg.fluid, initial_velocity=(0.0, -float(impact), 0.0)))
 
     if resume_steps:
+        import numpy as np
+
         from cfd_taichi_tpu.utils import io as io_utils
 
         donor = Simulation(cfg)
@@ -104,13 +104,15 @@ def time_solver(cfg_name: str, solver_name: str, min_steps=MIN_STEPS,
                 donor.frame()
             else:
                 donor.step()
-        with tempfile.TemporaryDirectory() as td:
-            ck = os.path.join(td, "hot.npz")
-            io_utils.save_checkpoint(ck, donor.state)
-            plan_pos = donor.state.fluid.pos.to_numpy()
-            del donor
-            sim = Simulation(cfg, plan_pos=plan_pos)
-            sim.state = io_utils.load_checkpoint(ck, sim.state)
+        tag = f"{os.path.splitext(cfg_name)[0]}_{solver_name}"
+        ck = f"/tmp/bench_hot_{tag}.npz"
+        io_utils.save_checkpoint(ck, donor.state)
+        plan_pos = donor.state.fluid.pos.to_numpy()
+        # Stable sidecar for the phase-attribution subprocess.
+        np.save(f"/tmp/bench_hot_{tag}_pos.npy", plan_pos)
+        del donor
+        sim = Simulation(cfg, plan_pos=plan_pos)
+        sim.state = io_utils.load_checkpoint(ck, sim.state)
     else:
         sim = Simulation(cfg)
 
@@ -180,7 +182,7 @@ def row(out: dict, key: str, cfg_name: str, solver: str, *, min_steps,
             resume_steps=resume_steps, use_frame=use_frame)
         out[key] = round(sps, 4)
         out[key.replace("_steps_per_sec", "_density_err_pct")] = round(
-            float(stats["avg_pos_err"]) / 1000.0 * 100.0, 4)
+            float(stats["avg_pos_err"]) / 1000.0 * 100.0, 6)
         out[key.replace("_steps_per_sec", "_overflow")] = int(
             stats["window_overflow"])
         out[key.replace("_steps_per_sec", "_iters")] = stats["solver_iters"]
@@ -312,6 +314,32 @@ def main():
             dfsph_1m_roofline(out, out["dfsph_1m_steps_per_sec"], st_1m)
         except Exception as e:
             out["dfsph_1m_roofline_error"] = type(e).__name__
+        # Measured per-phase breakdown of the hot step (VERDICT r04
+        # item 1) — a subprocess so its engine buffers never coexist
+        # with this process's compiled step executables.
+        if left() > 500:
+            import subprocess
+            try:
+                p = subprocess.run(
+                    [sys.executable,
+                     os.path.join(REPO, "tools", "phase_attrib_1m.py"),
+                     "/tmp/bench_hot_breaking_dam_1m_dfsph_pos.npy"],
+                    capture_output=True, text=True, timeout=480)
+                phases = json.loads(p.stdout.strip().splitlines()[-1])
+                it = out.get("dfsph_1m_iters") or [0.0, 0.0]
+                n_it = float(it[0]) + float(it[1]) + 2.0
+                step_ms = 1e3 / out["dfsph_1m_steps_per_sec"]
+                accounted = (phases["prep_ms"] + phases["wide_rho_ms"]
+                             + phases["compact_ms"]
+                             + phases["coef_build_ms"] + phases["visc_ms"]
+                             + n_it * phases["mv_pair_ms"])
+                phases["loop_total_ms"] = round(
+                    n_it * phases["mv_pair_ms"], 1)
+                phases["other_ms"] = round(step_ms - accounted, 1)
+                phases["step_ms"] = round(step_ms, 1)
+                out["dfsph_1m_phase_ms"] = phases
+            except Exception as e:
+                out["dfsph_1m_phase_error"] = type(e).__name__
     row(out, "wcsph_1m_steps_per_sec", "breaking_dam_1m.json", "wcsph",
         min_steps=6, min_wall=10, batch=3, reserve=400, impact=3.0,
         warmup=4, resume_steps=12)
