@@ -149,11 +149,22 @@ class Simulation:
 def run(cfg: SimConfig, frames: int | None = None, output_dir: str = "./output",
         profile_dir: str | None = None, checkpoint_every: int = 0,
         resume: str | None = None, quiet: bool = False,
-        max_sim_time: float = MAX_SIM_TIME, color_by: str = "none") -> Simulation:
+        max_sim_time: float = MAX_SIM_TIME, color_by: str = "none",
+        replan: bool = False) -> Simulation:
     sim = Simulation(cfg)
     if resume:
         sim.state = io_utils.load_checkpoint(resume, sim.state)
-        print(f"Resumed from {resume} at t={sim.t:.4f}")
+        if replan:
+            # Re-plan every runtime capacity from the checkpointed
+            # distribution (scene.build_scene plan_pos): seed-sized
+            # plans overpay on evolved flows — every windowed pass and
+            # loop matvec is capacity-priced (measured 1M dam: the seed
+            # needs 33 blocks/group where the hot flow needs 20).
+            # Physics is unchanged; overflow counters still guard.
+            sim = Simulation(cfg, plan_pos=sim.state.fluid.pos.to_numpy())
+            sim.state = io_utils.load_checkpoint(resume, sim.state)
+        print(f"Resumed from {resume} at t={sim.t:.4f}"
+              + (" (capacities re-planned)" if replan else ""))
 
     sc = cfg.scene
     os.makedirs(output_dir, exist_ok=True)
@@ -252,6 +263,10 @@ def main(argv=None):
     parser.add_argument("--profile-dir", type=str, default=None)
     parser.add_argument("--checkpoint-every", type=int, default=0)
     parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--replan", action="store_true",
+                        help="on --resume, re-plan runtime capacities from "
+                             "the checkpointed particle distribution "
+                             "(faster plans on evolved flows)")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--color-by", type=str, default="none",
                         choices=["none", "rho", "neighbors"],
@@ -263,7 +278,8 @@ def main(argv=None):
     t0 = time.time()
     run(cfg, frames=args.frames, output_dir=args.output_dir,
         profile_dir=args.profile_dir, checkpoint_every=args.checkpoint_every,
-        resume=args.resume, quiet=args.quiet, color_by=args.color_by)
+        resume=args.resume, quiet=args.quiet, color_by=args.color_by,
+        replan=args.replan)
     print(f"Simulation time: {time.time() - t0}")  # main.py:211 parity
 
 

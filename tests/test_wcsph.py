@@ -117,3 +117,18 @@ def test_ply_obj_export(tmp_path):
     io_utils.write_obj(obj, verts, faces)
     text = open(obj).read()
     assert text.count("v ") == 3 and "f 1 2 3" in text
+
+
+def test_resume_replan_cli_path(tmp_path, sim_result):
+    """runner.run(resume=..., replan=True): capacities re-planned from the
+    checkpointed distribution, state restored, run continues clean
+    (the CLI --replan flag's code path)."""
+    from cfd_taichi_tpu import runner
+    from cfd_taichi_tpu.utils import io as io_utils
+
+    path = str(tmp_path / "ckpt.npz")
+    io_utils.save_checkpoint(path, sim_result.state)
+    sim = runner.run(sim_result.cfg, frames=2, output_dir=str(tmp_path),
+                     resume=path, replan=True, quiet=True)
+    assert float(sim.t) > float(sim_result.t)
+    assert sim.telemetry()["nan_particles"] == 0

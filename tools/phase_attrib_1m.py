@@ -85,6 +85,7 @@ def main():
 
     dt, _ = timed(jax.jit(prep), pos.x, pos.y, pos.z, rtt=rtt)
     res["prep_ms"] = round(dt * 1e3, 1)
+    print("prep_ms", res["prep_ms"], file=sys.stderr, flush=True)
 
     stage = jax.jit(lambda px, py, pz: (
         lambda dp: (dp.pos, dp.plan))(mbase.build_dense_prep(
@@ -104,6 +105,7 @@ def main():
     dt, _ = timed(jax.jit(wide), pos_s.x, pos_s.y, pos_s.z, plan[0],
                   plan[1], rtt=rtt)
     res["wide_rho_ms"] = round(dt * 1e3, 1)
+    print("wide_rho_ms", res["wide_rho_ms"], file=sys.stderr, flush=True)
 
     stage2 = jax.jit(lambda px, py, pz, blk, mask: (
         lambda flags: bandmat.compact_plan(
@@ -126,6 +128,7 @@ def main():
     flags = flags_stage(pos_s.x, pos_s.y, pos_s.z, plan[0], plan[1])
     dt, _ = timed(jax.jit(cplan), pos_s.x, plan[0], plan[1], flags, rtt=rtt)
     res["compact_ms"] = round(dt * 1e3, 1)
+    print("compact_ms", res["compact_ms"], file=sys.stderr, flush=True)
     del flags
 
     # 4) split-bucket coefficient engine build over the tight plan
@@ -139,6 +142,7 @@ def main():
     dt, _ = timed(jax.jit(cbuild), pos_s.x, pos_s.y, pos_s.z, tight[0],
                   tight[1], rtt=rtt)
     res["coef_build_ms"] = round(dt * 1e3, 1)
+    print("coef_build_ms", res["coef_build_ms"], file=sys.stderr, flush=True)
 
     # 5) dense_viscosity over the tight plan
     def visc(px, py, pz, blk, mask):
@@ -152,6 +156,7 @@ def main():
     dt, _ = timed(jax.jit(visc), pos_s.x, pos_s.y, pos_s.z, tight[0],
                   tight[1], rtt=rtt)
     res["visc_ms"] = round(dt * 1e3, 1)
+    print("visc_ms", res["visc_ms"], file=sys.stderr, flush=True)
 
     # 6) one solver-loop matvec + matvec_dot pair (sequential dispatch,
     # engine passed as jit args — no loop carries).
