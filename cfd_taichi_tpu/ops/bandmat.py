@@ -48,6 +48,7 @@ accumulated delta; the matvec path omits the guard.
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -62,8 +63,9 @@ from cfd_taichi_tpu.ops.vec import V3
 # stencil-union width ~35% (host-measured on the impact-compressed dam:
 # B=32 union 4.11 GB/matvec at 128 vs 2.69 at 64; gather rows stay fast —
 # the 4-lane matvec tables remain (4, 64) f32 = 1 KB rows).
-BLOCK = 64
-BLOCK_SHIFT = 6
+BLOCK = int(os.environ.get("CFD_TPU_BLOCK", "64"))
+BLOCK_SHIFT = BLOCK.bit_length() - 1
+assert BLOCK == 1 << BLOCK_SHIFT, "CFD_TPU_BLOCK must be a power of two"
 
 
 class BandA(NamedTuple):
@@ -778,31 +780,54 @@ def _coef_chunks(QB: int, W: int) -> int:
 COEF_RHS_RELATIVE = False
 
 
+def _matvec_chunks(QB: int, W: int) -> int:
+    """Chunk count for the per-matvec PLANE rhs temp ((4, Qc, W) f32):
+    largest divisor of QB keeping the temp under ~640 MB. At the 1M
+    scale (QB=31250, W=1152, temp 576 MB) this stays 1 — the whole
+    point: the unchunked plane einsum is what reaches the memory floor
+    (tools/perf_r5_mv4.py: 8.2 ms vs 42.7 for the r4 chunked form)."""
+    target = max(1, (640 << 20) // (4 * W * 4))
+    if QB <= target:
+        return 1
+    for nc in range(-(-QB // target), QB + 1):
+        if QB % nc == 0:
+            return nc
+    return QB
+
+
 def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
     """(matvec, matvec_dot) closures — the drop-in counterpart of
     band_matvec_ops / window_matvec_ops / gather_matvec_ops.
 
-    One (nblocks, 4, 128) product table per matvec ([k, sx k, sy k,
-    sz k] — products at SOURCE-TABLE granularity, ~16 MB of work at 1M),
-    then ONE einsum whose rhs is the raw block-row gather tab[blk]: no
-    transpose, no materialized rhs — XLA fuses the gather and any
-    upcast into the dot (CoefEngine docstring; measured 10.9 ms vs 32 ms
-    for the round-3 transpose+stack form at 2^20/W=1536, a standalone
-    block-row gather alone being 22.9 ms). With COEF_RHS_RELATIVE the
-    table is bf16 in block-relative coordinates (see flag note)."""
+    One (4, nblocks, 128) f32 product table per matvec ([k, sx k, sy k,
+    sz k] — products at SOURCE-TABLE granularity, ~16 MB of work at
+    1M), gathered into an explicit (4, QB, W) PLANE rhs — r-major, W
+    contiguous — behind an optimization_barrier, then ONE einsum
+    'qbw,rqw->rqb'. The barrier + plane layout are the round-5 result
+    (tools/perf_r5_mv3.py / perf_r5_mv4.py, 1M hot dam, v5e): the r4
+    form ('qbnc,qnrc->qbr' over the fused block-row gather) ran 42.7 ms
+    against a ~10 ms memory floor (w-stream 3.7 + row gather 8.3) — the
+    4-lane output denied XLA an efficient schedule, and a hand Pallas
+    VPU kernel over the same planes (10.6 ms) ALSO lost to giving XLA
+    the materialized plane rhs: 8.2 ms/matvec, rel diff 8e-5 (f32
+    reduction order, far under the shared bf16-w quantization). With
+    COEF_RHS_RELATIVE the rhs is instead bf16 in block-relative
+    coordinates (see flag note)."""
     QB, _, W = eng.w.shape
     nbcap = eng.blkq.shape[1]
     nblocks = -(-n // BLOCK)
-    nc = _coef_chunks(QB, W)
+    nc = (_coef_chunks(QB, W) if COEF_RHS_RELATIVE
+          and eng.w.dtype == jnp.bfloat16 else _matvec_chunks(QB, W))
     Qc = QB // nc
 
     def resh(a):
         return a.reshape((nc, Qc) + a.shape[1:])
 
-    w_r = eng.w.reshape(nc, Qc, eng.w.shape[1], nbcap, BLOCK)
+    relative = COEF_RHS_RELATIVE and eng.w.dtype == jnp.bfloat16
+    w_r = (eng.w.reshape(nc, Qc, eng.w.shape[1], nbcap, BLOCK)
+           if relative else resh(eng.w))
     blk_r = resh(eng.blkq)
     qx_r, qy_r, qz_r = resh(eng.qx), resh(eng.qy), resh(eng.qz)
-    relative = COEF_RHS_RELATIVE and eng.w.dtype == jnp.bfloat16
     if relative:
         # Per-source-block reference points. The mean of a (128,) block
         # row (pad zeros included) is only a REFERENCE — any value works
@@ -858,20 +883,23 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
                           qz_c * sk - (o4[..., 3] + cz * sk_n).sum(axis=2))
 
             return run(chunk)
-        # (nblocks, 4, 128) f32: [k, sx k, sy k, sz k]
+        # (4, nblocks, 128) f32 planes: [k, sx k, sy k, sz k]
         tab = jnp.stack([tbl, eng.tbx * tbl, eng.tby * tbl,
-                         eng.tbz * tbl], axis=1)
+                         eng.tbz * tbl], axis=0)
 
         def chunk(args):
             w_c, blk_c, qx_c, qy_c, qz_c = args
-            pw = tab[blk_c]                          # (Qc, nbcap, 4, 128)
-            out = jnp.einsum("qbnc,qnrc->qbr", w_c.astype(jnp.float32),
-                             pw, preferred_element_type=jnp.float32)
+            # Materialized r-major plane rhs behind a barrier — the
+            # measured-fast schedule (coef_matvec_ops docstring).
+            p = jax.lax.optimization_barrier(
+                tab[:, blk_c].reshape(4, blk_c.shape[0], W))
+            out = jnp.einsum("qbw,rqw->rqb", w_c.astype(jnp.float32),
+                             p, preferred_element_type=jnp.float32)
             # Sigma w d_c k = x_c (Sigma w k) - Sigma w x_j,c k — exact
             # f32 algebra over absolute coordinates (CoefEngine note).
-            return V3(qx_c * out[..., 0] - out[..., 1],
-                      qy_c * out[..., 0] - out[..., 2],
-                      qz_c * out[..., 0] - out[..., 3])
+            return V3(qx_c * out[0] - out[1],
+                      qy_c * out[0] - out[2],
+                      qz_c * out[0] - out[3])
 
         return run(chunk)
 
@@ -898,17 +926,18 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
                 return acc.sum(axis=2)
 
             return run(chunk)
-        # (nblocks, 4, 128) f32: [vx, vy, vz, s . v]
+        # (4, nblocks, 128) f32 planes: [vx, vy, vz, s . v]
         tab = jnp.stack([tx, ty, tz, eng.tbx * tx + eng.tby * ty
-                         + eng.tbz * tz], axis=1)
+                         + eng.tbz * tz], axis=0)
 
         def chunk(args):
             w_c, blk_c, qx_c, qy_c, qz_c = args
-            pw = tab[blk_c]                          # (Qc, nbcap, 4, 128)
-            out = jnp.einsum("qbnc,qnrc->qbr", w_c.astype(jnp.float32),
-                             pw, preferred_element_type=jnp.float32)
-            return (qx_c * out[..., 0] + qy_c * out[..., 1]
-                    + qz_c * out[..., 2] - out[..., 3])
+            p = jax.lax.optimization_barrier(
+                tab[:, blk_c].reshape(4, blk_c.shape[0], W))
+            out = jnp.einsum("qbw,rqw->rqb", w_c.astype(jnp.float32),
+                             p, preferred_element_type=jnp.float32)
+            return (qx_c * out[0] + qy_c * out[1]
+                    + qz_c * out[2] - out[3])
 
         return run(chunk)
 
