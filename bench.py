@@ -207,12 +207,20 @@ def hbm_copy_gbps() -> float:
     y = f(x)
     float(y[0])  # block_until_ready under-reports through the tunnel
     #              relay (measured); a scalar fetch is a true sync.
+    # Measure the fetch RTT itself and subtract it: at 16 chained reps a
+    # ~25-40 ms tunnel round trip otherwise inflates each rep by rtt/16
+    # — the r4 bench skipped this and under-reported the chip's copy
+    # rate ~4x (236 GB/s reported vs ~900 measured once corrected),
+    # flattering roofline_frac by the same factor.
     t0 = time.perf_counter()
-    reps = 4
+    float(y[0])
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    reps = 16
     for _ in range(reps):
         y = f(y)
     float(y[0])
-    dt_s = (time.perf_counter() - t0) / reps
+    dt_s = max(time.perf_counter() - t0 - rtt, 1e-9) / reps
     return 2.0 * x.nbytes / dt_s / 1e9
 
 
@@ -223,9 +231,12 @@ def dfsph_1m_roofline(out: dict, sps: float, st=None):
     (VERDICT r03 item 1: make the gap to hardware a number).
 
     Traffic model (docs/ARCHITECTURE.md §7): per solver iteration the
-    split-coef matvec pair streams the stored bf16 w plus the gathered
-    4-lane f32 rhs product rows over every plan slot (A bucket at nbA
-    blocks x QB groups, remainder at pair_nb x capB); the one-shot
+    split-coef matvec pair streams the stored bf16 w — (QB, B, W), i.e.
+    2 x B bytes per GROUP plan slot (the r4 model forgot the x B and
+    undercounted the dominant term ~16x) — plus the materialized
+    (4, QB, W) f32 plane rhs (16 B written + 16 B read per group slot;
+    the round-5 schedule, coef_matvec_ops docstring) and the (4,
+    nblocks, 128) f32 product table build (read+write). The one-shot
     passes (dense_rho_count at wide capacity, the coef build and the
     viscosity pass at pair capacity) re-gather 3/3/7 f32 position or
     velocity row lanes per slot. Sorts, scatters and (N,)-sized field
@@ -240,13 +251,15 @@ def dfsph_1m_roofline(out: dict, sps: float, st=None):
     Bl = st.loop_B or B                  # split-width loop engine groups
     QBq = -(-st.n_fluid // B)            # one-shot (wide) groups
     QBl = -(-st.n_fluid // Bl)           # loop-engine groups
+    nblocks = -(-st.n_fluid // BLOCK)
     iters = out.get("dfsph_1m_iters") or [15.0, 2.0]
     n_it = float(iters[0]) + float(iters[1]) + 2.0  # + warm-start/init pair
     if st.coef_nbA:
         slots_mv = (QBl * st.coef_nbA + st.coef_capB * st.pair_nb) * BLOCK
     else:
         slots_mv = QBl * st.pair_nb * BLOCK
-    per_matvec = slots_mv * (2 + 16)            # bf16 w + 4-lane f32 rhs
+    per_matvec = (slots_mv * (2 * Bl + 32)      # bf16 w + f32 plane rhs
+                  + 2 * 4 * nblocks * BLOCK * 4)  # product table r+w
     loop = n_it * 2 * per_matvec
     pq = st.pair_nb_q or st.pair_nb
     oneshot = (QBq * st.band_nb_wide * BLOCK * 12      # dense_rho_count

@@ -299,23 +299,44 @@ class DensePrep(NamedTuple):
     overflow: jnp.ndarray      # () int32 — plan + boundary overflow
     qcells: Optional[jnp.ndarray] = None  # (QB, B) sorted member cell ids
     #                            (feeds the rigid-dense near-group test)
+    extras: tuple = ()         # caller-supplied (N,) arrays co-sorted by
+    #                            the ONE variadic sort (see sort_by_cells)
+
+
+def sort_by_cells(grid, fluid_pos: V3, extras: tuple = ()):
+    """ONE variadic stable sort keyed on the cell ids, carrying the
+    positions (and any caller extras — velocities, warm-start fields,
+    original ids ...) as payloads. Identical permutation/values to
+    `argsort(cid, stable=True)` + per-array gathers, but at 1M on the
+    chip the element gathers cost ~19 ms PER LANE while the whole
+    10-operand sort is ~6 ms (tools/perf_r5_prep3.py: take3 56 ms,
+    vsort10 5.7 ms) — TPU gathers are the expensive primitive, sorts
+    are not. Returns (scid, perm, pos_s, sorted_extras)."""
+    cid = nb.cell_id(fluid_pos, grid)
+    iota = jnp.arange(cid.shape[0], dtype=jnp.int32)
+    out = jax.lax.sort((cid, iota) + fluid_pos.astuple() + tuple(extras),
+                       dimension=0, is_stable=True, num_keys=1)
+    return (out[0], out[1], V3(out[2], out[3], out[4]), tuple(out[5:]))
 
 
 def build_dense_prep(st: SceneStatic, arrays: SceneArrays, fluid_pos: V3,
-                     nbcap: int, B: int,
-                     want_bterms: bool = True) -> DensePrep:
+                     nbcap: int, B: int, want_bterms: bool = True,
+                     extras: tuple = ()) -> DensePrep:
     """Sort the fluid, then `dense_prep_sorted` (which derives CSR offsets
     + the CSR block plan directly — no second argsort, no compact fluid
     list — and computes the Akinci boundary sums via the group-sparse
     dense pass, no compact boundary list either). The fused dense passes
     (ops/bandmat.build_band_terms / dense_dfsph_terms / dense_rho_count /
-    dense_wcsph_forces / dense_viscosity) run over the returned plan."""
-    cid = nb.cell_id(fluid_pos, st.grid)
-    perm = jnp.argsort(cid, stable=True).astype(jnp.int32)
-    pos_s = fluid_pos.take(perm)
-    scid = cid[perm]
-    return dense_prep_sorted(st, arrays, pos_s, scid, nbcap, B,
-                             want_bterms=want_bterms, perm=perm)
+    dense_wcsph_forces / dense_viscosity) run over the returned plan.
+
+    `extras`: per-particle (N,) arrays the caller needs in sorted order —
+    co-sorted by the one variadic sort (sort_by_cells) instead of
+    gathered by perm afterwards."""
+    scid, perm, pos_s, sorted_extras = sort_by_cells(st.grid, fluid_pos,
+                                                     extras)
+    dp = dense_prep_sorted(st, arrays, pos_s, scid, nbcap, B,
+                           want_bterms=want_bterms, perm=perm)
+    return dp._replace(extras=sorted_extras)
 
 
 def dense_prep_sorted(st: SceneStatic, arrays: SceneArrays, pos_s: V3,

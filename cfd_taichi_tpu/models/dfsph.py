@@ -275,6 +275,7 @@ class _Pre(NamedTuple):
     cs_fn: Any          # (include_alpha, dt) -> (N,) solid dot constant
     scatter_fn: Any     # (k_over_rho, rforce) -> rforce, or None
     overflow: Any       # () int32 — build + engine overflow
+    acc: Any = None     # V3 — sorted accelerations (None: gather by perm)
 
 
 def dense_eligible(st: SceneStatic) -> bool:
@@ -324,7 +325,8 @@ class DenseEngine(NamedTuple):
 
 
 def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
-                       fluid_pos: V3, dp=None) -> DenseEngine:
+                       fluid_pos: V3, dp=None,
+                       extras: tuple = ()) -> DenseEngine:
     """Fluid-only fast path: NO compact (N, K) fluid list and NO compact
     (N, bK) boundary list are built. One dense pass over the CSR block
     plan produces the loop engine inputs AND rho/count/alpha-Q/tension
@@ -340,7 +342,7 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
     # capacity — for the stored engine and every per-iteration matvec.
     if dp is None:
         dp = base.build_dense_prep(st, arrays, fluid_pos, st.band_nb_wide,
-                                   B)
+                                   B, extras=extras)
     pos_s, perm = dp.pos, dp.perm
     if use_band_engine(st.n_fluid, st.band_nb):
         # Stored 3-component band matrix (fits HBM below ~150k).
@@ -461,11 +463,19 @@ def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
     has_rigid = st.rigid_active and st.n_rigid > 0
 
     B = st.band_B
-    eng = build_dense_engine(st, arrays, fluid.pos)
+    # vel/warm_k/oid/acc ride the ONE variadic cell sort as payloads
+    # (base.sort_by_cells) — 8 per-lane gathers at ~19 ms each at 1M
+    # otherwise (tools/perf_r5_prep3.py).
+    eng = build_dense_engine(
+        st, arrays, fluid.pos,
+        extras=fluid.vel.astuple() + (warm_k, fluid.oid)
+        + fluid.acc.astuple())
     dp, pos_s, perm, plan = eng.dp, eng.pos, eng.perm, eng.plan
     rho_f, count, qsum, tvec = eng.rho_f, eng.count, eng.qsum, eng.tvec
     S0, mv, mvd, overflow = eng.S0, eng.mv, eng.mvd, eng.overflow
-    oid = fluid.oid[perm]
+    (vx_s, vy_s, vz_s, warm_s, oid, ax_s, ay_s, az_s) = dp.extras
+    vel_s = V3(vx_s, vy_s, vz_s)
+    acc_s = V3(ax_s, ay_s, az_s)
 
     rt = rw = visc_s_of = None
     if has_rigid:
@@ -520,7 +530,7 @@ def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
                 rs, k_over_rho * jnp.float32(st.particle_m), rho, rforce)
 
     return _Pre(pos=pos_s, perm=perm, oid=oid,
-                vel=fluid.vel.take(perm), warm_k=warm_k[perm],
+                vel=vel_s, warm_k=warm_s, acc=acc_s,
                 rho=rho, alpha=alpha, count=count, S=S, mv=mv,
                 mvd=mvd, ext_force_fn=ext_force_fn,
                 cs_fn=cs_fn, scatter_fn=scatter_fn, overflow=overflow)
@@ -716,8 +726,10 @@ def _finish_step(st: SceneStatic, state: base.SimState,
 
     return state._replace(
         overflow=pre.overflow,
-        fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(pre.perm), oid=pre.oid),
+        fluid=base.FluidState(
+            pos=new_pos, vel=new_vel,
+            acc=pre.acc if pre.acc is not None
+            else fluid.acc.take(pre.perm), oid=pre.oid),
         rigid=rigid._replace(force=rigid_force),
         dt=dt,
         t=state.t + dt,

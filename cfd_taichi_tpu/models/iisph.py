@@ -311,11 +311,16 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     n = st.n_fluid
     has_rigid = st.rigid_active and st.n_rigid > 0
 
-    eng = _dfsph.build_dense_engine(st, arrays, fluid.pos)
+    # vel/oid/p_past/acc ride the variadic cell sort as payloads
+    # (base.sort_by_cells — element gathers are the slow primitive).
+    eng = _dfsph.build_dense_engine(
+        st, arrays, fluid.pos,
+        extras=fluid.vel.astuple() + (fluid.oid, p_past)
+        + fluid.acc.astuple())
     pos, perm = eng.pos, eng.perm
-    vel = fluid.vel.take(perm)
-    oid = fluid.oid[perm]
-    p_past = p_past[perm]
+    (vx_s, vy_s, vz_s, oid, p_past, ax_s, ay_s, az_s) = eng.dp.extras
+    vel = V3(vx_s, vy_s, vz_s)
+    acc_s = V3(ax_s, ay_s, az_s)
 
     overflow = eng.overflow
     rt = rw = None
@@ -388,7 +393,7 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     return state._replace(
         overflow=overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(perm), oid=oid),
+                              acc=acc_s, oid=oid),
         rigid=rigid._replace(force=rigid_force),
         t=state.t + dt,
         step_count=state.step_count + 1,

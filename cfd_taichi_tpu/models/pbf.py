@@ -74,17 +74,22 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     t = 1.0 - S_CORR_FACTOR ** 2
     w_ref = 315.0 / (64.0 * math.pi * st.h ** 3) * t ** 3
 
-    dp = base.build_dense_prep(st, arrays, fluid.pos, st.band_nb_wide, B,
-                               want_bterms=False)
+    # vel/oid/acc ride the variadic cell sort as payloads
+    # (base.sort_by_cells — element gathers are the slow primitive).
+    dp = base.build_dense_prep(
+        st, arrays, fluid.pos, st.band_nb_wide, B, want_bterms=False,
+        extras=fluid.vel.astuple() + (fluid.oid,) + fluid.acc.astuple())
     pos, perm = dp.pos, dp.perm
-    oid = fluid.oid[perm]
+    (vx_s, vy_s, vz_s, oid, ax_s, ay_s, az_s) = dp.extras
+    vel_s = V3(vx_s, vy_s, vz_s)
+    acc_s = V3(ax_s, ay_s, az_s)
 
     terms, lam_mv, xsph_of = bandmat.dense_pbf_ops(
         pos, h=st.h, m=st.particle_m, plan=dp.plan, B=B,
         w_ref=w_ref, k_corr=TENSION_K)
 
     # --- external force + predicted positions (pbf_solver.py:26-30) ---------
-    vel = fluid.vel.take(perm) + base.gravity_acc(st) * dt
+    vel = vel_s + base.gravity_acc(st) * dt
     pos_predict = pos + vel * dt
 
     # --- density + constraint (pbf_solver.py:127-130,166-174) ---------------
@@ -129,7 +134,7 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     return state._replace(
         overflow=dp.overflow,
         fluid=base.FluidState(pos=new_pos, vel=new_vel,
-                              acc=fluid.acc.take(perm), oid=oid),
+                              acc=acc_s, oid=oid),
         t=state.t + dt,
         step_count=state.step_count + 1,
     )

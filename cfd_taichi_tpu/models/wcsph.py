@@ -65,11 +65,14 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     # Wide CSR cover for the one-shot rho pass, then a pair-tight plan
     # for the force pass (bandmat.compact_plan docstring: the CSR
     # cover's fragmentation is not physics-bounded; pair content is).
-    dp = base.build_dense_prep(st, arrays, fluid.pos, st.band_nb_wide,
-                               st.band_B)
+    # vel/oid ride the variadic cell sort as payloads
+    # (base.sort_by_cells — element gathers are the slow primitive).
+    dp = base.build_dense_prep(
+        st, arrays, fluid.pos, st.band_nb_wide, st.band_B,
+        extras=fluid.vel.astuple() + (fluid.oid,))
     pos = dp.pos
-    vel = fluid.vel.take(dp.perm)
-    oid = fluid.oid[dp.perm]
+    (vx_s, vy_s, vz_s, oid) = dp.extras
+    vel = base.V3(vx_s, vy_s, vz_s)
 
     # --- pressure phase (reference wcsph_solver.py:32-38) -------------------
     rho_f, _, blk_pair = bandmat.dense_rho_count(

@@ -152,9 +152,15 @@ def plan_from_csr(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
     qcells: (QB, B) int32 cell ids of each group's members (sorted).
     Returns (blk (QB, nbcap) ascending, nb_mask, overflow) where overflow
     counts union blocks beyond nbcap (truncated = candidates dropped)."""
+    # nblocks_src bounds the interval BLOCK ids (hi <= ceil(Ns / BLOCK),
+    # Ns <= qcells.size): it only sizes the packed-sort shift in
+    # plan_from_intervals. Passing the CELL count here (the r1-r4 form)
+    # blew the 1M shift past 31 bits and silently rerouted every large
+    # plan build onto the argsort + take_along_axis slow path — 220 ms
+    # vs 30 for the identical output (tools/perf_r5_prep3.py).
     return plan_from_intervals(
         *csr_intervals(qcells, starts, grid, n_spans=n_spans),
-        nblocks_src=starts.shape[0], nbcap=nbcap)
+        nblocks_src=((qcells.size - 1) >> BLOCK_SHIFT) + 1, nbcap=nbcap)
 
 
 def csr_intervals(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
@@ -194,16 +200,29 @@ def csr_intervals(qcells: jnp.ndarray, starts: jnp.ndarray, grid,
         # Fast path: fold the whole 9-offset / (-1, +2) fast-axis shift
         # arithmetic into ONE per-cell table se18[c] = [starts[clip(c +
         # o - 1)], starts[clip(c + o + 2)] for the 9 offsets] — built
-        # from 18 pad-shifted COPIES of starts (no gathers), then read
-        # with a single (QB, B) gather of 18-element rows. Identical
-        # values to the generic span loop below (same clip arithmetic);
-        # replaces its 2 x 9 x B element-gathers of starts, which
-        # dominated the 1M plan build (measured 157 -> ~10 ms).
-        cells = jnp.arange(ncells, dtype=jnp.int32)
+        # from 18 pad-shifted COPIES of starts (edge-clamped SLICES, no
+        # gathers: the r4 form gathered starts[clip(cells + k)], and 18
+        # nearly-iota element gathers of a 437k table measured 53 ms at
+        # 1M where the slices are free — tools/perf_r5_prep3.py), then
+        # read with a single (QB, B) gather of 18-element rows.
+        # Identical values to the generic span loop below (same clip
+        # arithmetic); replaces its 2 x 9 x B element-gathers of starts,
+        # which dominated the 1M plan build (measured 157 -> ~10 ms).
+        def shifted(k):
+            # out[i] = starts[clip(i + k, 0, ncells)], i in [0, ncells)
+            if k <= 0:
+                head_n = min(-k, ncells)
+                head = jnp.full((head_n,), starts[0], starts.dtype)
+                return jnp.concatenate([head, starts[:ncells - head_n]])
+            body = starts[min(k, ncells + 1):min(k + ncells, ncells + 1)]
+            tail = jnp.full((ncells - body.shape[0],), starts[ncells],
+                            starts.dtype)
+            return jnp.concatenate([body, tail])
+
         cols = []
         for o in offs:
-            cols.append(starts[jnp.clip(cells + (o - 1), 0, ncells)])
-            cols.append(starts[jnp.clip(cells + (o + 2), 0, ncells)])
+            cols.append(shifted(o - 1))
+            cols.append(shifted(o + 2))
         se18 = jnp.stack(cols, axis=1)                    # (ncells, 18)
         rows = se18[jnp.clip(qc, 0, ncells - 1)]          # (QB, B, 18)
         lo, hi = [], []
@@ -1334,8 +1353,11 @@ def build_boundary_windows(qcells: jnp.ndarray, bpos: V3,
 
     sel_lo = lo[gidx]
     sel_hi = jnp.where(gmask[:, None], hi[gidx], sel_lo)  # masked: empty
+    # Block-id bound = boundary blocks, NOT the cell count (see the
+    # plan_from_csr note — the cell count forces the slow dedupe path).
     blk, nb_mask, over_p = plan_from_intervals(
-        sel_lo, sel_hi, nblocks_src=table.starts.shape[0], nbcap=nbcap)
+        sel_lo, sel_hi, nblocks_src=((max(nb_src, 1) - 1) >> BLOCK_SHIFT) + 1,
+        nbcap=nbcap)
 
     nblocks = -(-nb_src // BLOCK)
     blk = jnp.minimum(blk, max(nblocks - 1, 0))

@@ -76,12 +76,22 @@ def main():
                     "nbA": st.coef_nbA, "capB": st.coef_capB,
                     "bq": st.bq_cap}}
 
-    # 1) prep: sort + CSR plan + boundary windows/terms
+    # 1) prep: sort + CSR plan + boundary windows/terms. EVERY output
+    # the step consumes must feed the returned scalar — the r4 form
+    # dropped dp.plan, and XLA dead-code-eliminated the entire plan
+    # build out of the measurement (~280 ms at 1M, found by
+    # tools/perf_r5_prep.py when its standalone plan timing dwarfed the
+    # "whole prep" number).
     def prep(px, py, pz):
         dp = mbase.build_dense_prep(st, scene.arrays, V3(px, py, pz),
                                     st.band_nb_wide, st.band_B)
-        return jnp.sum(dp.pos.x) + (jnp.sum(dp.bterms.rho)
-                                    if dp.bterms is not None else 0.0)
+        keep = (jnp.sum(dp.pos.x) + jnp.sum(dp.plan[0])
+                + jnp.sum(dp.starts[::64]))
+        if dp.bterms is not None:
+            keep = keep + jnp.sum(dp.bterms.rho) + jnp.sum(dp.bterms.qsum)
+        if dp.bwin is not None:
+            keep = keep + jnp.sum(dp.bwin.blk)
+        return keep
 
     dt, _ = timed(jax.jit(prep), pos.x, pos.y, pos.z, rtt=rtt)
     res["prep_ms"] = round(dt * 1e3, 1)
