@@ -234,11 +234,13 @@ def dfsph_1m_roofline(out: dict, sps: float, st=None):
     split-coef matvec pair streams the stored bf16 w — (QB, B, W), i.e.
     2 x B bytes per GROUP plan slot (the r4 model forgot the x B and
     undercounted the dominant term ~16x) — plus the materialized
-    (4, QB, W) f32 plane rhs (16 B written + 16 B read per group slot;
-    the round-5 schedule, coef_matvec_ops docstring) and the (4,
-    nblocks, 128) f32 product table build (read+write). The one-shot
-    passes (dense_rho_count at wide capacity, the coef build and the
-    viscosity pass at pair capacity) re-gather 3/3/7 f32 position or
+    (4, QB, W) BF16 plane rhs (8 B written + 8 B read per group slot;
+    the round-5 bf16-at-the-table schedule, coef_matvec_ops docstring)
+    and the (4, nblocks, 128) bf16 product table build (read+write).
+    EVERY capacity-priced pass (matvec, dense_rho_count, coef build,
+    viscosity) runs the split-bucket decomposition at large N — bulk
+    at the p97 nbA width plus a capB-group remainder at the leftover
+    width. The one-shot passes re-gather 3/3/7 f32 position or
     velocity row lanes per slot. Sorts, scatters and (N,)-sized field
     ops are ~40 x 4 MB and ride in the 'fields' term."""
     if st is None:
@@ -254,17 +256,24 @@ def dfsph_1m_roofline(out: dict, sps: float, st=None):
     nblocks = -(-st.n_fluid // BLOCK)
     iters = out.get("dfsph_1m_iters") or [15.0, 2.0]
     n_it = float(iters[0]) + float(iters[1]) + 2.0  # + warm-start/init pair
-    if st.coef_nbA:
-        slots_mv = (QBl * st.coef_nbA + st.coef_capB * st.pair_nb) * BLOCK
-    else:
-        slots_mv = QBl * st.pair_nb * BLOCK
-    per_matvec = (slots_mv * (2 * Bl + 32)      # bf16 w + f32 plane rhs
-                  + 2 * 4 * nblocks * BLOCK * 4)  # product table r+w
+
+    def split_slots(QBx, cap_total):
+        # W-slots of a capacity-priced pass under the split-bucket
+        # decomposition (bulk nbA everywhere + remainder width for capB
+        # tail groups); full width when the split is off.
+        if st.coef_nbA and st.coef_nbA < cap_total:
+            return (QBx * st.coef_nbA
+                    + st.coef_capB * (cap_total - st.coef_nbA)) * BLOCK
+        return QBx * cap_total * BLOCK
+
+    slots_mv = split_slots(QBl, st.pair_nb)
+    per_matvec = (slots_mv * (2 * Bl + 16)      # bf16 w + bf16 plane rhs
+                  + 2 * 4 * nblocks * BLOCK * 2)  # bf16 product table r+w
     loop = n_it * 2 * per_matvec
     pq = st.pair_nb_q or st.pair_nb
-    oneshot = (QBq * st.band_nb_wide * BLOCK * 12      # dense_rho_count
-               + QBl * st.pair_nb * BLOCK * (12 + 2)   # coef build + w write
-               + QBq * pq * BLOCK * 28)                # dense_viscosity
+    oneshot = (split_slots(QBq, st.band_nb_wide) * 12  # dense_rho_count
+               + slots_mv * (12 + 2)                   # coef build + w write
+               + split_slots(QBq, pq) * 28)            # dense_viscosity
     fields = 40 * st.n_fluid * 4
     total_gb = (loop + oneshot + fields) / 1e9
     achieved = total_gb * sps

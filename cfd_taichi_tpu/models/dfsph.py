@@ -322,6 +322,11 @@ class DenseEngine(NamedTuple):
     mv: Any             # matvec callable
     mvd: Any            # matvec_dot callable
     overflow: Any       # () int32
+    # (gidx, gmask) tail-group selection when the split-bucket coef
+    # engine is active — lets dense_viscosity_split reuse the engine's
+    # exact bucket decomposition (same plan -> same selection); None
+    # in the band regime / unsplit coef regime.
+    split_sel: Any = None
 
 
 def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
@@ -344,6 +349,7 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
         dp = base.build_dense_prep(st, arrays, fluid_pos, st.band_nb_wide,
                                    B, extras=extras)
     pos_s, perm = dp.pos, dp.perm
+    split_sel = None
     if use_band_engine(st.n_fluid, st.band_nb):
         # Stored 3-component band matrix (fits HBM below ~150k).
         bterms = bandmat.build_band_terms(pos_s, h=st.h, m=st.particle_m,
@@ -377,8 +383,23 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
         # are ~40% narrower — dense_rho_count emits flags at sub-group
         # granularity, so both tight plans come from the one wide pass.
         sub = B // st.loop_B if st.loop_B and st.loop_B < B else 1
-        rho_f, count, blk_pair = bandmat.dense_rho_count(
-            pos_s, h=st.h, m=st.particle_m, plan=dp.plan, B=B, sub=sub)
+        wide_over = jnp.zeros((), jnp.int32)
+        if sub == 1 and st.coef_nbA and st.coef_nbA < st.band_nb_wide:
+            # Split-bucket wide pass: the one-shot rho/count/flags pass
+            # is capacity-priced at band_nb_wide (~1.7x the p97 cover —
+            # the sizing margin), so the bulk pays only the nbA width
+            # and tail groups ride the scattered remainder. coef_nbA/
+            # capB are sized from exactly this plan's cover
+            # distribution (scene.py) — the same decomposition the
+            # stored engine uses.
+            rho_f, count, blk_pair, wide_over = \
+                bandmat.dense_rho_count_split(
+                    pos_s, h=st.h, m=st.particle_m, plan=dp.plan, B=B,
+                    nbA=st.coef_nbA, capB=st.coef_capB)
+        else:
+            rho_f, count, blk_pair = bandmat.dense_rho_count(
+                pos_s, h=st.h, m=st.particle_m, plan=dp.plan, B=B,
+                sub=sub)
         if sub > 1:
             # QB*sub >= ceil(n/loop_B): trailing sub-rows cover only the
             # wide groups' edge-padded queries — slice them off so the
@@ -404,6 +425,12 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
                 pos_s, h=st.h, m=st.particle_m, plan=plan_loop, B=Bl,
                 nbA=st.coef_nbA, capB=st.coef_capB, dtype=BAND_DTYPE)
             mv, mvd = bandmat.split_coef_matvec_ops(ceng, st.n_fluid, Bl)
+            if Bl == B:
+                # The viscosity pass runs at band_B width; the engine's
+                # bucket decomposition transfers only when the loop
+                # engine shares that width (loop_B off — the shipped
+                # large-N policy).
+                split_sel = (ceng.rem.qsel, ceng.gmask)
         else:
             ceng = bandmat.build_coef_engine(
                 pos_s, h=st.h, m=st.particle_m, plan=plan_loop, B=Bl,
@@ -411,13 +438,33 @@ def build_dense_engine(st: SceneStatic, arrays: SceneArrays,
             mv, mvd = bandmat.coef_matvec_ops(ceng, st.n_fluid, Bl)
         qsum, tvec = ceng.qsum, ceng.tvec
         S0 = ceng.s
-        engine_overflow = jnp.maximum(ceng.overflow, plan_loop[2])
+        engine_overflow = jnp.maximum(jnp.maximum(ceng.overflow,
+                                                  plan_loop[2]),
+                                      wide_over)
     overflow = jnp.maximum(jnp.maximum(dp.overflow, plan[2]),
                            jnp.maximum(engine_overflow,
                                        jnp.zeros((), jnp.int32)))
     return DenseEngine(dp=dp, pos=pos_s, perm=perm, plan=plan,
                        rho_f=rho_f, count=count, qsum=qsum, tvec=tvec,
-                       S0=S0, mv=mv, mvd=mvd, overflow=overflow)
+                       S0=S0, mv=mv, mvd=mvd, overflow=overflow,
+                       split_sel=split_sel)
+
+
+def dense_visc(st: SceneStatic, eng: DenseEngine, vel: V3,
+               rho: jnp.ndarray, c_s: float = VISCOSITY_C_S,
+               alpha: float = VISCOSITY_ALPHA) -> V3:
+    """Fluid-fluid Monaghan viscosity over a DenseEngine — the split-
+    bucket pass when the engine is split (reuses its exact tail
+    selection), the plain full-width pass otherwise. Shared by the
+    DFSPH/IISPH/PCISPH dense prepares and the sharded dense callbacks."""
+    if eng.split_sel is not None:
+        return bandmat.dense_viscosity_split(
+            eng.pos, vel, rho, h=st.h, m=st.particle_m, plan=eng.plan,
+            B=st.band_B, c_s=c_s, alpha=alpha,
+            nbA=st.coef_nbA, capB=st.coef_capB, sel=eng.split_sel)
+    return bandmat.dense_viscosity(
+        eng.pos, vel, rho, h=st.h, m=st.particle_m, plan=eng.plan,
+        B=st.band_B, c_s=c_s, alpha=alpha)
 
 
 def dense_pre_terms(st: SceneStatic, eng: DenseEngine, rt=None):
@@ -492,9 +539,9 @@ def _prepare_dense(st: SceneStatic, arrays: SceneArrays,
     rho, alpha, S, tension = dense_pre_terms(st, eng, rt)
 
     def ext_force_fn(vel):
-        visc = bandmat.dense_viscosity(
-            pos_s, vel, rho, h=st.h, m=st.particle_m, plan=plan, B=B,
-            c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+        # Split-bucket pass when the engine is split — same pair set,
+        # ~40% fewer capacity-priced slots at hot 1M (dense_visc).
+        visc = dense_visc(st, eng, vel, rho)
         if has_rigid:
             # Solid viscosity branch incl. the seeding-order rho-quirk
             # read (base.nbh_viscosity).

@@ -338,9 +338,7 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     inv_rho2 = 1.0 / (rho * rho)
 
     # --- predict advection ---------------------------------------------------
-    viscosity = bandmat.dense_viscosity(
-        pos, vel, rho, h=st.h, m=st.particle_m, plan=eng.plan,
-        B=st.band_B, c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    viscosity = _dfsph.dense_visc(st, eng, vel, rho)
     if has_rigid:
         rho_orig = jnp.zeros_like(rho).at[oid].set(rho)
         rho_quirk = rho_orig[jnp.clip(

@@ -230,9 +230,8 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
 
     # --- external forces (pcisph_solver.py:220-226) -------------------------
     tension = eng.tvec * jnp.float32(-TENSION_K * st.particle_m)
-    viscosity = bandmat.dense_viscosity(
-        pos, vel, rho, h=st.h, m=st.particle_m, plan=plan, B=B,
-        c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
+    viscosity = _dfsph.dense_visc(
+        st, eng, vel, rho, c_s=VISCOSITY_C_S, alpha=VISCOSITY_ALPHA)
     if has_rigid:
         # Solid viscosity branch, incl. the reference's rho-quirk read
         # (base.nbh_viscosity): seeding-order rho at the rigid-LOCAL index.

@@ -75,13 +75,21 @@ def _step_dense(st: SceneStatic, arrays: SceneArrays,
     vel = base.V3(vx_s, vy_s, vz_s)
 
     # --- pressure phase (reference wcsph_solver.py:32-38) -------------------
-    rho_f, _, blk_pair = bandmat.dense_rho_count(
-        pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B)
+    # Split-bucket wide pass at large N (models/dfsph.build_dense_engine
+    # rationale); plain full-width pass otherwise.
+    if st.coef_nbA and st.coef_nbA < st.band_nb_wide:
+        rho_f, _, blk_pair, wide_over = bandmat.dense_rho_count_split(
+            pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B,
+            nbA=st.coef_nbA, capB=st.coef_capB)
+    else:
+        rho_f, _, blk_pair = bandmat.dense_rho_count(
+            pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B)
+        wide_over = jnp.zeros((), jnp.int32)
     # pair_nb_q: the band_B-width tight capacity (pair_nb sizes the
     # narrower loop_B plans in the large-N split-width mode).
     plan = bandmat.compact_plan(dp.plan, blk_pair,
                                 st.pair_nb_q or st.pair_nb)
-    overflow = jnp.maximum(dp.overflow, plan[2])
+    overflow = jnp.maximum(jnp.maximum(dp.overflow, plan[2]), wide_over)
     rho = base.DENSITY_EPS + rho_f
     if st.akinci:
         rho = rho + dp.bterms.rho

@@ -902,9 +902,16 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
                           qz_c * sk - (o4[..., 3] + cz * sk_n).sum(axis=2))
 
             return run(chunk)
-        # (4, nblocks, 128) f32 planes: [k, sx k, sy k, sz k]
+        # (4, nblocks, 128) plane table: f32 products [k, sx k, sy k,
+        # sz k], rounded to bf16 AT THE TABLE for bf16-w engines —
+        # numerically identical to the f32-plane form (XLA's DEFAULT
+        # matmul precision converts the f32 plane to bf16 at the MXU
+        # anyway; same rounding point, probe rel diff exactly 0) while
+        # halving the gather + layout-copy bytes the trace exposed
+        # (tools/perf_r5_mv5.py: 8.1 -> 7.6 ms/matvec at hot 1M).
+        # f32-w engines (exactness tests) keep the f32 plane.
         tab = jnp.stack([tbl, eng.tbx * tbl, eng.tby * tbl,
-                         eng.tbz * tbl], axis=0)
+                         eng.tbz * tbl], axis=0).astype(eng.w.dtype)
 
         def chunk(args):
             w_c, blk_c, qx_c, qy_c, qz_c = args
@@ -912,8 +919,8 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
             # measured-fast schedule (coef_matvec_ops docstring).
             p = jax.lax.optimization_barrier(
                 tab[:, blk_c].reshape(4, blk_c.shape[0], W))
-            out = jnp.einsum("qbw,rqw->rqb", w_c.astype(jnp.float32),
-                             p, preferred_element_type=jnp.float32)
+            out = jnp.einsum("qbw,rqw->rqb", w_c, p,
+                             preferred_element_type=jnp.float32)
             # Sigma w d_c k = x_c (Sigma w k) - Sigma w x_j,c k — exact
             # f32 algebra over absolute coordinates (CoefEngine note).
             return V3(qx_c * out[0] - out[1],
@@ -945,16 +952,18 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
                 return acc.sum(axis=2)
 
             return run(chunk)
-        # (4, nblocks, 128) f32 planes: [vx, vy, vz, s . v]
+        # (4, nblocks, 128) plane table [vx, vy, vz, s . v] — engine-
+        # dtype at the table for the same zero-diff reason as the
+        # matvec plane.
         tab = jnp.stack([tx, ty, tz, eng.tbx * tx + eng.tby * ty
-                         + eng.tbz * tz], axis=0)
+                         + eng.tbz * tz], axis=0).astype(eng.w.dtype)
 
         def chunk(args):
             w_c, blk_c, qx_c, qy_c, qz_c = args
             p = jax.lax.optimization_barrier(
                 tab[:, blk_c].reshape(4, blk_c.shape[0], W))
-            out = jnp.einsum("qbw,rqw->rqb", w_c.astype(jnp.float32),
-                             p, preferred_element_type=jnp.float32)
+            out = jnp.einsum("qbw,rqw->rqb", w_c, p,
+                             preferred_element_type=jnp.float32)
             return (qx_c * out[0] + qy_c * out[1]
                     + qz_c * out[2] - out[3])
 
@@ -965,7 +974,7 @@ def coef_matvec_ops(eng: CoefEngine, n: int, B: int):
 
 def dense_viscosity(pos_s: V3, vel_s: V3, rho: jnp.ndarray, *, h: float,
                     m: float, plan, B: int, c_s: float, alpha: float,
-                    eps: float = 0.01) -> V3:
+                    eps: float = 0.01, qsel=None) -> V3:
     """Monaghan artificial viscosity (fluid-fluid, compression-only) as a
     dense window pass over the step's CSR block plan — the dense-mode
     counterpart of models.base.nbh_viscosity's fluid branch (reference
@@ -980,7 +989,11 @@ def dense_viscosity(pos_s: V3, vel_s: V3, rho: jnp.ndarray, *, h: float,
 
     Chunked over query groups under lax.map like dense_wcsph_forces: the
     unchunked form's materialized (QB, W) windows (7 of them) exhausted
-    HBM at 1M particles."""
+    HBM at 1M particles.
+
+    `qsel`: (G,) int32 group ids when the plan covers a SUBSET of query
+    groups (the split-bucket remainder — build_coef_engine's convention);
+    the result stays (G, B)-shaped for the caller to scatter."""
     n = pos_s.x.shape[0]
     blk, nb_mask, _ = plan
     QB, nbcap = blk.shape
@@ -1002,13 +1015,20 @@ def dense_viscosity(pos_s: V3, vel_s: V3, rho: jnp.ndarray, *, h: float,
     tvx, tvy, tvz = tb(vel_s.x), tb(vel_s.y), tb(vel_s.z)
     trho = tb(rho)
 
+    QB_full = -(-n // B)
+
     def q(c):
-        return jnp.pad(c, (0, QB * B - n)).reshape(QB, B)
+        full = jnp.pad(c, (0, QB_full * B - n)).reshape(QB_full, B)
+        return full if qsel is None else full[qsel]
 
     qx, qy, qz = q(pos_s.x), q(pos_s.y), q(pos_s.z)
     qvx, qvy, qvz = q(vel_s.x), q(vel_s.y), q(vel_s.z)
     qrho = q(rho)
-    qslot_a = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B)
+    if qsel is None:
+        qslot_a = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B)
+    else:
+        qslot_a = (qsel[:, None].astype(jnp.int32) * B
+                   + jnp.arange(B, dtype=jnp.int32)[None, :])
     col = jnp.arange(BLOCK, dtype=jnp.int32)
     h2 = jnp.float32(h) * jnp.float32(h)
     nu_num = jnp.float32(2.0 * alpha * h * c_s)
@@ -1050,11 +1070,73 @@ def dense_viscosity(pos_s: V3, vel_s: V3, rho: jnp.ndarray, *, h: float,
         out = chunk(tuple(t[0] for t in xs))
     else:
         out = jax.lax.map(chunk, xs)
+    if qsel is not None:
+        return V3(*(c.reshape((-1, B)) for c in out.astuple())) * mf
     return V3(*(c.reshape(-1)[:n] for c in out.astuple())) * mf
 
 
+def split_tail_select(nb_mask: jnp.ndarray, nbA: int, capB: int):
+    """Tail-group selection shared by the split-bucket engines: groups
+    whose plan needs more than nbA blocks, ascending, capped at capB.
+    Returns (gidx, gmask, over_split)."""
+    QB = nb_mask.shape[0]
+    need = jnp.sum(nb_mask, axis=1)
+    over_g = need > nbA
+    n_over = jnp.sum(over_g.astype(jnp.int32))
+    over_split = jnp.maximum(n_over - capB, 0).astype(jnp.int32)
+    iota = jnp.arange(QB, dtype=jnp.int32)
+    key = jnp.where(over_g, QB - iota, 0)
+    topkey, _ = jax.lax.top_k(key, capB)
+    gmask = topkey > 0
+    gidx = jnp.where(gmask, QB - topkey, 0)
+    return gidx, gmask, over_split
+
+
+def dense_viscosity_split(pos_s: V3, vel_s: V3, rho: jnp.ndarray, *,
+                          h: float, m: float, plan, B: int, c_s: float,
+                          alpha: float, nbA: int, capB: int,
+                          sel=None) -> V3:
+    """`dense_viscosity` over the split-bucket plan decomposition: the
+    bulk pass pays only the first nbA blocks of every group (the p97
+    cover width — build_split_coef_engine's bucket A) and the skewed
+    tail rides a (capB, nbcap - nbA) remainder pass scattered back.
+    Identical pair set to the full-width pass (measured at hot 1M: the
+    full pair width is ~1.7x the p97 width, and this pass's cost scales
+    with CAPACITY, not true pairs — the same economics that motivated the
+    split coef engine). `sel`: precomputed (gidx, gmask) from the
+    engine build (same plan -> same selection); computed here if None.
+    Groups dropped past capB are the SAME groups the split engine
+    dropped — already counted in its overflow."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, over0 = plan
+    QB, nbcap = blk.shape
+    nbA = min(nbA, nbcap)
+    capB = min(capB, QB)
+    if nbA >= nbcap:
+        return dense_viscosity(pos_s, vel_s, rho, h=h, m=m, plan=plan,
+                               B=B, c_s=c_s, alpha=alpha)
+    plan_a = (blk[:, :nbA], nb_mask[:, :nbA], over0)
+    acc = dense_viscosity(pos_s, vel_s, rho, h=h, m=m, plan=plan_a,
+                          B=B, c_s=c_s, alpha=alpha)
+    if sel is None:
+        gidx, gmask, _ = split_tail_select(nb_mask, nbA, capB)
+    else:
+        gidx, gmask = sel
+    plan_r = (blk[gidx, nbA:], nb_mask[gidx, nbA:] & gmask[:, None],
+              over0)
+    rem = dense_viscosity(pos_s, vel_s, rho, h=h, m=m, plan=plan_r,
+                          B=B, c_s=c_s, alpha=alpha, qsel=gidx)
+    gsafe = jnp.where(gmask, gidx, QB)
+
+    def scat(gb):
+        out = jnp.zeros((QB + 1, B), jnp.float32)
+        return out.at[gsafe].set(gb, mode="drop").reshape(-1)[:QB * B][:n]
+
+    return acc + V3(*(scat(c) for c in rem.astuple()))
+
+
 def dense_rho_count(pos_s: V3, *, h: float, m: float, plan, B: int,
-                    sub: int = 1):
+                    sub: int = 1, qsel=None):
     """Fluid-fluid density Sigma_j m W_ij + pair count + per-block pair
     flags as one chunked dense window pass (the dense-mode replacement
     for nbh_rho's fluid branch; the caller adds DENSITY_EPS and
@@ -1063,7 +1145,10 @@ def dense_rho_count(pos_s: V3, *, h: float, m: float, plan, B: int,
 
     sub > 1 emits flags at SUB-GROUP granularity — (QB*sub, nbcap), one
     row per B//sub consecutive queries — so a narrower loop-engine plan
-    (SceneStatic.loop_B) can be compacted from the same wide pass."""
+    (SceneStatic.loop_B) can be compacted from the same wide pass.
+
+    `qsel`: (G,) group ids for a SUBSET pass (split-bucket remainder):
+    rho/count stay (G, B) for the caller to scatter, flags (G, nbcap)."""
     n = pos_s.x.shape[0]
     blk, nb_mask, _ = plan
     QB, nbcap = blk.shape
@@ -1083,11 +1168,18 @@ def dense_rho_count(pos_s: V3, *, h: float, m: float, plan, B: int,
 
     tbx, tby, tbz = tb(pos_s.x), tb(pos_s.y), tb(pos_s.z)
 
+    QB_full = -(-n // B)
+
     def q(c):
-        return jnp.pad(c, (0, QB * B - n)).reshape(QB, B)
+        full = jnp.pad(c, (0, QB_full * B - n)).reshape(QB_full, B)
+        return full if qsel is None else full[qsel]
 
     qx, qy, qz = q(pos_s.x), q(pos_s.y), q(pos_s.z)
-    qslot_a = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B)
+    if qsel is None:
+        qslot_a = jnp.arange(QB * B, dtype=jnp.int32).reshape(QB, B)
+    else:
+        qslot_a = (qsel[:, None].astype(jnp.int32) * B
+                   + jnp.arange(B, dtype=jnp.int32)[None, :])
     col = jnp.arange(BLOCK, dtype=jnp.int32)
     h2 = jnp.float32(h) * jnp.float32(h)
 
@@ -1123,8 +1215,53 @@ def dense_rho_count(pos_s: V3, *, h: float, m: float, plan, B: int,
         rho, count, flags = chunk(tuple(t[0] for t in xs))
     else:
         rho, count, flags = jax.lax.map(chunk, xs)
+    if qsel is not None:
+        return (rho.reshape(QB, B), count.reshape(QB, B),
+                flags.reshape(QB * sub, nbcap))
     return (rho.reshape(-1)[:n], count.reshape(-1)[:n],
             flags.reshape(QB * sub, nbcap))
+
+
+def dense_rho_count_split(pos_s: V3, *, h: float, m: float, plan,
+                          B: int, nbA: int, capB: int):
+    """`dense_rho_count` over the split-bucket plan decomposition (the
+    wide one-shot pass is CAPACITY-priced like every dense pass, and
+    its cap carries a ~1.7x safety margin over the p97 cover — the same
+    economics as dense_viscosity_split). Returns (rho, count, flags,
+    over_split) with flags at the FULL (QB, nbcap) width for
+    compact_plan; groups dropped past capB are counted in over_split.
+    sub-granular flags (SceneStatic.loop_B) are not supported here —
+    callers in the split regime run sub == 1."""
+    n = pos_s.x.shape[0]
+    blk, nb_mask, over0 = plan
+    QB, nbcap = blk.shape
+    nbA = min(nbA, nbcap)
+    capB = min(capB, QB)
+    if nbA >= nbcap:
+        rho, count, flags = dense_rho_count(pos_s, h=h, m=m, plan=plan,
+                                            B=B)
+        return rho, count, flags, jnp.zeros((), jnp.int32)
+    plan_a = (blk[:, :nbA], nb_mask[:, :nbA], over0)
+    rho, count, flags_a = dense_rho_count(pos_s, h=h, m=m, plan=plan_a,
+                                          B=B)
+    gidx, gmask, over_split = split_tail_select(nb_mask, nbA, capB)
+    plan_r = (blk[gidx, nbA:], nb_mask[gidx, nbA:] & gmask[:, None],
+              over0)
+    rho_r, count_r, flags_r = dense_rho_count(pos_s, h=h, m=m,
+                                              plan=plan_r, B=B,
+                                              qsel=gidx)
+    gsafe = jnp.where(gmask, gidx, QB)
+
+    def scat(gb):
+        out = jnp.zeros((QB + 1, B), gb.dtype)
+        return out.at[gsafe].set(gb, mode="drop").reshape(-1)[:QB * B][:n]
+
+    rho = rho + scat(rho_r)
+    count = count + scat(count_r)
+    flags = jnp.zeros((QB + 1, nbcap), bool)
+    flags = flags.at[:QB, :nbA].set(flags_a)
+    flags = flags.at[gsafe, nbA:].set(flags_r, mode="drop")
+    return rho, count, flags[:QB], over_split
 
 
 class DenseTerms(NamedTuple):
@@ -1257,15 +1394,7 @@ def build_split_coef_engine(pos_s: V3, *, h: float, m: float, plan,
     eng_a = build_coef_engine(pos_s, h=h, m=m, plan=plan_a, B=B,
                               dtype=dtype)
 
-    need = jnp.sum(nb_mask, axis=1)
-    over_g = need > nbA
-    n_over = jnp.sum(over_g.astype(jnp.int32))
-    over_split = jnp.maximum(n_over - capB, 0).astype(jnp.int32)
-    iota = jnp.arange(QB, dtype=jnp.int32)
-    key = jnp.where(over_g, QB - iota, 0)
-    topkey, _ = jax.lax.top_k(key, capB)
-    gmask = topkey > 0
-    gidx = jnp.where(gmask, QB - topkey, 0)
+    gidx, gmask, over_split = split_tail_select(nb_mask, nbA, capB)
 
     plan_r = (blk[gidx, nbA:], nb_mask[gidx, nbA:] & gmask[:, None],
               jnp.zeros((), jnp.int32))

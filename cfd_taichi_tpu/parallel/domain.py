@@ -858,9 +858,7 @@ def _dfsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         engine_over = jnp.zeros((), jnp.int32)  # folded by the scaffold
 
         def ext_force_fn(vel):
-            visc = bandmat.dense_viscosity(
-                eng.pos, vel, rho, h=st.h, m=m, plan=eng.plan,
-                B=st.band_B, c_s=D.VISCOSITY_C_S, alpha=D.VISCOSITY_ALPHA)
+            visc = D.dense_visc(st, eng, vel, rho)
             if ctx.rt is not None:
                 visc = visc + rigid_dense.viscosity_op(
                     st, ctx.rw, float(RHO_0), st.n_fluid,
@@ -1042,6 +1040,7 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     """Sharded PCISPH: models.pcisph loop algebra + per-iteration pressure
     exchange + psum residual (pcisph_solver.py:47-70)."""
     from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.models import dfsph as D
     from cfd_taichi_tpu.models import pcisph as PC
 
     st, nbh = ctx.st, ctx.nbh
@@ -1077,9 +1076,8 @@ def _pcisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         inv_rho2 = 1.0 / (rho * rho)
 
         tension = eng.tvec * jnp.float32(-PC.TENSION_K * st.particle_m)
-        viscosity = bandmat.dense_viscosity(
-            pos, sv, rho, h=st.h, m=st.particle_m, plan=eng.plan,
-            B=st.band_B, c_s=PC.VISCOSITY_C_S, alpha=PC.VISCOSITY_ALPHA)
+        viscosity = D.dense_visc(st, eng, sv, rho, c_s=PC.VISCOSITY_C_S,
+                                 alpha=PC.VISCOSITY_ALPHA)
         if ctx.rt is not None:
             viscosity = viscosity + rigid_dense.viscosity_op(
                 st, ctx.rw, float(RHO_0), st.n_fluid, PC.VISCOSITY_C_S,
@@ -1200,6 +1198,7 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
     """Sharded IISPH: models.iisph relaxed-Jacobi algebra + per-iteration
     pressure exchange + psum residual (iisph_solver.py:78-147)."""
     from cfd_taichi_tpu.models import base as mbase
+    from cfd_taichi_tpu.models import dfsph as D
     from cfd_taichi_tpu.models import iisph as II
 
     st, nbh = ctx.st, ctx.nbh
@@ -1217,9 +1216,8 @@ def _iisph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
         eng = ctx.dense
         rho, S_all, g2_sb, tension = II.dense_pre_terms(st, eng, ctx.rt)
         inv_rho2 = 1.0 / (rho * rho)
-        viscosity = bandmat.dense_viscosity(
-            eng.pos, sv, rho, h=st.h, m=st.particle_m, plan=eng.plan,
-            B=st.band_B, c_s=II.VISCOSITY_C_S, alpha=II.VISCOSITY_ALPHA)
+        viscosity = D.dense_visc(st, eng, sv, rho, c_s=II.VISCOSITY_C_S,
+                                 alpha=II.VISCOSITY_ALPHA)
         if ctx.rt is not None:
             viscosity = viscosity + rigid_dense.viscosity_op(
                 st, ctx.rw, float(RHO_0), st.n_fluid, II.VISCOSITY_C_S,
@@ -1333,11 +1331,20 @@ def _wcsph_physics(ctx: ShardCtx, sv: V3, extras, dt, consts):
 
         dp = ctx.dp
         pos = dp.pos
-        rho_f, _, blk_pair = bandmat.dense_rho_count(
-            pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B)
+        # Split-bucket wide pass at large N (models/dfsph.
+        # build_dense_engine rationale); plain otherwise.
+        if st.coef_nbA and st.coef_nbA < st.band_nb_wide:
+            rho_f, _, blk_pair, wide_over = \
+                bandmat.dense_rho_count_split(
+                    pos, h=st.h, m=st.particle_m, plan=dp.plan,
+                    B=st.band_B, nbA=st.coef_nbA, capB=st.coef_capB)
+        else:
+            rho_f, _, blk_pair = bandmat.dense_rho_count(
+                pos, h=st.h, m=st.particle_m, plan=dp.plan, B=st.band_B)
+            wide_over = jnp.zeros((), jnp.int32)
         tplan = bandmat.compact_plan(dp.plan, blk_pair,
                                      st.pair_nb_q or st.pair_nb)
-        phys_over = tplan[2]
+        phys_over = jnp.maximum(tplan[2], wide_over)
         rho = mbase.DENSITY_EPS + rho_f
         if st.akinci:
             rho = rho + dp.bterms.rho

@@ -308,11 +308,21 @@ def test_large_n_policy_ladder_matches_default(monkeypatch):
     assert int(sim2.state.overflow) == 0
     oa = np.argsort(np.asarray(sim1.state.fluid.oid))
     ob = np.argsort(np.asarray(sim2.state.fluid.oid))
+    # atol: bf16-w engine noise over 5 steps. Since r5 the coef matvec
+    # planes round to bf16 at the table on ALL platforms (on the TPU
+    # that rounding already happened inside the MXU's DEFAULT-precision
+    # convert — tools/perf_r5_mv5.py, rel 0), so the CPU run now sees
+    # the chip's envelope (measured max 9e-5 here).
     np.testing.assert_allclose(sim2.state.fluid.pos.to_numpy()[ob],
                                sim1.state.fluid.pos.to_numpy()[oa],
-                               atol=5e-5)
+                               atol=2.5e-4)
+    # Iteration counts may differ by one when the residual sits at the
+    # DIV_THRESHOLD boundary: the two engines round differently (bf16
+    # coef planes vs the band engine's algebra), and the extra
+    # iteration is the CONSERVATIVE direction — the threshold contract
+    # itself (reference dfsph_solver.py:400) is honored by both.
     np.testing.assert_allclose(np.asarray(sim2.state.diag)[0],
-                               np.asarray(sim1.state.diag)[0], atol=0)
+                               np.asarray(sim1.state.diag)[0], atol=1)
 
 
 def _iisph_synthetic_ops(gain):

@@ -105,12 +105,21 @@ def main():
     jax.block_until_ready(pos_s.x)
     del pos
 
-    # 2) wide one-shot rho pass
+    # 2) wide one-shot rho pass (split-bucket when the scene is — the
+    # live build_dense_engine route)
     def wide(px, py, pz, blk, mask):
-        rho, count, flags = bandmat.dense_rho_count(
-            V3(px, py, pz), h=st.h, m=st.particle_m,
-            plan=(blk, mask, jnp.zeros((), jnp.int32)), B=st.band_B)
-        return rho
+        if st.coef_nbA and st.coef_nbA < st.band_nb_wide:
+            rho, count, flags, _ = bandmat.dense_rho_count_split(
+                V3(px, py, pz), h=st.h, m=st.particle_m,
+                plan=(blk, mask, jnp.zeros((), jnp.int32)), B=st.band_B,
+                nbA=st.coef_nbA, capB=st.coef_capB)
+        else:
+            rho, count, flags = bandmat.dense_rho_count(
+                V3(px, py, pz), h=st.h, m=st.particle_m,
+                plan=(blk, mask, jnp.zeros((), jnp.int32)), B=st.band_B)
+        # Tuple output so the flags the step actually consumes are not
+        # dead-code-eliminated from the measurement.
+        return rho, count, flags
 
     dt, _ = timed(jax.jit(wide), pos_s.x, pos_s.y, pos_s.z, plan[0],
                   plan[1], rtt=rtt)
@@ -154,14 +163,20 @@ def main():
     res["coef_build_ms"] = round(dt * 1e3, 1)
     print("coef_build_ms", res["coef_build_ms"], file=sys.stderr, flush=True)
 
-    # 5) dense_viscosity over the tight plan
+    # 5) dense viscosity over the tight plan (split-bucket when the
+    # scene is — models/dfsph.dense_visc's route)
     def visc(px, py, pz, blk, mask):
         p = V3(px, py, pz)
         vel = V3(px * 0 + 1.0, py * 0, pz * 0)
+        plan_t = (blk, mask, jnp.zeros((), jnp.int32))
+        if st.coef_nbA and st.coef_nbA < st.pair_nb:
+            return bandmat.dense_viscosity_split(
+                p, vel, px * 0 + 1000.0, h=st.h, m=st.particle_m,
+                plan=plan_t, B=st.band_B, c_s=13.0, alpha=0.08,
+                nbA=st.coef_nbA, capB=st.coef_capB).x
         return bandmat.dense_viscosity(
             p, vel, px * 0 + 1000.0, h=st.h, m=st.particle_m,
-            plan=(blk, mask, jnp.zeros((), jnp.int32)), B=st.band_B,
-            c_s=13.0, alpha=0.08).x
+            plan=plan_t, B=st.band_B, c_s=13.0, alpha=0.08).x
 
     dt, _ = timed(jax.jit(visc), pos_s.x, pos_s.y, pos_s.z, tight[0],
                   tight[1], rtt=rtt)
